@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Aggregations.queries
+    Scans.queries ++ Filters.queries ++ Aggregations.queries ++
+      ScalarFuncs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Aggregations.oracles
+    Scans.oracles ++ Filters.oracles ++ Aggregations.oracles ++
+      ScalarFuncs.oracles
 }

@@ -36,7 +36,9 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", col("ts").divide(lit(1000L)).cast(LongType))
+      // integer division: double division rounds-to-nearest and is off
+      // by 1µs for ~half the nanos values
+      .withColumn("ts", expr("ts div 1000"))
       .withColumn("ts", timestamp_micros(col("ts")).cast(TimestampNTZType))
   }
 
@@ -45,7 +47,7 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")
       .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)).cast(TimestampNTZType))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
   }
 }
 

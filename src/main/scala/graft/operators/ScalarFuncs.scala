@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.H — scalar function surface (string / date / math / conditional /
+  * array / map / json / struct). This is the type-mapping layer of the
+  * reference ETL (SURVEY §1.1): every Salesforce field transform it
+  * performs is one of these expression families.
+  *
+  * Scale notes: all pure projections — narrow transformations, no
+  * shuffle except the final presentation orderBy; everything stays
+  * inside whole-stage codegen (built-in functions only, no UDFs).
+  * Array outputs are flattened to strings so the oracle hash compare is
+  * engine-neutral (map/list hashing differs across engines).
+  */
+object ScalarFuncs {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "h_string_funcs" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_mktsegment")).as("seg_up"),
+          lower(col("c_name")).as("name_lo"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("seg_trim"),
+          substring(col("c_name"), 10, 5).as("name_sub"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+          length(col("c_name")).as("name_len"),
+          lpad(col("c_custkey").cast(StringType), 10, "0").as("key_pad"),
+          regexp_replace(col("c_name"), "0+", "0").as("name_squeeze"),
+          regexp_extract(col("c_name"), "#(\\d+)", 1).as("name_digits"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("name_part"))
+        .orderBy("c_custkey")
+    },
+
+    "h_date_funcs" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_format(date_trunc("month", col("o_orderdate")),
+            "yyyy-MM-dd").as("month_start"),
+          date_add(col("o_orderdate"), 30).as("plus30"),
+          datediff(lit("2002-01-01").cast(DateType),
+            col("o_orderdate")).as("days_to_2002"),
+          last_day(col("o_orderdate")).as("month_end"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"),
+          to_date(col("o_orderdate")).as("odate"))
+        .orderBy("o_orderkey")
+    },
+
+    "h_math_funcs" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // decimal-round: well-defined HALF_UP on both engines (double
+          // round at a .x5 boundary is representation-dependent)
+          round(col("l_extendedprice").cast(DecimalType(18, 2)), 1).as("price_r1"),
+          abs(col("l_discount") - 0.05).as("disc_abs"),
+          ceil(col("l_quantity")).as("qty_ceil"),
+          floor(col("l_quantity") / 7).as("qty_div7"),
+          Det.r4(pow(col("l_quantity"), 2)).as("qty_sq"),
+          Det.r4(sqrt(col("l_extendedprice"))).as("price_sqrt"),
+          Det.r4(log(col("l_extendedprice"))).as("price_ln"),
+          Det.r4(log10(col("l_extendedprice"))).as("price_log10"),
+          pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
+          signum(col("l_discount") - 0.05).as("disc_sign"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "h_conditional" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 40000, "high")
+            .when(col("o_totalprice") > 20000, "mid")
+            .otherwise("low").as("tier"),
+          coalesce(nullif(col("o_orderstatus"), lit("P")),
+            lit("PENDING")).as("status_c"),
+          greatest(col("o_totalprice"), lit(1000.0)).as("price_floor"),
+          least(col("o_totalprice"), lit(50000.0)).as("price_cap"))
+        .orderBy("o_orderkey")
+    },
+
+    "h_array_funcs" -> { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_tok"),
+          array_contains(toks, "key").as("has_key"),
+          size(array_distinct(toks)).as("n_distinct"),
+          array_join(slice(sort_array(toks), 1, 3), " ").as("first3_sorted"),
+          size(filter(toks, t => length(t) > 4)).as("n_long"),
+          aggregate(toks, lit(0), (acc, t) => acc + length(t)).as("sum_len"))
+        .orderBy("doc_id")
+    },
+
+    "h_explode_posexplode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos1"), col("col").as("token"))
+        .orderBy("doc_id", "pos1")
+    },
+
+    // MapType demonstrated in-plan (map_from_entries / map_keys); the
+    // oracled output is the engine-neutral projection: sorted
+    // "type:count" entries joined to one string per user.
+    "h_map_funcs" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(
+          col("user_id"),
+          array_join(transform(map_keys(col("m")),
+            k => concat(k, lit(":"), element_at(col("m"), k))), ",").as("entries"),
+          size(map_keys(col("m"))).as("n_types"))
+        .orderBy("user_id")
+    },
+
+    "h_json_funcs" -> { (s, d) =>
+      val schema = StructType(Seq(StructField("k", LongType)))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"),
+          from_json(col("props"), schema).getField("k").as("k_struct"),
+          to_json(from_json(col("props"), schema)).as("json_rt"))
+        .orderBy("event_id")
+    },
+
+    "h_struct_nested" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(struct(col("o_orderkey"), col("o_totalprice")).as("s"))
+        .orderBy(desc("s.o_totalprice"), asc("s.o_orderkey"))
+        .select(col("s.o_orderkey").as("okey"), col("s.o_totalprice").as("price"))
+        .limit(500)
+    },
+
+    // Parent-to-child SOQL shape (subselect → per-parent ordered list).
+    "h_array_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          array_join(transform(sort_array(collect_list(col("o_orderkey"))),
+            k => k.cast(StringType)), ",").as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_custkey")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "h_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_mktsegment) AS seg_up,
+        |  lower(c_name) AS name_lo,
+        |  trim('  ' || c_mktsegment || ' ') AS seg_trim,
+        |  substring(c_name, 10, 5) AS name_sub,
+        |  concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
+        |  CAST(length(c_name) AS INT) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS name_squeeze,
+        |  regexp_extract(c_name, '#(\d+)', 1) AS name_digits,
+        |  split_part(c_name, '#', 2) AS name_part
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "h_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(date_diff('day', o_orderdate, DATE '2002-01-01') AS INT) AS days_to_2002,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  CAST(o_orderdate AS DATE) AS odate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "h_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS price_r1,
+        |  abs(l_discount - 0.05) AS disc_abs,
+        |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+        |  round(pow(l_quantity, 2), 4) AS qty_sq,
+        |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
+        |  round(ln(l_extendedprice), 4) AS price_ln,
+        |  round(log10(l_extendedprice), 4) AS price_log10,
+        |  ((l_orderkey % 7) + 7) % 7 AS key_mod7,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "h_conditional" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 40000 THEN 'high'
+        |       WHEN o_totalprice > 20000 THEN 'mid'
+        |       ELSE 'low' END AS tier,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_c,
+        |  greatest(o_totalprice, 1000.0) AS price_floor,
+        |  least(o_totalprice, 50000.0) AS price_cap
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "h_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+        |  list_contains(string_split(text, ' '), 'key') AS has_key,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+        |  array_to_string(list_sort(string_split(text, ' '))[1:3], ' ') AS first3_sorted,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS INT) AS n_long,
+        |  CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS INT) AS sum_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "h_explode_posexplode" ->
+      """SELECT doc_id, CAST(u['pos1'] AS INT) AS pos1, u['token'] AS token
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+        |    (t, i) -> {'token': t, 'pos1': i})) AS u
+        |  FROM documents WHERE doc_id < 50)
+        |ORDER BY doc_id, pos1""".stripMargin,
+    "h_map_funcs" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  string_agg(event_type || ':' || cnt, ',' ORDER BY event_type) AS entries,
+        |  CAST(count(*) AS INT) AS n_types
+        |FROM counts GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "h_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+        |  '{"k":' || json_extract_string(props, '$.k') || '}' AS json_rt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "h_struct_nested" ->
+      """SELECT o_orderkey AS okey, o_totalprice AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 500""".stripMargin,
+    "h_array_agg" ->
+      """SELECT o_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+  )
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.A — scans / sources. The extract side of the reference ETL
+  * (Salesforce SOQL: projection + filter + cursor pushed to the API) is
+  * re-expressed as parquet scans where Catalyst pushes projection and
+  * predicates into the vectorized reader.
+  *
+  * Scale notes (100 TB): these scans read only the requested columns
+  * (ReadSchema) and push predicates to row-group stats (PushedFilters),
+  * so cost is proportional to selected bytes, not table size. On a real
+  * cluster the fixture files become date-partitioned tables and the same
+  * filters additionally prune partitions.
+  */
+object Scans {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full scan, all columns, total order.
+    "a_scan_full" -> { (s, d) =>
+      Tables.region(s, d).orderBy("r_regionkey")
+    },
+
+    // Column pruning + predicate pushdown: 3 of 16 columns survive to
+    // the reader; l_quantity > 45 reaches PushedFilters.
+    "a_scan_prune_pushdown" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .filter(col("l_quantity") > 45)
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    },
+
+    // Explicit user schema (the describe()-driven read of the reference,
+    // SURVEY §1.1): events read with a hand-built StructType — ts stays
+    // the raw nanosecond long and is projected to epoch micros.
+    "a_scan_schema_enforce" -> { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val st = StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", LongType),          // raw nanos
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      s.read.schema(st).parquet(s"$d/events.parquet")
+        .select(
+          col("event_id"),
+          expr("ts div 1000").as("ts_us"),
+          col("user_id"),
+          col("event_type"),
+          col("value"))
+        .orderBy("event_id")
+    },
+
+    // JSON ingest (stand-in for the REST-JSON record batches the
+    // reference pulls from Salesforce): parse E.props.
+    "a_source_jsonl" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "a_scan_full" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "a_scan_prune_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+    "a_scan_schema_enforce" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "a_source_jsonl" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}
