@@ -32,6 +32,114 @@ object Aggregations {
           davg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "d_agg_global" -> { (s, d) =>
+      Tables.orders(s, d).agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+    },
+
+    "d_agg_distinct" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum_distinct(col("o_custkey")).as("sum_cust"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    "d_agg_having" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 10)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
+    "d_agg_rollup" -> { (s, d) =>
+      // via SQL: the DataFrame rollup().agg(grouping(...)) path trips
+      // Spark's ambiguous-self-join check on the grouping columns
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .createOrReplaceTempView("cust_nation_ru")
+      s.sql("""
+        SELECT n_name, c_mktsegment, count(*) AS n,
+          CAST(grouping(n_name) AS INT) AS g_nation,
+          CAST(grouping(c_mktsegment) AS INT) AS g_seg
+        FROM cust_nation_ru
+        GROUP BY ROLLUP (n_name, c_mktsegment)
+        ORDER BY g_nation ASC, g_seg ASC,
+          n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")
+    },
+
+    "d_agg_cube" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("ym", date_format(col("ts"), "yyyy-MM"))
+        .cube("event_type", "ym")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          grouping(col("event_type")).cast("int").as("g_type"),
+          grouping(col("ym")).cast("int").as("g_ym"))
+        .orderBy(asc("g_type"), asc("g_ym"),
+          asc_nulls_first("event_type"), asc_nulls_first("ym"))
+    },
+
+    "d_agg_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          ${dsumSql("o_totalprice")} AS sum_price,
+          CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status ASC, g_prio ASC,
+          o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    },
+
+    "d_agg_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(var_samp(col("l_quantity"))).as("var_qty"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+          r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cov_qp"))
+        .orderBy("l_returnflag")
+    },
+
+    // Exact interpolating percentile (sort-based agg on both engines).
+    "d_agg_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+          r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // HLL sketch — no oracle (non-deterministic across engines);
+    // ScalaTest bounds it to exact ±5%.
+    "d_agg_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    },
+
+    "d_agg_collect_sorted" -> { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",")
+          .as("suppliers"),
+          count(lit(1)).as("n_supp"))
+        .orderBy("n_name")
     }
   )
 
@@ -49,6 +157,74 @@ object Aggregations {
          |FROM lineitem
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "d_agg_global" ->
+      s"""SELECT min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         |  ${dsumSql("o_totalprice")} AS sum_price, count(*) AS n
+         |FROM orders""".stripMargin,
+
+    "d_agg_distinct" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sum_cust,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "d_agg_having" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |HAVING count(*) > 10
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "d_agg_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n,
+        |  CAST(grouping(n_name) AS INT) AS g_nation,
+        |  CAST(grouping(c_mktsegment) AS INT) AS g_seg
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY g_nation ASC, g_seg ASC,
+        |  n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
+
+    "d_agg_cube" ->
+      s"""SELECT event_type, strftime(ts, '%Y-%m') AS ym, count(*) AS n,
+         |  ${dsumSql("value")} AS sum_value,
+         |  CAST(grouping(event_type) AS INT) AS g_type,
+         |  CAST(grouping(strftime(ts, '%Y-%m')) AS INT) AS g_ym
+         |FROM events
+         |GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+         |ORDER BY g_type ASC, g_ym ASC,
+         |  event_type ASC NULLS FIRST, ym ASC NULLS FIRST""".stripMargin,
+
+    "d_agg_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${dsumSql("o_totalprice")} AS sum_price,
+         |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+         |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY g_status ASC, g_prio ASC,
+         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "d_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d_agg_collect_sorted" ->
+      """SELECT n_name,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+        |  count(*) AS n_supp
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
   )
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** §2.C — joins. The reference's only join surface is SOQL relationship
+  * queries (parent lookup / child subselect, SURVEY §1.1); here the full
+  * relational join algebra is provided.
+  *
+  * Scale notes (100 TB):
+  * - fact⋈fact (orders⋈lineitem, orders⋈customer) shuffle both sides on
+  *   the join key — at scale these become sort-merge joins; co-locating
+  *   via bucketing on the key removes the shuffle entirely.
+  * - dim joins (nation/region/supplier) are explicitly `broadcast()` so
+  *   no shuffle of the fact side ever happens; AQE would also pick this
+  *   up from runtime sizes, the hint makes it deterministic.
+  * - the non-equi range join is BroadcastNestedLoop with the SMALL side
+  *   broadcast — viable only because one side is dim-sized; at 100 TB a
+  *   fact-fact band join would need a range-bucketing prepass.
+  * - as-of join = equi-join on key + window top-1; at scale the window
+  *   shuffle reuses the join shuffle's partitioning (same key), so the
+  *   plan has exactly one exchange of the big side.
+  */
+object Joins {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c_join_inner_hash" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+
+    "c_join_broadcast" -> { (s, d) =>
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+        .orderBy("s_suppkey")
+    },
+
+    "c_join_left_right_full" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          Det.dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+        .orderBy("c_custkey")
+    },
+
+    "c_join_semi" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "c_join_anti" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // Non-equi band join: part price within [0.1, 0.11]×supplier balance.
+    "c_join_theta_range" -> { (s, d) =>
+      Tables.part(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("p_retailprice").between(
+            col("s_acctbal") * 0.1, col("s_acctbal") * 0.11))
+        .select("s_suppkey", "p_partkey", "p_retailprice", "s_acctbal")
+        .orderBy("s_suppkey", "p_partkey")
+    },
+
+    "c_join_cross" -> { (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")
+    },
+
+    // As-of join: for each purchase event, the same user's latest click
+    // at-or-before it. Equi-join on user + range filter + top-1 window —
+    // the same plan DuckDB's ASOF JOIN executes.
+    "c_join_asof" -> { (s, d) =>
+      // ts as epoch-micro longs: engine-neutral output (raw ns vs µs
+      // timestamp precision differs across engines)
+      val e = Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts_us").as("c_ts"))
+      val w = Window.partitionBy("p_id")
+        .orderBy(desc("c_ts"), desc("c_id"))
+      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_id", "user_id", "p_ts", "c_id", "c_ts")
+        .orderBy("p_id")
+    },
+
+    // TPC-H Q5 shape: revenue by nation for ASIA, 1996.
+    "c_join_multiway_q5" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(Det.dsum(rev).as("revenue"))
+        .orderBy("n_name")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c_join_inner_hash" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "c_join_broadcast" ->
+      """SELECT s_suppkey, s_name, n_name, r_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "c_join_left_right_full" ->
+      s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+         |  ${Det.dsumSql("coalesce(o_totalprice, 0.0)")} AS total_spend
+         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "c_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "c_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "c_join_theta_range" ->
+      """SELECT s_suppkey, p_partkey, p_retailprice, s_acctbal
+        |FROM part JOIN supplier
+        |  ON p_retailprice BETWEEN s_acctbal * 0.1 AND s_acctbal * 0.11
+        |ORDER BY s_suppkey, p_partkey""".stripMargin,
+    "c_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "c_join_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p_id, user_id, p_ts, c_id, c_ts,
+        |             row_number() OVER (PARTITION BY p_id
+        |               ORDER BY c_ts DESC, c_id DESC) AS rn
+        |           FROM p JOIN c ON user_id = c_user AND c_ts <= p_ts)
+        |SELECT p_id, user_id, p_ts, c_id, c_ts FROM j WHERE rn = 1
+        |ORDER BY p_id""".stripMargin,
+    "c_join_multiway_q5" ->
+      s"""SELECT n_name, ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

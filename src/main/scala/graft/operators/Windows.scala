@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.E — window functions.
+  *
+  * Scale notes: each window here partitions by a high-cardinality key
+  * (custkey / user_id), so state per partition is tiny and the single
+  * hash exchange on the partition key is the whole cost; windows over
+  * an empty partitionBy (e_window_analytic) serialize to one task and
+  * are annotated as small-result-only.
+  *
+  * Determinism: window ORDER BY always carries a unique tiebreak key,
+  * and windowed double sums go through DECIMAL(20,6) — DuckDB evaluates
+  * moving aggregates with a segment tree whose addition order differs
+  * from Spark's running accumulation.
+  */
+object Windows {
+
+  private def dwsum(c: Column): Column = // decimal window sum → double
+    c.cast(DecimalType(20, 6))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "e_window_topk_per_group" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+
+    "e_window_lag_lead" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          lag("ts_us", 1).over(w).as("prev_us"),
+          lead("ts_us", 1).over(w).as("next_us"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    "e_window_running" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dwsum(col("o_totalprice"))).over(w).cast(DoubleType)
+            .as("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "e_window_sliding_avg" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-1, 1)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(dwsum(col("o_totalprice"))).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("mov_avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Trailing-1h range frame on epoch seconds.
+    "e_window_range_frame" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_s")
+        .rangeBetween(-3600, 0)
+      Tables.eventsWithNanos(s, d)
+        .withColumn("ts_s", expr("ts_ns div 1000000000"))
+        .select(col("user_id"), col("event_id"), col("ts_s"),
+          sum(dwsum(col("value"))).over(w).cast(DoubleType).as("sum_1h"))
+        .orderBy("user_id", "ts_s", "event_id")
+    },
+
+    // Global analytic functions — empty partitionBy: one task; only for
+    // small final results (annotated; at 100 TB this is a deliberate
+    // driver-sized operation, e.g. scoring a pre-aggregated table).
+    "e_window_analytic" -> { (s, d) =>
+      val w = Window.orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).as("quartile"),
+          Det.r4(percent_rank().over(w)).as("pr"),
+          Det.r4(cume_dist().over(w)).as("cd"))
+        .orderBy("o_orderkey")
+    },
+
+    "e_window_first_last" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .select(col("user_id"),
+          first("event_type").over(w).as("first_type"),
+          last("event_type").over(w).as("last_type"))
+        .distinct()
+        .orderBy("user_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w AS INT) AS rk,
+        |  CAST(dense_rank() OVER w AS INT) AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_window_topk_per_group" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "e_window_lag_lead" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  lag(epoch_us(ts), 1) OVER w AS prev_us,
+        |  lead(epoch_us(ts), 1) OVER w AS next_us,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "e_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_window_sliding_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS mov_avg3
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "e_window_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
+        |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_s, event_id""".stripMargin,
+    "e_window_analytic" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pr,
+        |  round(cume_dist() OVER w, 4) AS cd
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "e_window_first_last" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin
+  )
+}
