@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Filters.queries ++ Joins.queries ++
-      Aggregations.queries ++ Windows.queries ++ ScalarFuncs.queries
+      Aggregations.queries ++ Windows.queries ++ ScalarFuncs.queries ++
+      EtlOps.queries ++ LlmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracles ++ Filters.oracles ++ Joins.oracles ++
-      Aggregations.oracles ++ Windows.oracles ++ ScalarFuncs.oracles
+      Aggregations.oracles ++ Windows.oracles ++ ScalarFuncs.oracles ++
+      EtlOps.oracles ++ LlmOps.oracles
 }

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.I — the reference's distinctive ETL-pipeline surface
+  * (SURVEY §1.1/§3.1), re-expressed as pure DataFrame transforms:
+  * incremental extract (SystemModstamp cursor), upsert (MERGE), CDC
+  * snapshot diff, PK dedupe, describe()-driven type normalization,
+  * null cleaning, and the post-load reconciliation audit.
+  *
+  * Scale notes: incremental extract is a pushed-down range predicate
+  * (partition-pruned on a date-partitioned layout); upsert/dedupe
+  * shuffle once on the business key and use window-top-1 rather than
+  * dropDuplicates (which is row-order nondeterministic); the CDC diff
+  * is a single full-outer join on the key — at 100 TB both snapshots
+  * would be bucketed on the key to make it shuffle-free.
+  */
+object EtlOps {
+
+  private def eventsUs(s: SparkSession, d: String): DataFrame =
+    Tables.eventsWithNanos(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SystemModstamp-cursor incremental pull: rows strictly after the
+    // persisted cursor, replication columns only.
+    "i_incremental_extract" -> { (s, d) =>
+      eventsUs(s, d)
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .select("event_id", "ts_us", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+
+    // MERGE / INSERT..ON CONFLICT equivalent: base ∪ delta, latest
+    // version per key wins (deterministic window-top-1, not
+    // dropDuplicates).
+    "i_upsert_latest_wins" -> { (s, d) =>
+      val e = eventsUs(s, d)
+      val base = e.filter(dayofmonth(col("ts")) <= 15)
+        .select(col("event_id"), col("value"), lit(0).as("version"))
+      val delta = e.filter(dayofmonth(col("ts")).between(14, 16))
+        .select(col("event_id"), (col("value") * 2).as("value"),
+          lit(1).as("version"))
+      val w = Window.partitionBy("event_id").orderBy(desc("version"))
+      base.unionByName(delta)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "version", "value")
+        .orderBy("event_id")
+    },
+
+    // CDC via snapshot diff: day-1..20 snapshot vs day-1..25 snapshot
+    // with simulated in-place updates (value bumped for day<=5 rows).
+    "i_cdc_snapshot_diff" -> { (s, d) =>
+      val e = eventsUs(s, d)
+      val snapA = e.filter(dayofmonth(col("ts")) <= 20)
+        .select(col("event_id"), col("value"))
+      val snapB = e.filter(dayofmonth(col("ts")) <= 25)
+        .select(col("event_id"),
+          when(dayofmonth(col("ts")) <= 5, col("value") + 1)
+            .otherwise(col("value")).as("value"))
+      snapA.as("a").join(snapB.as("b"),
+          col("a.event_id") === col("b.event_id"), "full")
+        .select(
+          coalesce(col("a.event_id"), col("b.event_id")).as("event_id"),
+          when(col("a.event_id").isNull, "inserted")
+            .when(col("b.event_id").isNull, "deleted")
+            .when(col("a.value") =!= col("b.value"), "changed")
+            .otherwise("unchanged").as("change_type"))
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy("event_id")
+    },
+
+    // Exact PK dedupe keeping the deterministic survivor (min event_id
+    // per business key) — never bare dropDuplicates.
+    "i_dedupe_pk" -> { (s, d) =>
+      eventsUs(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("user_id", "event_type")
+    },
+
+    // describe()-driven type normalization: the Salesforce→PG type-map
+    // pass, driven by a declarative target-schema Map (SURVEY §1.1).
+    "i_type_normalize" -> { (s, d) =>
+      val target = Seq(          // (source col, target name, cast)
+        ("event_id", "id_str", StringType: DataType),
+        ("value", "value_dec", DecimalType(18, 2): DataType),
+        ("user_id", "user_int", IntegerType: DataType))
+      val e = eventsUs(s, d)
+      val casts = target.map { case (src, name, dt) => col(src).cast(dt).as(name) }
+      e.select(casts :+
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso") :+
+        (col("value") > 100).as("is_high"): _*)
+        .orderBy("id_str")
+    },
+
+    // fillna / dropna / sentinel repair pass.
+    "i_null_clean" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("disc_n",
+          when(col("l_discount") === 0.0, lit(null).cast(DoubleType))
+            .otherwise(col("l_discount")))
+        .na.fill(Map("disc_n" -> 0.01))
+        .filter(col("l_quantity").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("disc_n"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Post-load reconciliation audit: per-table row count + key checksum.
+    "i_validate_rowcounts" -> { (s, d) =>
+      def audit(name: String, df: DataFrame, key: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(col(key)).as("key_sum"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("key_sum").cast(LongType).as("key_sum"))
+      audit("customer", Tables.customer(s, d), "c_custkey")
+        .unionByName(audit("lineitem", Tables.lineitem(s, d), "l_orderkey"))
+        .unionByName(audit("nation", Tables.nation(s, d), "n_nationkey"))
+        .unionByName(audit("orders", Tables.orders(s, d), "o_orderkey"))
+        .unionByName(audit("region", Tables.region(s, d), "r_regionkey"))
+        .unionByName(audit("supplier", Tables.supplier(s, d), "s_suppkey"))
+        .orderBy("table_name")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "i_incremental_extract" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+        |FROM events
+        |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+    "i_upsert_latest_wins" ->
+      """WITH base AS (
+        |  SELECT event_id, value, 0 AS version FROM events
+        |  WHERE day(ts) <= 15),
+        |delta AS (
+        |  SELECT event_id, value * 2 AS value, 1 AS version FROM events
+        |  WHERE day(ts) BETWEEN 14 AND 16),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |SELECT event_id, CAST(version AS INT) AS version, value FROM u
+        |QUALIFY row_number() OVER (PARTITION BY event_id
+        |  ORDER BY version DESC) = 1
+        |ORDER BY event_id""".stripMargin,
+    "i_cdc_snapshot_diff" ->
+      """WITH a AS (SELECT event_id, value FROM events WHERE day(ts) <= 20),
+        |b AS (SELECT event_id,
+        |        CASE WHEN day(ts) <= 5 THEN value + 1 ELSE value END AS value
+        |      FROM events WHERE day(ts) <= 25)
+        |SELECT coalesce(a.event_id, b.event_id) AS event_id,
+        |  CASE WHEN a.event_id IS NULL THEN 'inserted'
+        |       WHEN b.event_id IS NULL THEN 'deleted'
+        |       WHEN a.value <> b.value THEN 'changed'
+        |       ELSE 'unchanged' END AS change_type
+        |FROM a FULL JOIN b ON a.event_id = b.event_id
+        |WHERE (CASE WHEN a.event_id IS NULL THEN 'inserted'
+        |       WHEN b.event_id IS NULL THEN 'deleted'
+        |       WHEN a.value <> b.value THEN 'changed'
+        |       ELSE 'unchanged' END) <> 'unchanged'
+        |ORDER BY event_id""".stripMargin,
+    "i_dedupe_pk" ->
+      """SELECT user_id, event_type, min(event_id) AS keep_id,
+        |  count(*) AS n_dups
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
+    "i_type_normalize" ->
+      """SELECT CAST(event_id AS VARCHAR) AS id_str,
+        |  CAST(value AS DECIMAL(18,2)) AS value_dec,
+        |  CAST(user_id AS INT) AS user_int,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
+        |  value > 100 AS is_high
+        |FROM events ORDER BY id_str""".stripMargin,
+    "i_null_clean" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount = 0.0 THEN 0.01 ELSE l_discount END AS disc_n
+        |FROM lineitem WHERE l_quantity IS NOT NULL
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "i_validate_rowcounts" ->
+      """SELECT 'customer' AS table_name, count(*) AS n_rows,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM customer
+        |UNION ALL SELECT 'lineitem', count(*),
+        |  CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'nation', count(*),
+        |  CAST(sum(n_nationkey) AS BIGINT) FROM nation
+        |UNION ALL SELECT 'orders', count(*),
+        |  CAST(sum(o_orderkey) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'region', count(*),
+        |  CAST(sum(r_regionkey) AS BIGINT) FROM region
+        |UNION ALL SELECT 'supplier', count(*),
+        |  CAST(sum(s_suppkey) AS BIGINT) FROM supplier
+        |ORDER BY table_name""".stripMargin
+  )
+}

@@ -1,0 +1,320 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.J — LLM-training-data-pipeline operators over `documents` and
+  * `embeddings`: exact/near dedup, similarity search, text analysis,
+  * tf-idf, and the multimodal join.
+  *
+  * Scale notes (100 TB corpus):
+  * - exact dedup = groupBy on a text hash (shuffle ∝ distinct keys);
+  *   at scale hash first (xxhash64) so the shuffle key is 8 bytes,
+  *   never the document body.
+  * - MinHash-LSH: cost is (docs × k hashes) map-side + a shuffle on
+  *   (band, signature) whose fan-in is the bucket size — the classic
+  *   sub-quadratic near-dup path. The exact-jaccard op is the
+  *   verification stage run on LSH candidates only.
+  * - brute-force cosine top-k is O(n²) and exists as the correctness
+  *   baseline; the LSH/banding pattern above is the scale path for
+  *   ANN (bucket on coarse quantization, search within bucket).
+  * - per-doc text stats are pure narrow projections (no shuffle).
+  */
+object LlmOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct 3-token shingles of `text` — identical algebra to the
+    * DuckDB list-lambda formulation in the oracles. */
+  private def shingles: Column =
+    when(size(toks) < 3, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))))
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact text dedup accounting per language.
+    "j_dedup_exact_text" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_kept"),
+          (count(lit(1)) - countDistinct(col("text"))).as("n_removed"))
+        .orderBy("lang")
+    },
+
+    // MinHash-LSH near-dup candidates: k=12 hash functions, 4 bands × 3
+    // rows. No oracle (hash-seeded); ScalaTest asserts recall of planted
+    // exact dups and jaccard floor on emitted pairs.
+    "j_dedup_near_minhash" -> { (s, d) =>
+      val k = 12
+      val ds = Tables.documents(s, d).select(col("doc_id"), shingles.as("sh"))
+        .filter(size(col("sh")) > 0)
+      val exploded = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val hashed = exploded.select(col("doc_id") +:
+        (0 until k).map(i =>
+          xxhash64(concat(lit(s"seed$i:"), col("shingle"))).as(s"h$i")): _*)
+      val sig = hashed.groupBy("doc_id")
+        .agg(array((0 until k).map(i => min(col(s"h$i"))): _*).as("minhash"))
+      val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(3)),
+          b => struct(b.as("band"),
+            xxhash64(col("minhash")(b * 3), col("minhash")(b * 3 + 1),
+              col("minhash")(b * 3 + 2)).as("bsig")))).as("e"))
+        .select(col("doc_id"), col("e.band"), col("e.bsig"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Exact n-gram jaccard over pairs sharing ≥1 shingle.
+    "j_jaccard_shingle_pairs" -> { (s, d) =>
+      val ds = Tables.documents(s, d).select(col("doc_id"), shingles.as("sh"))
+      val sizes = ds.select(col("doc_id"), size(col("sh")).as("n_sh"))
+      val ex = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val inter = ex.as("a").join(ex.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("n_sh", "sh_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("n_sh", "sh_b"), "doc_b")
+        .withColumn("jac", col("n_common").cast(DoubleType) /
+          (col("sh_a") + col("sh_b") - col("n_common")))
+        .filter(col("jac") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), Det.r4(col("jac")).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Brute-force cosine top-10 pairs — correctness baseline for ANN.
+    "j_sim_cosine_topk" -> { (s, d) =>
+      val a = emb(s, d).select(col("vec_id").as("vec_a"), col("v").as("va"),
+        Det.r4(sqrt(dot(col("v"), col("v")))).as("na"))
+      val b = emb(s, d).select(col("vec_id").as("vec_b"), col("v").as("vb"),
+        Det.r4(sqrt(dot(col("v"), col("v")))).as("nb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+        .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
+        .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+        .limit(10)
+    },
+
+    // kNN-join: 5 nearest neighbors per vector + majority label.
+    "j_knn_per_vector" -> { (s, d) =>
+      val a = emb(s, d).select(col("vec_id").as("a_id"), col("v").as("va"))
+      val b = emb(s, d).select(col("vec_id").as("b_id"), col("v").as("vb"),
+        col("label").as("b_label"))
+      val wNn = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
+      val knn = a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("cos", dot(col("va"), col("vb")) /
+          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+        .withColumn("rn", row_number().over(wNn))
+        .filter(col("rn") <= 5)
+      val wMaj = Window.partitionBy("a_id").orderBy(desc("votes"), asc("b_label"))
+      knn.groupBy("a_id", "b_label").agg(count(lit(1)).as("votes"))
+        .withColumn("mr", row_number().over(wMaj))
+        .filter(col("mr") === 1)
+        .select(col("a_id").as("vec_id"), col("b_label").as("maj_label"),
+          col("votes"))
+        .orderBy("vec_id")
+    },
+
+    // Per-label embedding stats via array higher-order reduce.
+    "j_embed_norm_stats" -> { (s, d) =>
+      emb(s, d)
+        .withColumn("l2", sqrt(dot(col("v"), col("v"))))
+        .groupBy("label")
+        .agg(Det.davg(col("l2")).as("avg_norm"),
+          Det.davg(col("v")(0)).as("avg_dim0"),
+          count(lit(1)).as("n"))
+        .orderBy("label")
+    },
+
+    // Token statistics rolled up per language.
+    "j_text_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(toks).as("n_tok"),
+          size(array_distinct(toks)).as("n_distinct"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          Det.davg(col("n_tok")).as("avg_tok"),
+          Det.davg(col("n_distinct").cast(DoubleType) / col("n_tok"))
+            .as("avg_distinct_ratio"))
+        .orderBy("lang")
+    },
+
+    // Global term frequency, top 30.
+    "j_text_tf" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(desc("tf"), asc("token"))
+        .limit(30)
+    },
+
+    // tf-idf, top-3 terms per document.
+    "j_tfidf_topterms" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+      tf.join(df, "term").crossJoin(n)
+        .withColumn("score", col("tf") *
+          log(col("n_docs").cast(DoubleType) / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), Det.r4(col("score")).as("score"))
+        .orderBy("doc_id", "rn")
+    },
+
+    // Multimodal join: text stats ⋈ embedding stats on doc_id=vec_id.
+    "j_multimodal_join" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), size(toks).as("n_tok"))
+        .join(emb(s, d).withColumn("l2", Det.r4(sqrt(dot(col("v"), col("v")))))
+            .select(col("vec_id"), col("label"), col("l2")),
+          col("doc_id") === col("vec_id"))
+        .select("doc_id", "lang", "n_tok", "label", "l2")
+        .orderBy("doc_id")
+    },
+
+    // Language distribution pivot per source (text-classify stand-in).
+    "j_lang_detect_heuristic" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .pivot("lang", Seq("en", "de", "es", "fr", "zh"))
+        .count()
+        .na.fill(0, Seq("en", "de", "es", "fr", "zh"))
+        .orderBy("source")
+    }
+  )
+
+  // Shared SQL fragment: distinct 3-token shingles (mirrors `shingles`).
+  private val shSql =
+    """list_distinct(list_filter(
+      |  list_transform(string_split(text,' '), (t, i) ->
+      |    array_to_string(string_split(text,' ')[i:i+2], ' ')),
+      |  (x, i) -> i <= len(string_split(text,' ')) - 2))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "j_dedup_exact_text" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_kept,
+        |  count(*) - count(DISTINCT text) AS n_removed
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "j_jaccard_shingle_pairs" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+         |  FROM ex a JOIN ex b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_common,
+         |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jac
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "j_sim_cosine_topk" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
+    "j_knn_per_vector" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS b_label,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                     CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |knn AS (
+        |  SELECT a_id, b_label FROM pairs
+        |  QUALIFY row_number() OVER (PARTITION BY a_id
+        |    ORDER BY cos DESC, b_id ASC) <= 5),
+        |votes AS (
+        |  SELECT a_id, b_label, count(*) AS votes
+        |  FROM knn GROUP BY a_id, b_label)
+        |SELECT a_id AS vec_id, b_label AS maj_label, votes FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY a_id
+        |  ORDER BY votes DESC, b_label ASC) = 1
+        |ORDER BY vec_id""".stripMargin,
+    "j_embed_norm_stats" ->
+      s"""SELECT label,
+         |  ${Det.davgSql("sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")} AS avg_norm,
+         |  ${Det.davgSql("CAST(embedding[1] AS DOUBLE)")} AS avg_dim0,
+         |  count(*) AS n
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "j_text_token_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  ${Det.davgSql("len(string_split(text,' '))")} AS avg_tok,
+         |  ${Det.davgSql("CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' '))")} AS avg_distinct_ratio
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "j_text_tf" ->
+      """SELECT token, count(*) AS tf
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY tf DESC, token ASC LIMIT 30""".stripMargin,
+    "j_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |        FROM documents)
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+        |               tf.term ASC) AS rn
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, term, round(score, 4) AS score
+        |FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "j_multimodal_join" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_tok, label,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))), 4) AS l2
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin,
+    "j_lang_detect_heuristic" ->
+      """SELECT source,
+        |  CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS en,
+        |  CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS de,
+        |  CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS es,
+        |  CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS fr,
+        |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}
