@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** §2.L — user-defined function surface: scalar UDF, typed Aggregator
+  * UDAF, and a generator-shaped flatMap (UDTF).
+  *
+  * Scale notes: a Scala UDF is a codegen black box — Catalyst cannot
+  * push filters through it or prune columns behind it, which is why
+  * `l_udf_scalar` exists alongside the equivalent CASE expression (the
+  * preferred form; see ScalarFuncs.h_conditional). The typed Aggregator
+  * partial-aggregates map-side like any built-in agg. The flatMap UDTF
+  * is a narrow transformation (no shuffle).
+  */
+object UdfOps {
+
+  /** Geometric mean via typed Aggregator: exp(avg(ln(x))). */
+  private case class GmBuf(sumLn: Double, n: Long)
+  private object GeoMean extends Aggregator[Double, GmBuf, Double] {
+    def zero: GmBuf = GmBuf(0.0, 0L)
+    def reduce(b: GmBuf, x: Double): GmBuf = GmBuf(b.sumLn + math.log(x), b.n + 1)
+    def merge(a: GmBuf, b: GmBuf): GmBuf = GmBuf(a.sumLn + b.sumLn, a.n + b.n)
+    def finish(r: GmBuf): Double = if (r.n == 0) 0.0 else math.exp(r.sumLn / r.n)
+    def bufferEncoder: Encoder[GmBuf] = Encoders.product[GmBuf]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  private case class Chunk(doc_id: Long, chunk_id: Int, chunk: String)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Scalar UDF vs the CASE it shadows (h_conditional) — documents the
+    // optimization cost of opaque functions.
+    "l_udf_scalar" -> { (s, d) =>
+      val priceTier = udf((p: Double) =>
+        if (p > 40000) "high" else if (p > 20000) "mid" else "low")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), priceTier(col("o_totalprice")).as("tier"))
+        .orderBy("o_orderkey")
+    },
+
+    // Typed Aggregator UDAF: geometric mean of extendedprice per flag.
+    "l_udaf_aggregator" -> { (s, d) =>
+      val gm = udaf(GeoMean)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(Det.r4(gm(col("l_extendedprice"))).as("geo_mean_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Generator-shaped UDTF: document → one row per ≤5-token chunk
+    // (LLM context-chunking op) via typed Dataset.flatMap.
+    "l_udtf_flatmap" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          text.split(" ").grouped(5).zipWithIndex.map {
+            case (g, i) => Chunk(id, i + 1, g.mkString(" "))
+          }
+        }
+        .toDF()
+        .orderBy("doc_id", "chunk_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "l_udf_scalar" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 40000 THEN 'high'
+        |       WHEN o_totalprice > 20000 THEN 'mid'
+        |       ELSE 'low' END AS tier
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "l_udaf_aggregator" ->
+      """SELECT l_returnflag,
+        |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "l_udtf_flatmap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, CAST(u['chunk_id'] AS INT) AS chunk_id,
+        |  u['chunk'] AS chunk
+        |FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, CAST(ceil(len(toks) / 5.0) AS BIGINT) + 1),
+        |    i -> {'chunk_id': i,
+        |          'chunk': array_to_string(toks[(i-1)*5+1 : (i-1)*5+5], ' ')}))
+        |    AS u
+        |  FROM t)
+        |ORDER BY doc_id, chunk_id""".stripMargin
+  )
+}
