@@ -54,10 +54,10 @@ object Aggregations {
 
     "d_agg_having" -> { (s, d) =>
       Tables.customer(s, d)
-        .groupBy("c_nationkey", "c_mktsegment")
-        .agg(count(lit(1)).as("n"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("c_acctbal")).as("sum_bal"))
         .filter(col("n") > 10)
-        .orderBy("c_nationkey", "c_mktsegment")
+        .orderBy("c_mktsegment")
     },
 
     "d_agg_rollup" -> { (s, d) =>
@@ -172,10 +172,11 @@ object Aggregations {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "d_agg_having" ->
-      """SELECT c_nationkey, c_mktsegment, count(*) AS n
-        |FROM customer GROUP BY c_nationkey, c_mktsegment
-        |HAVING count(*) > 10
-        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+      s"""SELECT c_mktsegment, count(*) AS n,
+         |  ${Det.dsumSql("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY c_mktsegment
+         |HAVING count(*) > 10
+         |ORDER BY c_mktsegment""".stripMargin,
 
     "d_agg_rollup" ->
       """SELECT n_name, c_mktsegment, count(*) AS n,

@@ -62,20 +62,26 @@ object Joins {
         .orderBy("c_custkey")
     },
 
+    // Customers with no 1995 orders (plain no-orders-at-all is empty in
+    // the fixtures — every customer has orders).
     "c_join_anti" -> { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d),
+        .join(Tables.orders(s, d)
+            .filter(year(col("o_orderdate")) === 1995),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },
 
-    // Non-equi band join: part price within [0.1, 0.11]×supplier balance.
+    // Non-equi band join: part price within [0.05, 0.2]×supplier
+    // balance, restricted to a fixed part slice so the BNLJ output stays
+    // bounded across scale factors.
     "c_join_theta_range" -> { (s, d) =>
       Tables.part(s, d)
+        .filter(col("p_partkey") < 100)
         .join(broadcast(Tables.supplier(s, d)),
           col("p_retailprice").between(
-            col("s_acctbal") * 0.1, col("s_acctbal") * 0.11))
+            col("s_acctbal") * 0.05, col("s_acctbal") * 0.2))
         .select("s_suppkey", "p_partkey", "p_retailprice", "s_acctbal")
         .orderBy("s_suppkey", "p_partkey")
     },
@@ -152,12 +158,14 @@ object Joins {
         |ORDER BY c_custkey""".stripMargin,
     "c_join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
         |ORDER BY c_custkey""".stripMargin,
     "c_join_theta_range" ->
       """SELECT s_suppkey, p_partkey, p_retailprice, s_acctbal
         |FROM part JOIN supplier
-        |  ON p_retailprice BETWEEN s_acctbal * 0.1 AND s_acctbal * 0.11
+        |  ON p_retailprice BETWEEN s_acctbal * 0.05 AND s_acctbal * 0.2
+        |WHERE p_partkey < 100
         |ORDER BY s_suppkey, p_partkey""".stripMargin,
     "c_join_cross" ->
       """SELECT r_regionkey, r_name, n_nationkey, n_name

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the non-oracled LLM ops (SURVEY §2.J): MinHash-LSH
+  * recall/precision floors and the HLL sketch error bound.
+  */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsWithPlantedDups = {
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    // plant exact duplicates: copies of docs 0–9 under new ids 10000+
+    val dups = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    base.unionByName(dups)
+  }
+
+  test("minhash-lsh: exact duplicates are always candidates (recall=1)") {
+    docsWithPlantedDups.createOrReplaceTempView("minhash_test_docs")
+    // run the same pipeline as j_dedup_near_minhash but on planted data
+    val toks = split(col("text"), " ")
+    val sh = when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i, lit(3))))))
+    val ds = docsWithPlantedDups.select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val k = 12
+    val hashed = ex.select(col("doc_id") +:
+      (0 until k).map(i =>
+        xxhash64(concat(lit(s"seed$i:"), col("shingle"))).as(s"h$i")): _*)
+    val sig = hashed.groupBy("doc_id")
+      .agg(array((0 until k).map(i => min(col(s"h$i"))): _*).as("minhash"))
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          xxhash64(col("minhash")(b * 3), col("minhash")(b * 3 + 1),
+            col("minhash")(b * 3 + 2)).as("bsig")))).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bsig"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+      .as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach { id =>
+      assert(cands.contains((id, id + 10000)),
+        s"planted exact dup ($id, ${id + 10000}) not a candidate")
+    }
+  }
+
+  test("minhash-lsh candidates on real corpus have nonzero jaccard") {
+    val cands = SparkEntry.queries("j_dedup_near_minhash")(spark, sfDir)
+    val jac = SparkEntry.queries("j_jaccard_shingle_pairs")(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    // every candidate pair that also appears in the exact-jaccard output
+    // (threshold 0.2) is genuinely similar; candidates are a superset —
+    // check the intersection is non-trivial when any exist
+    val n = cands.count()
+    if (n > 0) {
+      val confirmed = cands.join(jac,
+        cands("doc_a") === jac("doc_a") && cands("doc_b") === jac("doc_b"))
+      assert(confirmed.count() > 0,
+        "no LSH candidate confirmed by exact jaccard >= 0.2")
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = SparkEntry.queries("d_agg_approx_distinct")(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) =>
+      val a = approx(t)
+      assert(math.abs(a - n).toDouble / n <= 0.05,
+        s"$t: approx $a vs exact $n exceeds 5%")
+    }
+  }
+
+  test("cosine similarity is bounded and symmetric") {
+    val top = SparkEntry.queries("j_sim_cosine_topk")(spark, sfDir)
+      .select("cos").as[Double].collect()
+    assert(top.nonEmpty)
+    assert(top.forall(c => c >= -1.0001 && c <= 1.0001))
+    // symmetry: cos(a,b) computed with operands swapped is identical
+    val e = Tables.embeddings(spark, sfDir).limit(2)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
+    val (a, b) = (e(0), e(1))
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    assert(math.abs(cos(a, b) - cos(b, a)) < 1e-12)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.{Session, SessionEvent, Sessionize}
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** §2.K streaming deliverables: the batch-twin expressions run
+  * unchanged under MemoryStream (tumbling equivalence), watermarks drop
+  * late data (k_late_data_policy), and the flatMapGroupsWithState
+  * session machine agrees with session_window
+  * (k_stateful_sessionize).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureEvents: Seq[Ev] =
+    Tables.eventsWithNanos(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[(Long, Long, Long, String, Double)]
+      .collect()
+      .sortBy(_._2)
+      .map { case (id, us, uid, t, v) => Ev(id, new Timestamp(us / 1000), uid, t, v) }
+
+  test("tumbling window: streaming result equals batch result") {
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val streamed = input.toDF()
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    input.addData(fixtureEvents)
+    val q = streamed.writeStream
+      .format("memory").queryName("tumbling_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamRes = spark.table("tumbling_test")
+      .select("ws", "event_type", "n")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batchRes = fixtureEvents.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamRes == batchRes)
+    assert(streamRes.nonEmpty)
+  }
+
+  test("watermark drops data later than 15 minutes (append mode)") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[Ev]
+    val agg = input.toDF()
+      .withWatermark("ts", "15 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream
+      .format("memory").queryName("late_test")
+      .outputMode("append")
+      .start()
+    // batch 1: two rows in the 10:00 window
+    input.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: watermark jumps past 11:00+15m -> 10:00 window finalizes
+    input.addData(Ev(3, ts("2024-01-01 12:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: a row for the already-closed 10:00 window — must be dropped
+    input.addData(Ev(4, ts("2024-01-01 10:07:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("late_test")
+      .as[(Timestamp, Long)].collect().toMap
+    assert(out(ts("2024-01-01 10:00:00")) == 2L,
+      s"late row was not dropped: $out")
+  }
+
+  test("flatMapGroupsWithState sessionize equals session_window batch") {
+    val evs = Tables.eventsWithNanos(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("user_id"), col("ts_us")).as[SessionEvent]
+    val stateful = Sessionize.sessionsBatch(evs)
+      .select("user_id", "first_us", "last_us", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val windowed = SparkEntry.queries("k_window_session")(spark, sfDir)
+      .select("user_id", "first_us", "last_us", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stateful == windowed)
+    assert(stateful.nonEmpty)
+  }
+}
