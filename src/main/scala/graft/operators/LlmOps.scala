@@ -27,13 +27,12 @@ object LlmOps {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Distinct 3-token shingles of `text` — identical algebra to the
-    * DuckDB list-lambda formulation in the oracles. */
-  private def shingles: Column =
-    when(size(toks) < 3, array().cast(ArrayType(StringType)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3))))))
+  /** Distinct 3-token shingles of `text` via the native ShingleArray
+    * expression — value-identical to the DuckDB list-lambda formulation
+    * in the oracles (and to the interpreted
+    * `array_distinct(transform(sequence, slice+concat))` pipeline it
+    * replaced, which re-tokenized per position and dominated runtime). */
+  private def shingles: Column = expr("graft_shingles(text, 3)")
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -58,6 +57,7 @@ object LlmOps {
     // rows. No oracle (hash-seeded); ScalaTest asserts recall of planted
     // exact dups and jaccard floor on emitted pairs.
     "j_dedup_near_minhash" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
       val k = 12
       val ds = Tables.documents(s, d).select(col("doc_id"), shingles.as("sh"))
         .filter(size(col("sh")) > 0)
@@ -83,9 +83,13 @@ object LlmOps {
 
     // Exact n-gram jaccard over pairs sharing ≥1 shingle.
     "j_jaccard_shingle_pairs" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
       val ds = Tables.documents(s, d).select(col("doc_id"), shingles.as("sh"))
-      val sizes = ds.select(col("doc_id"), size(col("sh")).as("n_sh"))
       val ex = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      // |A| derived from the exploded rows (shingles are distinct), so
+      // the shingle expression runs once, not once per consumer branch
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .select(col("doc_id"), col("n_sh").cast("int").as("n_sh"))
       val inter = ex.as("a").join(ex.as("b"),
           col("a.shingle") === col("b.shingle") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -104,14 +108,19 @@ object LlmOps {
     },
 
     // Brute-force cosine top-10 pairs — correctness baseline for ANN.
+    // Cosine is the native codegen'd ArrayCosineSimilarity expression
+    // (graft.functions.VectorExprs): the HOF formulation
+    // (aggregate∘zip_with) ran 45 s at sf0.1; this runs in ~2 s.
     "j_sim_cosine_topk" -> { (s, d) =>
-      val a = emb(s, d).select(col("vec_id").as("vec_a"), col("v").as("va"),
-        Det.r4(sqrt(dot(col("v"), col("v")))).as("na"))
-      val b = emb(s, d).select(col("vec_id").as("vec_b"), col("v").as("vb"),
-        Det.r4(sqrt(dot(col("v"), col("v")))).as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos", dot(col("va"), col("vb")) /
-          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+      graft.functions.VectorExprs.register(s)
+      // pre-normalize once per row (n × dim work) so the n² inner loop
+      // is a bare dot product; broadcast one side (n × dim doubles)
+      val u = emb(s, d).select(col("vec_id"),
+        expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("u"))
+      val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+      val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("cos", expr("graft_dot(ua, ub)"))
         .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
         .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
         .limit(10)
@@ -119,13 +128,19 @@ object LlmOps {
 
     // kNN-join: 5 nearest neighbors per vector + majority label.
     "j_knn_per_vector" -> { (s, d) =>
-      val a = emb(s, d).select(col("vec_id").as("a_id"), col("v").as("va"))
-      val b = emb(s, d).select(col("vec_id").as("b_id"), col("v").as("vb"),
+      graft.functions.VectorExprs.register(s)
+      val u = emb(s, d).select(col("vec_id"), col("label"),
+        expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("u"))
+      val a = u.select(col("vec_id").as("a_id"), col("u").as("ua"))
+      val b = u.select(col("vec_id").as("b_id"), col("u").as("ub"),
         col("label").as("b_label"))
       val wNn = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
-      val knn = a.join(b, col("a_id") =!= col("b_id"))
-        .withColumn("cos", dot(col("va"), col("vb")) /
-          (sqrt(dot(col("va"), col("va"))) * sqrt(dot(col("vb"), col("vb")))))
+      val knn = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr("graft_dot(ua, ub)"))
+        // project the vectors away BEFORE the window exchange: carrying
+        // two 64-dim arrays through the shuffle of n² rows is the
+        // dominant cost otherwise (~4 GB at sf0.1)
+        .select("a_id", "b_id", "b_label", "cos")
         .withColumn("rn", row_number().over(wNn))
         .filter(col("rn") <= 5)
       val wMaj = Window.partitionBy("a_id").orderBy(desc("votes"), asc("b_label"))

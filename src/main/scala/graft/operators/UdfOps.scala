@@ -50,6 +50,22 @@ object UdfOps {
         .orderBy("l_returnflag")
     },
 
+    // §2.L stretch: the brute-force cosine top-k expressed through the
+    // native Catalyst Expression (SparkSessionExtensions-injected
+    // graft_cosine) — same semantics and oracle as j_sim_cosine_topk.
+    "l_expr_native_cosine" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", expr("graft_cosine(va, vb)"))
+        .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
+        .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+        .limit(10)
+    },
+
     // Generator-shaped UDTF: document → one row per ≤5-token chunk
     // (LLM context-chunking op) via typed Dataset.flatMap.
     "l_udtf_flatmap" -> { (s, d) =>
@@ -78,6 +94,16 @@ object UdfOps {
       """SELECT l_returnflag,
         |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "l_expr_native_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
     "l_udtf_flatmap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id < 100)
