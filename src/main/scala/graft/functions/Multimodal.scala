@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for a training-data pipeline: media as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract /
+  * frame-sample stages over them.
+  *
+  * No image/audio codecs exist in this container, so `decodeStub` is a
+  * clearly-marked DETERMINISTIC FAKE (it derives "pixels" from the raw
+  * bytes); everything around it — the schema, the binary column
+  * handling, the partition-batched execution shape, the feature-vector
+  * contract — is real and tested (MultimodalSpec). Swapping the stub
+  * for a real codec changes one function.
+  *
+  * Scale notes (100 TB of media): content stays `binary` end-to-end —
+  * never stringified, never collected. Feature extraction runs via
+  * `mapPartitions`, processing each partition as a stream with bounded
+  * memory (one batch of `batchSize` rows decoded at a time, mirroring
+  * the Arrow-batch shape a Pandas-UDF pipeline would use). Media tables
+  * partition by (kind, date) at rest; the decode stage is
+  * embarrassingly parallel and shuffle-free.
+  */
+object Multimodal {
+
+  /** media row: opaque payload + typed metadata (the multimodal schema). */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image|audio|video
+    StructField("content", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** Deterministic synthetic media derived from the documents fixture
+    * (the corpus has no real media): content = UTF-8 payload of the
+    * text, metadata derived from doc stats. */
+  def syntheticMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        (pmod(col("n_chars"), lit(64)) + 16).cast(IntegerType).as("width"),
+        (pmod(col("n_chars"), lit(48)) + 16).cast(IntegerType).as("height"),
+        lit(16000).as("sample_rate"),
+        (pmod(col("n_chars"), lit(30)) + 1).cast(IntegerType).as("n_frames"))
+        .as("meta"))
+  }
+
+  /** STUB — stands in for a real image/audio decoder. Deterministic:
+    * "decodes" the payload into width×height "pixels" by tiling the raw
+    * bytes. A real implementation would call the codec here and nothing
+    * else changes. */
+  def decodeStub(content: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val out = new Array[Byte](width * height)
+    if (content.nonEmpty) {
+      var i = 0
+      while (i < out.length) { out(i) = content(i % content.length); i += 1 }
+    }
+    out
+  }
+
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           features: Array[Float])
+
+  /** Feature extraction: 16-bin byte histogram (L1-normalized) over the
+    * decoded payload. Partition-batched: decodes `batchSize` rows at a
+    * time so executor memory is bounded by batch × payload, not
+    * partition size — the Arrow-batch shape of a vectorized UDF. */
+  def extractFeatures(media: DataFrame, batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.select("media_id", "kind", "content", "meta.width", "meta.height")
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, kind, content, w, h) =>
+            val px = decodeStub(content, w, h)
+            val hist = new Array[Float](16)
+            var i = 0
+            while (i < px.length) { hist((px(i) & 0xff) >> 4) += 1f; i += 1 }
+            val n = math.max(px.length, 1).toFloat
+            var b = 0
+            while (b < 16) { hist(b) /= n; b += 1 }
+            MediaFeatures(id, kind, px.length, hist)
+          }
+        }
+      }
+  }
+
+  /** Frame sampling for video rows: every k-th frame as its own binary
+    * payload (explode-shaped; deterministic). */
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {
+    val frameLen = 256
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), col("meta.n_frames").as("n_frames"),
+        col("content"))
+      .select(col("media_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (n_frames - 1) div $everyK), " +
+          s"i -> substring(content, i * $everyK * $frameLen + 1, $frameLen))")))
+      .select(col("media_id"), col("pos").as("frame_idx"),
+        col("col").as("frame"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+
+/** The reference's load side (SURVEY §1.1/§3.1): PostgreSQL table
+  * creation from a described schema, bulk load, and incremental upsert
+  * (`INSERT … ON CONFLICT (pk) DO UPDATE`). No PostgreSQL server exists
+  * in this environment, so the executable surface is the SQL/DDL
+  * generation plus the partition-level write protocol; the network call
+  * itself is the single `???`-equivalent seam (`executeBatch`), injected
+  * so tests drive everything around it.
+  *
+  * Scale notes (100 TB): writes go through `df.foreachPartition`, so
+  * each executor opens its own connection and streams its partition in
+  * `batchSize` chunks — no driver bottleneck, no collect. Upsert stages
+  * through per-partition batches into ON CONFLICT statements, keeping
+  * the transaction scope per batch; repartition the input by PK hash to
+  * avoid cross-partition PK contention on the target.
+  */
+object JdbcUpsertSink {
+
+  /** Spark → PostgreSQL type map (the §1.1 table, target side). */
+  def pgType(dt: DataType): String = dt match {
+    case StringType => "text"
+    case BooleanType => "boolean"
+    case ByteType | ShortType | IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double precision"
+    case d: DecimalType => s"numeric(${d.precision},${d.scale})"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case BinaryType => "bytea"
+    case ArrayType(et, _) => s"${pgType(et)}[]"
+    case _: MapType | _: StructType => "jsonb"
+    case other => throw new IllegalArgumentException(s"unmapped type $other")
+  }
+
+  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  /** CREATE TABLE IF NOT EXISTS from a StructType (describe()-driven
+    * DDL generation). */
+  def createTableSql(table: String, schema: StructType,
+                     pk: Seq[String] = Nil): String = {
+    val cols = schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"${q(f.name)} ${pgType(f.dataType)}$nn"
+    }
+    val pkc = if (pk.nonEmpty) Seq(s"PRIMARY KEY (${pk.map(q).mkString(", ")})")
+              else Nil
+    s"CREATE TABLE IF NOT EXISTS ${q(table)} (${(cols ++ pkc).mkString(", ")})"
+  }
+
+  /** Schema-drift handling: ALTER TABLE ADD COLUMN for new fields. */
+  def addColumnsSql(table: String, newFields: Seq[StructField]): Seq[String] =
+    newFields.map(f =>
+      s"ALTER TABLE ${q(table)} ADD COLUMN IF NOT EXISTS " +
+        s"${q(f.name)} ${pgType(f.dataType)}")
+
+  /** Parameterized INSERT … ON CONFLICT (pk) DO UPDATE — the MERGE
+    * statement executed per row batch. */
+  def upsertSql(table: String, schema: StructType, pk: Seq[String]): String = {
+    val cols = schema.fieldNames.toSeq
+    val nonPk = cols.filterNot(pk.contains)
+    val updates =
+      if (nonPk.isEmpty) "NOTHING"
+      else "UPDATE SET " + nonPk.map(c => s"${q(c)} = EXCLUDED.${q(c)}").mkString(", ")
+    s"INSERT INTO ${q(table)} (${cols.map(q).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${pk.map(q).mkString(", ")}) DO $updates"
+  }
+
+  /** One executor-side batch: column-ordered parameter rows for the
+    * prepared statement. */
+  type Batch = Seq[Seq[Any]]
+
+  /** Distributed upsert write. `execute` abstracts the JDBC round-trip
+    * (prepared-statement batch execution) — the only piece that needs a
+    * live server. Returns per-partition row counts via accumulator-free
+    * side effects kept inside `execute`.
+    */
+  def writeUpsert(df: DataFrame, table: String, pk: Seq[String],
+                  batchSize: Int)(execute: (String, Batch) => Unit): Unit = {
+    val sql = upsertSql(table, df.schema, pk)
+    val width = df.schema.length
+    df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.grouped(batchSize).foreach { chunk =>
+        val batch: Batch = chunk.map(r => (0 until width).map(r.get))
+        execute(sql, batch)
+      }
+    }
+  }
+}
