@@ -19,14 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Scans.queries ++ Filters.queries ++ Joins.queries ++
       Aggregations.queries ++ Windows.queries ++ ScalarFuncs.queries ++
-      EtlOps.queries ++ LlmOps.queries ++ StreamingOps.queries ++
-      UdfOps.queries
+      EtlOps.queries ++ LlmOps.queries ++ TextOps.queries ++
+      StreamingOps.queries ++ UdfOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Scans.oracles ++ Filters.oracles ++ Joins.oracles ++
       Aggregations.oracles ++ Windows.oracles ++ ScalarFuncs.oracles ++
-      EtlOps.oracles ++ LlmOps.oracles ++ StreamingOps.oracles ++
-      UdfOps.oracles
+      EtlOps.oracles ++ LlmOps.oracles ++ TextOps.oracles ++
+      StreamingOps.oracles ++ UdfOps.oracles
 }

@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Remaining training-data text/dedup operators: SimHash near-dup,
+  * embedding-cosine near-dup, quality scoring, heuristic language ID,
+  * document fingerprinting, and subword-ish token counting.
+  *
+  * Scale notes: SimHash is the linear-cost near-dup path (one 64-bit
+  * signature per doc, candidates via 16-bit band buckets — at 100 TB
+  * the band join shuffles doc_id+16 bytes, never text). The langid
+  * profile join broadcasts (5 langs × 20 tokens); quality/fingerprint/
+  * token-count are narrow projections.
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SimHash-64 near-dup candidates: ±1 vote per bit per distinct
+    // token hash, band join on 4×16-bit chunks, exact hamming filter.
+    // No oracle (xxhash64 has no DuckDB twin); TextOpsSpec plants dups.
+    "j_dedup_simhash" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
+        .withColumn("h", xxhash64(col("token")))
+      val voteCols = (0 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+          .otherwise(-1)).as(s"s$b"))
+      val votes = tok.groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+      val simhash = (0 until 64).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val sigs = votes.select(col("doc_id"), simhash.as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("sig"), i * 16).bitwiseAND(0xFFFF).as("bv"))): _*))
+          .as("b"))
+        .select(col("doc_id"), col("sig"), col("b.band"), col("b.bv"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // Embedding-cosine near-dup pairs (threshold 0.4 on these fixtures).
+    "j_dedup_embed_cosine" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val u = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), " +
+          "x -> x / sqrt(graft_dot(cast(embedding as array<double>), " +
+          "cast(embedding as array<double>))))").as("u"))
+      val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+      val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .withColumn("cos", expr("graft_dot(ua, ub)"))
+        .filter(col("cos") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // Quality scoring: 0.4·min(len/500,1) + 0.3·(1-stopword ratio) +
+    // 0.3·distinct ratio — algebraically restructured to one integer
+    // numerator and a single double division so both engines produce
+    // the bit-identical double (the 3-term float sum landed exactly on
+    // 4-decimal rounding boundaries).
+    "j_text_quality" -> { (s, d) =>
+      val nTok = size(toks).cast(LongType)
+      val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast(LongType)
+      val nDist = size(array_distinct(toks)).cast(LongType)
+      val num = lit(4L) * least(col("n_chars"), lit(500L)) * nTok +
+        lit(1500L) * (nTok - nStop) + lit(1500L) * nDist
+      val score = num.cast(DoubleType) / (lit(5000L) * nTok)
+      // quality emitted as an exact basis-point integer (num*10000 div
+      // den): Spark's round(double, n) rounds the shortest decimal repr
+      // while DuckDB rounds the binary value — rational scores land
+      // exactly on .xxxx5 boundaries and flip between engines
+      Tables.documents(s, d)
+        .withColumn("num", num)
+        .withColumn("q4",
+          expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
+        .select(col("doc_id"), col("q4"),
+          when(score >= 0.8, "high").when(score >= 0.6, "mid")
+            .otherwise("low").as("tier"))
+        .orderBy("doc_id")
+    },
+
+    // Heuristic language ID: vote against per-language top-20 token
+    // profiles learned from the corpus itself, then argmax.
+    "j_text_langid" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tokens = docs.select(col("doc_id"), col("lang"),
+        explode(toks).as("token"))
+      val profile = tokens.groupBy("lang", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("cnt"), asc("token"))))
+        .filter(col("rk") <= 20)
+        .select(col("lang").as("p_lang"), col("token"))
+      val votes = tokens.select(col("doc_id"), col("lang"), col("token"))
+        .join(broadcast(profile), "token")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(count(lit(1)).as("votes"))
+      votes
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(desc("votes"), asc("p_lang"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+          col("votes"),
+          (col("lang") === col("p_lang")).as("correct"))
+        .orderBy("doc_id")
+    },
+
+    // Positional polynomial fingerprint over the raw characters
+    // (rolling-hash stand-in expressible identically in both engines).
+    "j_text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(aggregate(
+            zip_with(split(col("text"), ""),
+              sequence(lit(1), length(col("text"))),
+              (c, i) => ascii(c).cast(LongType) * i),
+            lit(0L), (acc, x) => acc + x), lit(2147483647L)).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Subword-ish token counting: regex word split + ceil(len/4)
+    // subword estimate per word (BPE-rate proxy).
+    "j_text_bpe_count" -> { (s, d) =>
+      val words = filter(split(col("text"), "[^a-z0-9]+"), w => length(w) > 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(words).as("n_words"),
+          aggregate(words, lit(0L),
+            (acc, w) => acc + ceil(length(w) / lit(4.0)).cast(LongType))
+            .as("n_subtokens"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j_dedup_embed_cosine" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                       CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])))) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "j_text_quality" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS nstop,
+        |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndist,
+        |    n_chars
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id,
+        |    4 * least(n_chars, 500) * ntok
+        |      + 1500 * (ntok - nstop) + 1500 * ndist AS num,
+        |    CAST(4 * least(n_chars, 500) * ntok
+        |         + 1500 * (ntok - nstop) + 1500 * ndist AS DOUBLE)
+        |      / (5000 * ntok) AS score,
+        |    ntok
+        |  FROM c)
+        |SELECT doc_id, CAST((num * 10000) // (5000 * ntok) AS BIGINT) AS q4,
+        |  CASE WHEN score >= 0.8 THEN 'high'
+        |       WHEN score >= 0.6 THEN 'mid' ELSE 'low' END AS tier
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "j_text_langid" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+        |  FROM documents),
+        |profile AS (
+        |  SELECT lang AS p_lang, token FROM (
+        |    SELECT lang, token, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang
+        |        ORDER BY count(*) DESC, token ASC) AS rk
+        |    FROM tokens GROUP BY lang, token)
+        |  WHERE rk <= 20),
+        |votes AS (
+        |  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS votes
+        |  FROM tokens t JOIN profile p ON t.token = p.token
+        |  GROUP BY t.doc_id, t.lang, p.p_lang)
+        |SELECT doc_id, lang, p_lang AS pred_lang, votes,
+        |  lang = p_lang AS correct
+        |FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY votes DESC, p_lang ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "j_text_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(string_split(text, ''),
+        |    (c, i) -> CAST(ascii(c) AS BIGINT) * i)) % 2147483647 AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "j_text_bpe_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+        |    w -> len(w) > 0)) AS INT) AS n_words,
+        |  CAST(list_sum(list_transform(
+        |    list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
+        |      w -> len(w) > 0),
+        |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
