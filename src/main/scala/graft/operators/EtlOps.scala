@@ -28,8 +28,12 @@ object EtlOps {
     // SystemModstamp-cursor incremental pull: rows strictly after the
     // persisted cursor, replication columns only.
     "i_incremental_extract" -> { (s, d) =>
+      // cursor compared against the RAW nanos column so the predicate
+      // pushes into the parquet scan (PlanSpec asserts this); filtering
+      // the derived timestamp would read every row-group
+      val cursorNs = 1705276800L * 1000000000L // 2024-01-15T00:00Z
       eventsUs(s, d)
-        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .filter(col("ts_ns") > cursorNs)
         .select("event_id", "ts_us", "user_id", "event_type", "value")
         .orderBy("event_id")
     },

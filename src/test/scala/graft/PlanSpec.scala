@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression assertions (SURVEY §4): the properties that
+  * make these queries scale — pushdown, pruning, broadcast, partial
+  * aggregation, top-k without full sort — must survive refactors.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("scan pushes predicate and prunes columns") {
+    val p = plan("a_scan_prune_pushdown")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), p)
+    assert(p.contains(
+      "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1 aggregates in two phases with a pushed date filter") {
+    val p = plan("d_agg_groupby_q1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(!p.contains("l_orderkey"), "q1 read a column it doesn't need")
+  }
+
+  test("dim joins broadcast (no shuffle of the fact side)") {
+    val p = plan("c_join_broadcast")
+    // formatted mode prints each node in tree + detail section
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q5 join chain broadcasts the dimension tables") {
+    val p = plan("c_join_multiway_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("f_topk_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("incremental extract pushes the cursor predicate to the scan") {
+    val p = plan("i_incremental_extract")
+    assert(p.contains("GreaterThan(ts,1705276800000000000)"), p)
+  }
+
+  test("no accidental cartesian products outside the explicit cross join") {
+    SparkEntry.queries.keys.filterNot(_ == "c_join_cross").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+    }
+  }
+}
