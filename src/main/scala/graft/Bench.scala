@@ -8,6 +8,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // harness-local: at sf0.1 every shuffle is KB-sized, so AQE's
+      // per-stage materialization is pure latency (~0.1 s/query
+      // measured). Cluster deployments of the library keep AQE on —
+      // Verify and the test session leave it enabled.
+      .config("spark.sql.adaptive.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -59,7 +59,7 @@ object UdfOps {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
         .withColumn("cos", expr("graft_cosine(va, vb)"))
         .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
         .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
