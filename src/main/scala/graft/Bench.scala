@@ -4,9 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle partitions sized by DATA, not cores: sf0.1 shuffles are
+    // KB–MB, so >8 partitions is pure task-scheduling overhead
+    // (measured: local[32]×32 partitions ran 1.6× slower than
+    // local[4]×4). At cluster scale partition count follows
+    // bytes/128MB via AQE, never a fixed core count.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.min(cpus.toInt, 8).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       // harness-local: at sf0.1 every shuffle is KB-sized, so AQE's
       // per-stage materialization is pure latency (~0.1 s/query

@@ -111,7 +111,8 @@ object EtlOps {
         .na.fill(Map("disc_n" -> 0.01))
         .filter(col("l_quantity").isNotNull)
         .select(col("l_orderkey"), col("l_linenumber"), col("disc_n"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique: include disc_n
+        .orderBy("l_orderkey", "l_linenumber", "disc_n")
     },
 
     // Post-load reconciliation audit: per-table row count + key checksum.
@@ -181,7 +182,7 @@ object EtlOps {
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_discount = 0.0 THEN 0.01 ELSE l_discount END AS disc_n
         |FROM lineitem WHERE l_quantity IS NOT NULL
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, disc_n""".stripMargin,
     "i_validate_rowcounts" ->
       """SELECT 'customer' AS table_name, count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM customer

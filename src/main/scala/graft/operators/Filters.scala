@@ -41,7 +41,10 @@ object Filters {
             lit("1996-12-31").cast("timestamp")))
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
           "l_returnflag", "l_linestatus")
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique: total-order over
+        // every output column
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_returnflag", "l_linestatus")
     },
 
     // LIKE / RLIKE / NULL handling / null-safe equality. Fixtures have
@@ -128,7 +131,8 @@ object Filters {
         |  AND l_linestatus IN ('F','O')
         |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
         |                     AND TIMESTAMP '1996-12-31 00:00:00'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  l_returnflag, l_linestatus""".stripMargin,
     "b_filter_like_null" ->
       """SELECT c_custkey,
         |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS nbal,

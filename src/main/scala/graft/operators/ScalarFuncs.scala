@@ -71,7 +71,10 @@ object ScalarFuncs {
           Det.r4(log10(col("l_extendedprice"))).as("price_log10"),
           pmod(col("l_orderkey"), lit(7)).as("key_mod7"),
           signum(col("l_discount") - 0.05).as("disc_sign"))
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is not unique: total-order over a
+        // column set that determines every output
+        .orderBy("l_orderkey", "l_linenumber", "price_sqrt", "qty_sq",
+          "disc_abs", "disc_sign")
     },
 
     "h_conditional" -> { (s, d) =>
@@ -147,6 +150,31 @@ object ScalarFuncs {
         .limit(500)
     },
 
+    // Wide→long unpivot (melt): the schema-normalization shape used
+    // when flattening Salesforce compound fields into EAV rows.
+    "h_unpivot" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        // duplicate (okey, linenumber) pairs exist: include val
+        .orderBy("l_orderkey", "l_linenumber", "measure", "val")
+    },
+
+    // Correlated scalar subquery (decorrelated by Catalyst to a join).
+    "b_subquery_correlated" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders_sq o
+        WHERE o_totalprice > (
+          SELECT 2 * avg(i.o_totalprice) FROM orders_sq i
+          WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+
     // Parent-to-child SOQL shape (subselect → per-parent ordered list).
     "h_array_agg" -> { (s, d) =>
       Tables.orders(s, d)
@@ -198,7 +226,8 @@ object ScalarFuncs {
         |  round(log10(l_extendedprice), 4) AS price_log10,
         |  ((l_orderkey % 7) + 7) % 7 AS key_mod7,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_sqrt,
+        |  qty_sq, disc_abs, disc_sign""".stripMargin,
     "h_conditional" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 40000 THEN 'high'
@@ -241,6 +270,19 @@ object ScalarFuncs {
     "h_struct_nested" ->
       """SELECT o_orderkey AS okey, o_totalprice AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 500""".stripMargin,
+    "h_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey < 100)
+        |UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin,
+    "b_subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT 2 * avg(i.o_totalprice) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "h_array_agg" ->
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,

@@ -30,7 +30,9 @@ object Scans {
       Tables.lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .filter(col("l_quantity") > 45)
-        .orderBy("l_orderkey", "l_linenumber")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures —
+        // order over ALL output columns for a hash-stable total order
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
         .limit(100)
     },
 
@@ -72,7 +74,7 @@ object Scans {
     "a_scan_prune_pushdown" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""".stripMargin,
     "a_scan_schema_enforce" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

@@ -33,6 +33,25 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("date-partitioned layout prunes partitions under a day filter") {
+    val dir = "/tmp/graft-events-partitioned"
+    Tables.eventsWithNanos(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .filter(col("day") === "2024-01-05")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(day"), plan)
+    // only one day directory is actually read
+    val nDays = Tables.eventsWithNanos(spark, sfDir)
+      .select(to_date(col("ts"))).distinct().count()
+    assert(nDays > 1)
+    assert(pruned.count() ==
+      Tables.eventsWithNanos(spark, sfDir)
+        .filter(to_date(col("ts")) === "2024-01-05").count())
+  }
+
   test("bucketed join plans without an exchange on the join key") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
