@@ -86,6 +86,40 @@ class StreamingSpec extends SparkSpec {
       s"late row was not dropped: $out")
   }
 
+  test("file-source readStream over a parquet dir matches batch") {
+    // real DataStreamReader (not MemoryStream): copy the fixture into a
+    // stream-watched directory, aggregate with the same expression as
+    // k_window_tumbling, compare to batch on identical data
+    val dir = "/tmp/graft-stream-src"
+    val fs = Tables.eventsWithNanos(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("event_type"), col("value"))
+    fs.write.mode("overwrite").parquet(dir)
+    val schema = fs.schema
+    val streamed = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+    val q = streamed.writeStream
+      .format("memory").queryName("filestream_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamRes = spark.table("filestream_test")
+      .as[(Timestamp, String, Long)].collect().toSet
+    val batchRes = spark.read.parquet(dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(streamRes == batchRes)
+    assert(streamRes.nonEmpty)
+  }
+
   test("flatMapGroupsWithState sessionize equals session_window batch") {
     val evs = Tables.eventsWithNanos(spark, sfDir)
       .withColumn("ts_us", expr("ts_ns div 1000"))
