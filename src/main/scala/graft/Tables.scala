@@ -2,11 +2,17 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{StructType, TimestampNTZType, DoubleType, DecimalType, LongType}
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md /
   * FIXTURES.md). One method per table; `sfDir` is the scale-factor
   * directory passed by the harness.
+  *
+  * Schemas are declared explicitly (matching the fixtures' parquet
+  * types exactly) rather than inferred: skipping footer-based schema
+  * inference saves a driver round-trip per table reference — measurable
+  * when a benchmark runs 85 queries — and is the describe()-driven read
+  * pattern of the reference ETL (SURVEY §1.1).
   *
   * Scale notes (100 TB design): each loader returns the raw scan so
   * Catalyst can push filters/projection into the parquet reader. On a
@@ -15,40 +21,51 @@ import org.apache.spark.sql.types._
   * inputs.
   */
 object Tables {
-  def region(s: SparkSession, d: String): DataFrame    = s.read.parquet(s"$d/region.parquet")
-  def nation(s: SparkSession, d: String): DataFrame    = s.read.parquet(s"$d/nation.parquet")
-  def customer(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/customer.parquet")
-  def supplier(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/supplier.parquet")
-  def part(s: SparkSession, d: String): DataFrame      = s.read.parquet(s"$d/part.parquet")
-  def orders(s: SparkSession, d: String): DataFrame    = s.read.parquet(s"$d/orders.parquet")
-  def lineitem(s: SparkSession, d: String): DataFrame  = s.read.parquet(s"$d/lineitem.parquet")
-  def documents(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/documents.parquet")
-  def embeddings(s: SparkSession, d: String): DataFrame = s.read.parquet(s"$d/embeddings.parquet")
+  private def ddl(s: String): StructType = StructType.fromDDL(s)
 
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark 4 rejects
-    * at schema inference (PARQUET_TYPE_ILLEGAL) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true`. We set that conf
-    * (runtime-settable), read ts as raw nanos, and truncate to
-    * microseconds — exactly what DuckDB does when it reads the same
-    * file — then shed the timezone (session TZ is UTC) so the column is
-    * TIMESTAMP_NTZ like every other fixture timestamp.
+  val schemas: Map[String, StructType] = Map(
+    "region" -> ddl("r_regionkey INT, r_name STRING"),
+    "nation" -> ddl("n_nationkey INT, n_name STRING, n_regionkey INT"),
+    "customer" -> ddl("c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING"),
+    "supplier" -> ddl("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"),
+    "part" -> ddl("p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, p_size INT, p_retailprice DOUBLE"),
+    "orders" -> ddl("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, o_orderdate TIMESTAMP_NTZ, o_orderpriority STRING"),
+    "lineitem" -> ddl("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"),
+    "documents" -> ddl("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"),
+    "embeddings" -> ddl("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"),
+    // ts declared as raw INT64 nanos (parquet TIMESTAMP(NANOS), which
+    // Spark 4 otherwise rejects at inference without
+    // spark.sql.legacy.parquet.nanosAsLong)
+    "events" -> ddl("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"))
+
+  private def read(s: SparkSession, d: String, t: String): DataFrame =
+    s.read.schema(schemas(t)).parquet(s"$d/$t.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** events.ts is parquet INT64 TIMESTAMP(NANOS); read as raw nanos via
+    * the explicit schema, truncate to microseconds with INTEGER
+    * division (double division rounds-to-nearest: off by 1µs for ~half
+    * the values), present as TIMESTAMP_NTZ (session TZ is UTC) —
+    * exactly the value DuckDB sees reading the same file.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      // integer division: double division rounds-to-nearest and is off
-      // by 1µs for ~half the nanos values
-      .withColumn("ts", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts")).cast(TimestampNTZType))
-  }
+  def events(s: SparkSession, d: String): DataFrame =
+    read(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
 
   /** events with the raw nanosecond long preserved as `ts_ns`. */
-  def eventsWithNanos(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
+  def eventsWithNanos(s: SparkSession, d: String): DataFrame =
+    read(s, d, "events")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
-  }
 }
 
 /** Cross-engine determinism helpers (SURVEY §0.2).
