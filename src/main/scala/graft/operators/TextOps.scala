@@ -51,7 +51,10 @@ object TextOps {
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
           bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 6)
+        // ≤3 differing bits over 4 bands: pigeonhole guarantees one
+        // clean band, so the band join finds EVERY such pair (exact,
+        // not approximate, at this cutoff)
+        .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     },
 

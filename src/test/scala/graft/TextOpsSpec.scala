@@ -12,7 +12,7 @@ class TextOpsSpec extends SparkSpec {
     val pairs = SparkEntry.queries("j_dedup_simhash")(spark, sfDir)
       .as[(Long, Long, Int)].collect()
     // invariant: every emitted pair respects the hamming cutoff
-    assert(pairs.forall(_._3 <= 6))
+    assert(pairs.forall(_._3 <= 3))
     // planted exact duplicate check via the same signature pipeline on
     // a doctored corpus is covered below through self-similarity:
     // a doc's signature is deterministic, so rerunning yields the
