@@ -126,29 +126,15 @@ object LlmOps {
         .limit(10)
     },
 
-    // kNN-join: 5 nearest neighbors per vector + majority label.
+    // kNN-join: 5 nearest neighbors per vector + majority label, via
+    // the KnnJoin block nested-loop operator (broadcast candidates +
+    // per-probe top-k buffer; never materializes n² pair rows).
     "j_knn_per_vector" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val u = emb(s, d).select(col("vec_id"), col("label"),
         expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("u"))
-      val a = u.select(col("vec_id").as("a_id"), col("u").as("ua"))
-      val b = u.select(col("vec_id").as("b_id"), col("u").as("ub"),
-        col("label").as("b_label"))
-      val wNn = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
-      val knn = a.join(broadcast(b), col("a_id") =!= col("b_id"))
-        .withColumn("cos", expr("graft_dot(ua, ub)"))
-        // project the vectors away BEFORE the window exchange: carrying
-        // two 64-dim arrays through the shuffle of n² rows is the
-        // dominant cost otherwise (~4 GB at sf0.1)
-        .select("a_id", "b_id", "b_label", "cos")
-        .withColumn("rn", row_number().over(wNn))
-        .filter(col("rn") <= 5)
-      val wMaj = Window.partitionBy("a_id").orderBy(desc("votes"), asc("b_label"))
-      knn.groupBy("a_id", "b_label").agg(count(lit(1)).as("votes"))
-        .withColumn("mr", row_number().over(wMaj))
-        .filter(col("mr") === 1)
-        .select(col("a_id").as("vec_id"), col("b_label").as("maj_label"),
-          col("votes"))
+      val knn = graft.plans.KnnJoin.knnBruteForce(u, 5)
+      graft.plans.KnnJoin.majorityLabel(knn, 5)
         .orderBy("vec_id")
     },
 

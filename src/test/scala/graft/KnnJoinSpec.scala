@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.plans.KnnJoin
+
+/** The mapPartitions block kNN operator is value-identical to the
+  * declarative join→window-top-k formulation.
+  */
+class KnnJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unitVecs = {
+    graft.functions.VectorExprs.register(spark)
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("u"))
+  }
+
+  test("block kNN equals join + window top-k") {
+    val u = unitVecs
+    val fast = KnnJoin.knnBruteForce(u, 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val a = u.select(col("vec_id").as("a_id"), col("u").as("ua"))
+    val b = u.select(col("vec_id").as("b_id"), col("u").as("ub"))
+    val slow = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .withColumn("cos", expr("graft_dot(ua, ub)"))
+      .select("a_id", "b_id", "cos")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))))
+      .filter(col("rn") <= 5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    assert(fast == slow)
+    assert(fast.size == u.count() * 5)
+  }
+
+  test("every probe gets exactly k ordered neighbors") {
+    val knn = KnnJoin.knnBruteForce(unitVecs, 5)
+      .as[KnnJoin.Neighbor].collect()
+    knn.groupBy(_.a_id).foreach { case (aId, ns) =>
+      assert(ns.length == 5, s"$aId has ${ns.length} neighbors")
+      val sorted = ns.sortBy(n => (-n.cos, n.b_id)).toSeq
+      assert(ns.toSeq == sorted, s"$aId neighbors out of order")
+      assert(!ns.exists(_.b_id == aId), "self in neighbor list")
+    }
+  }
+}
