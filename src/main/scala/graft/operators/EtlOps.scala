@@ -115,6 +115,19 @@ object EtlOps {
         .orderBy("l_orderkey", "l_linenumber", "disc_n")
     },
 
+    // Soft-delete propagation (Salesforce queryAll/IsDeleted): split
+    // the extract into live upserts vs tombstones to DELETE downstream.
+    // IsDeleted derived deterministically (fixtures carry no flag).
+    "i_soft_delete" -> { (s, d) =>
+      eventsUs(s, d)
+        .withColumn("is_deleted", pmod(col("event_id"), lit(20)) === 0)
+        .select(col("event_id"),
+          when(col("is_deleted"), "tombstone").otherwise("upsert")
+            .as("action"),
+          col("is_deleted"))
+        .orderBy("event_id")
+    },
+
     // Post-load reconciliation audit: per-table row count + key checksum.
     "i_validate_rowcounts" -> { (s, d) =>
       def audit(name: String, df: DataFrame, key: String) =
@@ -183,6 +196,12 @@ object EtlOps {
         |  CASE WHEN l_discount = 0.0 THEN 0.01 ELSE l_discount END AS disc_n
         |FROM lineitem WHERE l_quantity IS NOT NULL
         |ORDER BY l_orderkey, l_linenumber, disc_n""".stripMargin,
+    "i_soft_delete" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 20 = 0 THEN 'tombstone' ELSE 'upsert' END
+        |    AS action,
+        |  event_id % 20 = 0 AS is_deleted
+        |FROM events ORDER BY event_id""".stripMargin,
     "i_validate_rowcounts" ->
       """SELECT 'customer' AS table_name, count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM customer
