@@ -141,7 +141,11 @@ object VectorExprs {
       (args: Seq[Expression]) => ArrayCosineSimilarity(args(0), args(1))),
     (FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
-      (args: Seq[Expression]) => ShingleArray(args(0), args(1))))
+      (args: Seq[Expression]) => ShingleArray(args(0), args(1))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64Agg].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64Agg(args(0))
+        .toAggregateExpression()))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't
@@ -207,4 +211,73 @@ case class ShingleArray(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleArray =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native SimHash-64 aggregate: per-group bit-vote counts folded into
+  * one 64-bit signature. Replaces the 64-sum-columns formulation in
+  * j_dedup_simhash (one aggregate buffer of 64 ints vs 64 separate
+  * sum aggregates through the shuffle).
+  */
+case class SimHash64Agg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Int]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a bigint hash column, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_simhash"
+
+  override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) buf(b) += 1 else buf(b) -= 1
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < 64) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Int]): Any = {
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (buf(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(64 * 4)
+    buf.foreach(bb.putInt)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(64)(bb.getInt)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SimHash64Agg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SimHash64Agg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): SimHash64Agg =
+    copy(child = c)
 }

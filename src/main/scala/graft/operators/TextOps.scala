@@ -27,18 +27,14 @@ object TextOps {
     // token hash, band join on 4×16-bit chunks, exact hamming filter.
     // No oracle (xxhash64 has no DuckDB twin); TextOpsSpec plants dups.
     "j_dedup_simhash" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
         .withColumn("h", xxhash64(col("token")))
-      val voteCols = (0 until 64).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-          .otherwise(-1)).as(s"s$b"))
-      val votes = tok.groupBy("doc_id")
-        .agg(voteCols.head, voteCols.tail: _*)
-      val simhash = (0 until 64).map(b =>
-        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val sigs = votes.select(col("doc_id"), simhash.as("sig"))
+      // native SimHash64Agg: one 64-int aggregation buffer instead of
+      // 64 separate sum aggregates through the shuffle
+      val sigs = tok.groupBy("doc_id")
+        .agg(expr("graft_simhash(h)").as("sig"))
       val bands = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band"),

@@ -23,6 +23,7 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("simhash signatures of identical texts are equal (planted dup)") {
+    graft.functions.VectorExprs.register(spark)
     val docs = Seq((1L, "spark table scan merge sort join filter"),
       (2L, "spark table scan merge sort join filter"),
       (3L, "completely different words entirely unrelated content here"))
@@ -30,16 +31,30 @@ class TextOpsSpec extends SparkSpec {
     val tok = docs.select(col("doc_id"), explode(array_distinct(
       split(col("text"), " "))).as("token"))
       .withColumn("h", xxhash64(col("token")))
+    val sigs = tok.groupBy("doc_id").agg(expr("graft_simhash(h)").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L), "identical texts must share a signature")
+    assert(sigs(1L) != sigs(3L), "different texts should differ")
+  }
+
+  test("native simhash aggregate equals the 64-sum-columns formulation") {
+    graft.functions.VectorExprs.register(spark)
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(
+        split(col("text"), " "))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+    val native = tok.groupBy("doc_id")
+      .agg(expr("graft_simhash(h)").as("sig"))
+      .as[(Long, Long)].collect().toMap
     val voteCols = (0 until 64).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"s$b"))
     val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
     val simhash = (0 until 64).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    val sigs = votes.select(col("doc_id"), simhash.as("sig"))
+    val reference = votes.select(col("doc_id"), simhash.as("sig"))
       .as[(Long, Long)].collect().toMap
-    assert(sigs(1L) == sigs(2L), "identical texts must share a signature")
-    assert(sigs(1L) != sigs(3L), "different texts should differ")
+    assert(native == reference)
   }
 
   test("langid heuristic beats chance on the labeled corpus") {
