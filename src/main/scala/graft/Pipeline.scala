@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.sources.{IncrementalSource, JdbcUpsertSink}
+
+/** The reference's top-level lifecycle (SURVEY §3.1), composed from the
+  * operator layers: full table sync and incremental sync of a described
+  * object into an upsert sink. This is the "a user of the reference
+  * could switch" surface — the same three stages (extract → transform →
+  * load) as pure DataFrame passes plus the sink protocol.
+  *
+  * Scale notes: every stage is a narrow transform or a single keyed
+  * shuffle (dedupe); the sink writes per-partition. The pipeline never
+  * collects; cursor state is one scalar per object. Repartitioning by
+  * the PK before the sink keeps ON CONFLICT contention partition-local.
+  */
+object Pipeline {
+
+  /** Declarative object config: where it comes from, its key, its
+    * cursor, and the target-type map (describe()-driven). */
+  final case class ObjectSync(
+      name: String,
+      read: SparkSession => DataFrame,
+      pk: String,
+      cursorField: String,
+      targetTypes: Map[String, DataType] = Map.empty)
+
+  /** Transform pass: apply the Salesforce→PG type map (cast columns
+    * present in the map, keep the rest), then drop exact-duplicate
+    * rows per PK keeping the latest by cursor — deterministic MERGE
+    * semantics before the sink ever sees the batch. */
+  def normalize(df: DataFrame, sync: ObjectSync): DataFrame = {
+    val casted = sync.targetTypes.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
+    }
+    val w = Window.partitionBy(sync.pk)
+      .orderBy(desc(sync.cursorField), desc(sync.pk))
+    casted.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Stage 1+2+3, full sync: read everything, normalize, upsert.
+    * Returns rows written. `execute` abstracts the JDBC round-trip
+    * (JdbcUpsertSink.writeUpsert). */
+  def fullSync(spark: SparkSession, sync: ObjectSync, batchSize: Int)(
+      execute: (String, JdbcUpsertSink.Batch) => Unit): Long = {
+    val normalized = normalize(sync.read(spark), sync)
+    val n = normalized.count()
+    JdbcUpsertSink.writeUpsert(
+      normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
+      batchSize)(execute)
+    n
+  }
+
+  /** Incremental sync: rows with cursor strictly past `cursor`,
+    * normalized and upserted; returns (rows written, next cursor). */
+  def incrementalSync(spark: SparkSession, sync: ObjectSync, cursor: Any,
+                      batchSize: Int)(
+      execute: (String, JdbcUpsertSink.Batch) => Unit): (Long, Option[Any]) = {
+    val src = IncrementalSource(sync.read, sync.cursorField)
+    val pulled = src.pull(spark, cursor,
+      sync.read(spark).columns.toSeq)
+    val normalized = normalize(pulled, sync)
+    val n = normalized.count()
+    if (n > 0)
+      JdbcUpsertSink.writeUpsert(
+        normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
+        batchSize)(execute)
+    (n, src.nextCursor(pulled))
+  }
+
+  /** DDL for the object's target table from its actual schema. */
+  def targetDdl(spark: SparkSession, sync: ObjectSync): String =
+    JdbcUpsertSink.createTableSql(sync.name,
+      normalize(sync.read(spark), sync).schema, Seq(sync.pk))
+}
