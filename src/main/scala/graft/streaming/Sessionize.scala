@@ -50,13 +50,42 @@ object Sessionize {
   }
 
   /** Batch sessionization through the state API (one call per group,
-    * trailing session flushed). A streaming caller uses
-    * `process(flushAtEnd = false)` with `EventTimeTimeout` so idle
-    * sessions flush when the watermark passes last_us + gap. */
+    * trailing session flushed). */
   def sessionsBatch(ds: Dataset[SessionEvent]): Dataset[Session] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         process(flushAtEnd = true))
+  }
+
+  /** Streaming process: same fold, but open sessions persist in the
+    * state store with an event-time timeout at last_us + gap — the
+    * session is emitted when the watermark passes its close, exactly
+    * session_window's semantics. */
+  def processStreaming(uid: Long, events: Iterator[SessionEvent],
+                       state: GroupState[SessionState]): Iterator[Session] = {
+    val out = process(flushAtEnd = false)(uid, events, state)
+    state.getOption.foreach { s =>
+      state.setTimeoutTimestamp(s.last_us / 1000 + GapUs / 1000)
+    }
+    out
+  }
+
+  /** Streaming sessionization over (user_id, ts) rows whose `ts` is
+    * already watermarked; timeouts flush idle sessions. The watermarked
+    * column must flow INTO the stateful operator (mapping it away first
+    * voids the watermark), so conversion happens inside the group
+    * function. */
+  def sessionsStreaming(ds: Dataset[(Long, java.sql.Timestamp)]): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[SessionState]) =>
+          processStreaming(uid,
+            it.map { case (_, ts) => SessionEvent(uid, ts.getTime * 1000) },
+            state)
+      }
   }
 }

@@ -120,6 +120,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamRes.nonEmpty)
   }
 
+  test("streaming sessionize flushes a session when the watermark passes it") {
+    implicit val ctx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val input = MemoryStream[Ev]
+    val sessions = graft.streaming.Sessionize.sessionsStreaming(
+      input.toDF()
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, Timestamp)])
+    val q = sessions.writeStream
+      .format("memory").queryName("sessionize_stream_test")
+      .outputMode("append")
+      .start()
+    // batch 1: user 1 has a 2-event session; user 2 keeps watermark low
+    input.addData(
+      Ev(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Ev(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+      Ev(3, ts("2024-01-01 10:20:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    // batch 2: watermark jumps past user 1's session close (10:40)
+    input.addData(Ev(4, ts("2024-01-01 12:00:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    // batch 3: one more trigger so the timeout fires post-watermark
+    input.addData(Ev(5, ts("2024-01-01 12:30:00"), 2, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("sessionize_stream_test")
+      .select("user_id", "first_us", "last_us", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expectUser1 = (1L,
+      ts("2024-01-01 10:00:00").getTime * 1000L,
+      ts("2024-01-01 10:10:00").getTime * 1000L, 2L)
+    assert(out.contains(expectUser1),
+      s"user 1's closed session not emitted: $out")
+  }
+
   test("flatMapGroupsWithState sessionize equals session_window batch") {
     val evs = Tables.eventsWithNanos(spark, sfDir)
       .withColumn("ts_us", expr("ts_ns div 1000"))
