@@ -135,6 +135,31 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic train/val/test split: multiplicative-hash bucket
+    // of the stable id — reproducible across runs, engines, and
+    // repartitioning (never rand()/TABLESAMPLE, which are
+    // partition-order dependent). 80/10/10 by bucket.
+    "j_sample_split" -> { (s, d) =>
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // Split-balance audit: per (split, lang) counts — the check that a
+    // deterministic split didn't skew a stratum.
+    "j_sample_split_audit" -> { (s, d) =>
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      Tables.documents(s, d)
+        .select(col("lang"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    },
+
     // Subword-ish token counting: regex word split + ceil(len/4)
     // subword estimate per word (BPE-rate proxy).
     "j_text_bpe_count" -> { (s, d) =>
@@ -214,6 +239,21 @@ object TextOps {
         |  CAST(list_sum(list_transform(string_split(text, ''),
         |    (c, i) -> CAST(ascii(c) AS BIGINT) * i)) % 2147483647 AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "j_sample_split" ->
+      """SELECT doc_id, lang,
+        |  ((doc_id * 2654435761) % 100 + 100) % 100 AS bucket,
+        |  CASE WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 80 THEN 'train'
+        |       WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "j_sample_split_audit" ->
+      """SELECT split, lang, count(*) AS n FROM (
+        |  SELECT lang,
+        |    CASE WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 80 THEN 'train'
+        |         WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "j_text_bpe_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
