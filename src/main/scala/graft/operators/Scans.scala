@@ -39,8 +39,10 @@ object Scans {
     // Explicit user schema (the describe()-driven read of the reference,
     // SURVEY §1.1): events read with a hand-built StructType — ts stays
     // the raw nanosecond long and is projected to epoch micros.
+    // (no session-conf mutation here: the explicit LongType schema read
+    // handles parquet TIMESTAMP(NANOS) without the legacy flag, exactly
+    // as Tables.events does everywhere)
     "a_scan_schema_enforce" -> { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val st = StructType(Seq(
         StructField("event_id", LongType),
         StructField("ts", LongType),          // raw nanos

@@ -18,6 +18,18 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
+  /** Overflow-free deterministic 0..99 bucket of a BIGINT id:
+    * ((id mod M) * 48271) mod M mod 100 with M = 2^31-1 (Lehmer / Park–
+    * Miller multiplier). Identical arithmetic on Spark and DuckDB for
+    * any non-negative int64 id. */
+  def splitBucket(id: Column): Column =
+    pmod(pmod(pmod(id, lit(2147483647L)) * lit(48271L), lit(2147483647L)),
+      lit(100L))
+
+  /** DuckDB twin of [[splitBucket]]. */
+  def splitBucketSql(idExpr: String): String =
+    s"((($idExpr % 2147483647) * 48271) % 2147483647) % 100"
+
   private def toks: Column = split(col("text"), " ")
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -135,12 +147,15 @@ object TextOps {
         .orderBy("doc_id")
     },
 
-    // Deterministic train/val/test split: multiplicative-hash bucket
-    // of the stable id — reproducible across runs, engines, and
+    // Deterministic train/val/test split: Lehmer-style hash bucket of
+    // the stable id — reproducible across runs, engines, and
     // repartitioning (never rand()/TABLESAMPLE, which are
-    // partition-order dependent). 80/10/10 by bucket.
+    // partition-order dependent). 80/10/10 by bucket. The pre-mod keeps
+    // every intermediate ≤ (2^31-2)*48271 ≈ 1.04e14, overflow-free in
+    // int64 on BOTH engines (a raw doc_id * K wraps silently in Spark
+    // but errors in DuckDB for ids above ~3.5e9).
     "j_sample_split" -> { (s, d) =>
-      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      val bucket = TextOps.splitBucket(col("doc_id"))
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), bucket.as("bucket"),
           when(bucket < 80, "train").when(bucket < 90, "val")
@@ -151,7 +166,7 @@ object TextOps {
     // Split-balance audit: per (split, lang) counts — the check that a
     // deterministic split didn't skew a stratum.
     "j_sample_split_audit" -> { (s, d) =>
-      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100L))
+      val bucket = TextOps.splitBucket(col("doc_id"))
       Tables.documents(s, d)
         .select(col("lang"),
           when(bucket < 80, "train").when(bucket < 90, "val")
@@ -240,17 +255,17 @@ object TextOps {
         |    (c, i) -> CAST(ascii(c) AS BIGINT) * i)) % 2147483647 AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "j_sample_split" ->
-      """SELECT doc_id, lang,
-        |  ((doc_id * 2654435761) % 100 + 100) % 100 AS bucket,
-        |  CASE WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 80 THEN 'train'
-        |       WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 90 THEN 'val'
+      s"""SELECT doc_id, lang,
+        |  ${splitBucketSql("doc_id")} AS bucket,
+        |  CASE WHEN ${splitBucketSql("doc_id")} < 80 THEN 'train'
+        |       WHEN ${splitBucketSql("doc_id")} < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "j_sample_split_audit" ->
-      """SELECT split, lang, count(*) AS n FROM (
+      s"""SELECT split, lang, count(*) AS n FROM (
         |  SELECT lang,
-        |    CASE WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 80 THEN 'train'
-        |         WHEN ((doc_id * 2654435761) % 100 + 100) % 100 < 90 THEN 'val'
+        |    CASE WHEN ${splitBucketSql("doc_id")} < 80 THEN 'train'
+        |         WHEN ${splitBucketSql("doc_id")} < 90 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM documents)
         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
