@@ -68,6 +68,21 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
 }
 
+/** Parallelism repair for CPU-bound stages.
+  *
+  * The fixture tables are single-file / single-row-group parquet, so a
+  * scan yields ONE input partition and every downstream map-side stage
+  * (n² broadcast joins, shingle explosion, per-token hashing) runs on
+  * one core of local[32]. On a production layout (thousands of files /
+  * row groups per table) the scan parallelizes by itself — this helper
+  * re-establishes that property where the stage after the scan is
+  * compute-bound, at the cost of one tiny shuffle of the input rows.
+  */
+object Par {
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+}
+
 /** Cross-engine determinism helpers (SURVEY §0.2).
   *
   * Double summation is order-dependent; Spark and DuckDB both sum in

@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = args.drop(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    for (rep <- 1 to 3; n <- names) {
+      val t0 = System.nanoTime()
+      val c = SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"timeq rep=$rep $n%-28s ${(System.nanoTime()-t0)/1e9}%.3f s  rows=$c")
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, Tables}
+import graft.{Det, Par, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -42,6 +42,16 @@ object LlmOps {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Unit-normalized embeddings, spread across cores: the raw scan is a
+    * single row group (one task), and the normalization lambda is an
+    * interpreted HOF — so repartition the scan first and compute the
+    * norm once per row outside the lambda. */
+  private def unitVectors(s: SparkSession, d: String): DataFrame =
+    Par.spread(emb(s, d))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id"), col("label"),
+        expr("transform(v, x -> x / nrm)").as("u"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact text dedup accounting per language.
     "j_dedup_exact_text" -> { (s, d) =>
@@ -59,7 +69,8 @@ object LlmOps {
     "j_dedup_near_minhash" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val k = 12
-      val ds = Tables.documents(s, d).select(col("doc_id"), shingles.as("sh"))
+      val ds = Par.spread(Tables.documents(s, d))
+        .select(col("doc_id"), shingles.as("sh"))
         .filter(size(col("sh")) > 0)
       val exploded = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
       val hashed = exploded.select(col("doc_id") +:
@@ -84,7 +95,8 @@ object LlmOps {
     // Exact n-gram jaccard over pairs sharing ≥1 shingle.
     "j_jaccard_shingle_pairs" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val ds = Tables.documents(s, d).select(col("doc_id"), shingles.as("sh"))
+      val ds = Par.spread(Tables.documents(s, d))
+        .select(col("doc_id"), shingles.as("sh"))
       val ex = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
       // |A| derived from the exploded rows (shingles are distinct), so
       // the shingle expression runs once, not once per consumer branch
@@ -115,8 +127,10 @@ object LlmOps {
       graft.functions.VectorExprs.register(s)
       // pre-normalize once per row (n × dim work) so the n² inner loop
       // is a bare dot product; broadcast one side (n × dim doubles)
-      val u = emb(s, d).select(col("vec_id"),
-        expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("u"))
+      // spread the raw scan first (single-row-group input = one task for
+      // the O(n²·dim) loop otherwise), then normalize with the norm
+      // hoisted out of the lambda (once per row, not per element)
+      val u = unitVectors(s, d)
       val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
       val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
       a.join(broadcast(b), col("vec_a") < col("vec_b"))
@@ -131,8 +145,7 @@ object LlmOps {
     // per-probe top-k buffer; never materializes n² pair rows).
     "j_knn_per_vector" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val u = emb(s, d).select(col("vec_id"), col("label"),
-        expr("transform(v, x -> x / sqrt(graft_dot(v, v)))").as("u"))
+      val u = unitVectors(s, d)
       val knn = graft.plans.KnnJoin.knnBruteForce(u, 5)
       graft.plans.KnnJoin.majorityLabel(knn, 5)
         .orderBy("vec_id")
@@ -173,7 +186,7 @@ object LlmOps {
 
     // tf-idf, top-3 terms per document.
     "j_tfidf_topterms" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = Par.spread(Tables.documents(s, d))
       val tf = docs.select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))

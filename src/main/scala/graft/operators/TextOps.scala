@@ -40,7 +40,7 @@ object TextOps {
     // No oracle (xxhash64 has no DuckDB twin); TextOpsSpec plants dups.
     "j_dedup_simhash" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val tok = Tables.documents(s, d)
+      val tok = graft.Par.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
         .withColumn("h", xxhash64(col("token")))
       // native SimHash64Agg: one 64-int aggregation buffer instead of
@@ -69,10 +69,15 @@ object TextOps {
     // Embedding-cosine near-dup pairs (threshold 0.4 on these fixtures).
     "j_dedup_embed_cosine" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val u = Tables.embeddings(s, d).select(col("vec_id"),
-        expr("transform(cast(embedding as array<double>), " +
-          "x -> x / sqrt(graft_dot(cast(embedding as array<double>), " +
-          "cast(embedding as array<double>))))").as("u"))
+      // spread the raw scan FIRST (single-row-group input = one task),
+      // then normalize: norm hoisted out of the lambda so graft_dot runs
+      // once per row, not once per element inside the interpreted HOF
+      val u = graft.Par.spread(Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+        .select(col("vec_id"),
+          expr("transform(v, x -> x / nrm)").as("u"))
       val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
       val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
       a.join(broadcast(b), col("vec_a") < col("vec_b"))
@@ -111,7 +116,7 @@ object TextOps {
     // Heuristic language ID: vote against per-language top-20 token
     // profiles learned from the corpus itself, then argmax.
     "j_text_langid" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
+      val docs = graft.Par.spread(Tables.documents(s, d))
       val tokens = docs.select(col("doc_id"), col("lang"),
         explode(toks).as("token"))
       val profile = tokens.groupBy("lang", "token")

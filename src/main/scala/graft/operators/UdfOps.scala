@@ -57,7 +57,8 @@ object UdfOps {
       graft.functions.VectorExprs.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      val a = graft.Par.spread(
+        e.select(col("vec_id").as("vec_a"), col("v").as("va")))
       val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
       a.join(broadcast(b), col("vec_a") < col("vec_b"))
         .withColumn("cos", expr("graft_cosine(va, vb)"))

@@ -39,7 +39,10 @@ object KnnJoin {
       .as[(Long, Array[Double], Int)]
     val all = typed.collect()           // candidate set: n×dim doubles
     val bc = spark.sparkContext.broadcast(all)
-    typed.mapPartitions { probes =>
+    // probes arrive as ONE partition from a single-row-group scan —
+    // spread them so the O(n·|cand|·dim) loop uses every core
+    typed.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { probes =>
       val cand = bc.value
       probes.flatMap { case (aId, ua, _) =>
         // ordered size-k buffer: (cos desc, b_id asc)
