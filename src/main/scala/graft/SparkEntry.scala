@@ -20,7 +20,7 @@ object SparkEntry {
     Scans.queries ++ Filters.queries ++ Joins.queries ++
       Aggregations.queries ++ Windows.queries ++ ScalarFuncs.queries ++
       EtlOps.queries ++ LlmOps.queries ++ TextOps.queries ++
-      StreamingOps.queries ++ UdfOps.queries
+      AnnOps.queries ++ StreamingOps.queries ++ UdfOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     Scans.oracles ++ Filters.oracles ++ Joins.oracles ++
       Aggregations.oracles ++ Windows.oracles ++ ScalarFuncs.oracles ++
       EtlOps.oracles ++ LlmOps.oracles ++ TextOps.oracles ++
-      StreamingOps.oracles ++ UdfOps.oracles
+      AnnOps.oracles ++ StreamingOps.oracles ++ UdfOps.oracles
 }

@@ -131,6 +131,22 @@ object Aggregations {
         .orderBy("event_type")
     },
 
+    // Greenwald–Khanna quantile sketch (percentile_approx) — the
+    // mergeable one-pass quantile path for 100 TB (exact percentile
+    // needs a full sort per group). No oracle (DuckDB's approx_quantile
+    // is a t-digest, a different sketch); ScalaTest bounds it against
+    // the exact percentile within the sketch's rank error.
+    "d_agg_approx_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
+            .as("p90_approx"))
+        .orderBy("l_returnflag")
+    },
+
     "d_agg_collect_sorted" -> { (s, d) =>
       Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)),

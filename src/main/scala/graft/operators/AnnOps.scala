@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{Det, Par, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** §2.J round-2 additions: the ANN *scale path* (IVF-bucketed search),
+  * deterministic stratified sampling, and the multimodal binary-column
+  * feature pass — all oracle-gated.
+  *
+  * Scale notes (100 TB):
+  * - IVF: assignment is a broadcast of the (tiny) centroid set against
+  *   the full table (narrow, no shuffle), then ONE shuffle on cell id
+  *   co-locates each inverted list; the quadratic search runs per-cell,
+  *   so cost drops from n² to Σ|cell|² and the pair exchange never
+  *   carries vectors across cells. On a cluster the centroid set comes
+  *   from a k-means sample; here the seeds are the first 16 vectors so
+  *   the whole operator stays deterministic and DuckDB-checkable.
+  * - stratified sample: a pure map-side filter on a stable hash — no
+  *   shuffle, reproducible under repartitioning, never rand().
+  * - multimodal: payload stays an opaque binary column; every derived
+  *   feature is a narrow projection. The decode is a clearly-marked
+  *   deterministic fake (no image libs in this container) with the real
+  *   schema/plumbing shape a mapInPandas/mapPartitions decoder needs.
+  */
+object AnnOps {
+
+  private def unit(s: SparkSession, d: String): DataFrame =
+    Par.spread(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // IVF-bucketed ANN: assign every vector to its nearest of 16 seed
+    // centroids (vec_id < 16 — deterministic stand-in for k-means),
+    // then search top-3 cosine neighbors WITHIN the cell only.
+    "j_ann_ivf_topk" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val u = unit(s, d)
+      val cents = u.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell_id"), col("u").as("cu"))
+      val wAsg = Window.partitionBy("vec_id")
+        .orderBy(desc("cdot"), asc("cell_id"))
+      val asg = u.join(broadcast(cents))
+        .withColumn("cdot", expr("graft_dot(u, cu)"))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+      val a = asg.select(col("vec_id"), col("cell"), col("u").as("ua"))
+      val b = asg.select(col("vec_id").as("nn_id"), col("cell"),
+        col("u").as("ub"))
+      val wTop = Window.partitionBy("vec_id")
+        .orderBy(desc("cos"), asc("nn_id"))
+      a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("cos", expr("graft_dot(ua, ub)"))
+        // arrays projected away BEFORE the window shuffle (pair rows
+        // carrying 2×64 doubles would dominate the exchange)
+        .select(col("vec_id"), col("nn_id"), col("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nn_id"),
+          Det.r4(col("cos")).as("cos"))
+        .orderBy("vec_id", "rk")
+    },
+
+    // Deterministic stratified sample: ~10% per language via the
+    // overflow-free id hash (TextOps.splitBucket) — emit the sample.
+    "j_sample_stratified" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("bucket", TextOps.splitBucket(col("doc_id")))
+        .filter(col("bucket") < 10)
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // Multimodal binary-column pass: text bytes stand in for an image
+    // payload (opaque BINARY + typed metadata). Real plumbing: binary
+    // cast, byte length, magic-prefix sniff. Fake decode: width/height
+    // derived deterministically from the byte length (DECODE STUB — a
+    // real deployment swaps in an image decoder over mapPartitions /
+    // mapInPandas with this exact output schema).
+    "j_multimodal_features" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", col("text").cast(BinaryType))
+        .withColumn("n_bytes", octet_length(col("text")).cast(LongType))
+        .select(
+          col("doc_id"),
+          col("n_bytes"),
+          // first-4-chars → bytes → hex on BOTH engines (DuckDB 1.0 has
+          // no BLOB substring; fixture text is ASCII so chars == bytes)
+          hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("magic"),
+          (lit(64L) + pmod(col("n_bytes"), lit(64L))).as("fake_width"),
+          (lit(64L) + pmod(col("n_bytes") * 7L, lit(64L))).as("fake_height"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    // Same arithmetic as the Spark side, step for step: cast to double,
+    // unit-normalize elementwise, then plain dots (list_cosine_similarity
+    // on FLOAT[] computes in float32 and diverges in the 8th digit).
+    "j_ann_ivf_topk" ->
+      """WITH ec AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |un AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ec),
+        |uv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM un),
+        |asg AS (
+        |  SELECT e.vec_id, c.vec_id AS cell, e.u
+        |  FROM uv e JOIN uv c ON c.vec_id < 16
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.u, c.u) DESC, c.vec_id ASC) = 1),
+        |pr AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |         list_dot_product(a.u, b.u) AS cos
+        |  FROM asg a JOIN asg b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        |SELECT vec_id,
+        |  CAST(row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
+        |  nn_id, round(cos, 4) AS cos
+        |FROM pr
+        |QUALIFY rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin,
+    "j_sample_stratified" ->
+      s"""SELECT doc_id, lang, ${TextOps.splitBucketSql("doc_id")} AS bucket
+        |FROM documents
+        |WHERE ${TextOps.splitBucketSql("doc_id")} < 10
+        |ORDER BY doc_id""".stripMargin,
+    "j_multimodal_features" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  hex(encode(substring(text, 1, 4))) AS magic,
+        |  64 + CAST(strlen(text) AS BIGINT) % 64 AS fake_width,
+        |  64 + (CAST(strlen(text) AS BIGINT) * 7) % 64 AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

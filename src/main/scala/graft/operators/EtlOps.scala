@@ -133,6 +133,23 @@ object EtlOps {
         .orderBy("event_id")
     },
 
+    // SCD Type-2 history build: per user, each event becomes a
+    // [valid_from, valid_to) version row, closed by the next event's
+    // timestamp (lead) — the dimension-history pattern a warehouse load
+    // derives from a change stream. Open versions keep valid_to NULL.
+    // Scale: one shuffle on the natural key; window is a linear pass.
+    "i_scd2_intervals" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      eventsUs(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          col("ts_us").as("valid_from"), col("valid_to"),
+          col("event_type"))
+        .orderBy("user_id", "valid_from", "event_id")
+    },
+
     // Post-load reconciliation audit: per-table row count + key checksum.
     "i_validate_rowcounts" -> { (s, d) =>
       def audit(name: String, df: DataFrame, key: String) =
@@ -207,6 +224,13 @@ object EtlOps {
         |    AS action,
         |  event_id % 20 = 0 AS is_deleted
         |FROM events ORDER BY event_id""".stripMargin,
+    "i_scd2_intervals" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS valid_to,
+        |  event_type
+        |FROM events
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "i_validate_rowcounts" ->
       """SELECT 'customer' AS table_name, count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM customer

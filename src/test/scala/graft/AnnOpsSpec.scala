@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-2 operators: IVF ANN, stratified sample, multimodal features,
+  * SCD2 intervals, approx percentile. */
+class AnnOpsSpec extends SparkSpec {
+
+  test("j_ann_ivf_topk: ranks are 1..3 per vector, cos descending, " +
+    "neighbors come from the probe's cell") {
+    val out = SparkEntry.queries("j_ann_ivf_topk")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val byVec = out.groupBy(_.getLong(0))
+    byVec.foreach { case (_, rows) =>
+      val rks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(rks == (1 to rows.length), s"ranks not dense: $rks")
+      val coss = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(coss.zip(coss.tail).forall { case (x, y) => x >= y },
+        "cos not descending with rank")
+      assert(coss.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("j_ann_ivf_topk: every reported neighbor pair shares an IVF cell " +
+    "(bucketed search never crosses cells)") {
+    // recompute assignments independently via brute-force argmax
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = emb.filter(_._1 < 16).map { case (id, v) => id -> unit(v) }
+    def cell(v: Array[Double]): Long =
+      cents.toSeq.map { case (cid, cu) => (dot(unit(v), cu), cid) }
+        .sortBy { case (d, cid) => (-d, cid) }.head._2
+    val out = SparkEntry.queries("j_ann_ivf_topk")(spark, sfDir).collect()
+    out.foreach { r =>
+      assert(cell(emb(r.getLong(0))) == cell(emb(r.getLong(2))),
+        s"pair ${r.getLong(0)}-${r.getLong(2)} crosses cells")
+    }
+  }
+
+  test("j_sample_stratified is deterministic and ~10% per stratum") {
+    val q = SparkEntry.queries("j_sample_stratified")
+    val a = q(spark, sfDir).collect().map(_.toSeq)
+    val b = q(spark, sfDir).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "sample changed between runs")
+    val total = Tables.documents(spark, sfDir).count()
+    assert(a.length > 0 && a.length < total / 4,
+      s"sample size ${a.length} implausible for 10% of $total")
+    assert(a.forall(r => r(2).asInstanceOf[Long] < 10))
+  }
+
+  test("i_scd2_intervals: versions chain per user (valid_to = next " +
+    "valid_from) and only the last is open") {
+    val out = SparkEntry.queries("i_scd2_intervals")(spark, sfDir).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r.getLong(2), r.getLong(1)))
+      sorted.zip(sorted.tail).foreach { case (cur, next) =>
+        assert(!cur.isNullAt(3) && cur.getLong(3) == next.getLong(2),
+          "non-terminal version not closed by successor")
+      }
+      assert(sorted.last.isNullAt(3), "terminal version must be open")
+    }
+  }
+
+  test("j_multimodal_features: magic is the hex of the first 4 bytes " +
+    "and fake dims stay in [64, 128)") {
+    val out = SparkEntry.queries("j_multimodal_features")(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.collect().foreach { r =>
+      val expect = docs(r.getLong(0)).take(4)
+        .getBytes("UTF-8").map("%02X".format(_)).mkString
+      assert(r.getString(2) == expect)
+      assert(r.getLong(3) >= 64 && r.getLong(3) < 128)
+      assert(r.getLong(4) >= 64 && r.getLong(4) < 128)
+      assert(r.getLong(1) == docs(r.getLong(0)).getBytes("UTF-8").length)
+    }
+  }
+
+  test("d_agg_approx_percentile stays within rank-error of the exact " +
+    "percentile") {
+    val approx = SparkEntry.queries("d_agg_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice")).collect()
+      .groupBy(_.getString(0))
+    li.foreach { case (flag, rows) =>
+      val xs = rows.map(_.getDouble(1)).sorted
+      def rankOf(v: Double) = xs.count(_ <= v).toDouble / xs.length
+      val (p50, p90) = approx(flag)
+      // accuracy 1000 → rank error ≤ 1/1000; allow slack for small groups
+      assert(math.abs(rankOf(p50) - 0.5) < 0.02,
+        s"$flag p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p90) - 0.9) < 0.02,
+        s"$flag p90 rank ${rankOf(p90)}")
+    }
+  }
+}
