@@ -55,7 +55,11 @@ object AnnOps {
         col("u").as("ub"))
       val wTop = Window.partitionBy("vec_id")
         .orderBy(desc("cos"), asc("nn_id"))
-      a.join(b, Seq("cell"))
+      // candidate lists broadcast → BroadcastHashJoin on cell, no probe
+      // shuffle. At 100 TB the lists outgrow a broadcast: co-partition
+      // BOTH sides on cell instead (one shuffle each, search stays
+      // cell-local) — same algebra, swap broadcast() for repartition().
+      a.join(broadcast(b), Seq("cell"))
         .filter(col("vec_id") =!= col("nn_id"))
         .withColumn("cos", expr("graft_dot(ua, ub)"))
         // arrays projected away BEFORE the window shuffle (pair rows

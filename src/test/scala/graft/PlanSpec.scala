@@ -52,6 +52,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThan(ts,1705276800000000000)"), p)
   }
 
+  test("IVF search equi-joins on the cell key, never all-pairs") {
+    val p = plan("j_ann_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no accidental cartesian products outside the explicit cross join") {
     SparkEntry.queries.keys.filterNot(_ == "c_join_cross").foreach { name =>
       val p = plan(name)
