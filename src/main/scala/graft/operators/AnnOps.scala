@@ -72,6 +72,39 @@ object AnnOps {
         .orderBy("vec_id", "rk")
     },
 
+    // LSH-bucketed ANN — the second bucketing family next to IVF:
+    // random-hyperplane signatures (normals = the first 8 unit vectors,
+    // deterministic stand-in for sampled Gaussian planes) give a
+    // 256-bucket partition; search runs within a bucket. Same scale
+    // shape as IVF: narrow signature pass, one co-location per bucket.
+    "j_ann_lsh_topk" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val u = unit(s, d)
+      val planes = u.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("plane_id"), col("u").as("pu"))
+      val sig = u.join(broadcast(planes))
+        .withColumn("pdot", expr("graft_dot(u, pu)"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("pdot") >= 0,
+          pow(lit(2.0), col("plane_id")).cast(LongType))
+          .otherwise(0L)).as("bucket"))
+      val asg = u.join(sig, "vec_id")
+      val a = asg.select(col("vec_id"), col("bucket"), col("u").as("ua"))
+      val b = asg.select(col("vec_id").as("nn_id"), col("bucket"),
+        col("u").as("ub"))
+      val wTop = Window.partitionBy("vec_id")
+        .orderBy(desc("cos"), asc("nn_id"))
+      a.join(broadcast(b), Seq("bucket"))
+        .filter(col("vec_id") =!= col("nn_id"))
+        .withColumn("cos", expr("graft_dot(ua, ub)"))
+        .select(col("vec_id"), col("nn_id"), col("cos"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nn_id"),
+          Det.r4(col("cos")).as("cos"))
+        .orderBy("vec_id", "rk")
+    },
+
     // Deterministic stratified sample: ~10% per language via the
     // overflow-free id hash (TextOps.splitBucket) — emit the sample.
     "j_sample_stratified" -> { (s, d) =>
@@ -128,7 +161,36 @@ object AnnOps {
         |SELECT vec_id,
         |  CAST(row_number() OVER (PARTITION BY vec_id
         |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
-        |  nn_id, round(cos, 4) AS cos
+        |  nn_id, round(cos, 4) + 0 AS cos
+        |FROM pr
+        |QUALIFY rk <= 3
+        |ORDER BY vec_id, rk""".stripMargin,
+    "j_ann_lsh_topk" ->
+      """WITH ec AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |un AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ec),
+        |uv AS (
+        |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM un),
+        |sig AS (
+        |  SELECT e.vec_id,
+        |    SUM(CASE WHEN list_dot_product(e.u, p.u) >= 0
+        |             THEN CAST(power(2, p.vec_id) AS BIGINT)
+        |             ELSE 0 END) AS bucket
+        |  FROM uv e JOIN uv p ON p.vec_id < 8
+        |  GROUP BY e.vec_id),
+        |asg AS (
+        |  SELECT s.vec_id, s.bucket, u.u
+        |  FROM sig s JOIN uv u ON u.vec_id = s.vec_id),
+        |pr AS (
+        |  SELECT a.vec_id, b.vec_id AS nn_id,
+        |         list_dot_product(a.u, b.u) AS cos
+        |  FROM asg a JOIN asg b
+        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        |SELECT vec_id,
+        |  CAST(row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
+        |  nn_id, round(cos, 4) + 0 AS cos
         |FROM pr
         |QUALIFY rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,

@@ -59,6 +59,20 @@ object Scans {
         .orderBy("event_id")
     },
 
+    // CSV round-trip (the Bulk-API CSV batch shape of the reference's
+    // extract side): write the table as CSV, read it back with the
+    // declared schema, prove losslessness against the parquet oracle.
+    // Doubles survive because Spark writes the shortest decimal repr,
+    // which parses back to the identical bits.
+    "a_source_csv_roundtrip" -> { (s, d) =>
+      val out = s"/tmp/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.customer(s, d).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.schema(Tables.schemas("customer"))
+        .option("header", "true").csv(out)
+        .orderBy("c_custkey")
+    },
+
     // JSON ingest (stand-in for the REST-JSON record batches the
     // reference pulls from Salesforce): parse E.props.
     "a_source_jsonl" -> { (s, d) =>
@@ -80,6 +94,9 @@ object Scans {
     "a_scan_schema_enforce" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "a_source_csv_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "a_source_jsonl" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin

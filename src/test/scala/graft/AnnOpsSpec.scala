@@ -44,6 +44,31 @@ class AnnOpsSpec extends SparkSpec {
     }
   }
 
+  test("j_ann_lsh_topk: every neighbor shares the probe's hyperplane " +
+    "signature (bucketed search never crosses buckets)") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val planes = emb.filter(_._1 < 8).toSeq.sortBy(_._1)
+      .map { case (id, v) => id -> unit(v) }
+    def bucket(v: Array[Double]): Long =
+      planes.map { case (pid, pu) =>
+        if (dot(unit(v), pu) >= 0) 1L << pid else 0L
+      }.sum
+    val out = SparkEntry.queries("j_ann_lsh_topk")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(bucket(emb(r.getLong(0))) == bucket(emb(r.getLong(2))),
+        s"pair ${r.getLong(0)}-${r.getLong(2)} crosses buckets")
+    }
+  }
+
   test("j_sample_stratified is deterministic and ~10% per stratum") {
     val q = SparkEntry.queries("j_sample_stratified")
     val a = q(spark, sfDir).collect().map(_.toSeq)
