@@ -117,6 +117,22 @@ object Filters {
       val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
       val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
       y95.except(y96).orderBy("o_custkey")
+    },
+
+    // Multiset set ops: per-key multiplicity = min/difference of the
+    // two sides' counts (bag semantics, not the distinct forms above).
+    "g_intersect_all" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y95.intersectAll(y96).orderBy("o_custkey")
+    },
+
+    "g_except_all" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+      val y96 = o.filter(year(col("o_orderdate")) === 1996).select("o_custkey")
+      y95.exceptAll(y96).orderBy("o_custkey")
     }
   )
 
@@ -173,6 +189,16 @@ object Filters {
     "g_except" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "g_intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+    "g_except_all" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT ALL
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_custkey""".stripMargin
   )

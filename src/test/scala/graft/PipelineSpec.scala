@@ -51,6 +51,26 @@ class PipelineSpec extends SparkSpec {
     assert(n2 == 0 && next2.isEmpty)
   }
 
+  test("normalize picks a deterministic survivor for duplicate " +
+    "(pk, cursor) pairs regardless of input order") {
+    import spark.implicits._
+    // two rows with identical pk AND cursor, differing payloads — the
+    // advisor-flagged case where a pk-only tiebreak is a no-op
+    val rows = Seq(
+      (1L, 100L, "payload_a"), (1L, 100L, "payload_b"),
+      (2L, 50L, "x"), (2L, 60L, "y"))
+    val sync = ObjectSync("t", _ => spark.emptyDataFrame, "id", "cur")
+    def survivors(data: Seq[(Long, Long, String)]): Map[Long, String] =
+      Pipeline.normalize(
+        data.toDF("id", "cur", "payload").repartition(3), sync)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val fwd = survivors(rows)
+    val rev = survivors(rows.reverse)
+    assert(fwd == rev, "survivor depends on input order")
+    assert(fwd(2L) == "y", "latest cursor must win")
+    assert(Set("payload_a", "payload_b").contains(fwd(1L)))
+  }
+
   test("normalize applies the type map and target DDL reflects it") {
     val ddl = Pipeline.targetDdl(spark, eventsSync)
     assert(ddl.contains("\"value\" numeric(18,2)"))

@@ -58,6 +58,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("LSH search equi-joins on the signature bucket, never all-pairs") {
+    val p = plan("j_ann_lsh_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("no accidental cartesian products outside the explicit cross join") {
     SparkEntry.queries.keys.filterNot(_ == "c_join_cross").foreach { name =>
       val p = plan(name)
