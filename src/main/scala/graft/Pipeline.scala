@@ -26,7 +26,10 @@ object Pipeline {
       read: SparkSession => DataFrame,
       pk: String,
       cursorField: String,
-      targetTypes: Map[String, DataType] = Map.empty)
+      targetTypes: Map[String, DataType] = Map.empty,
+      // boolean soft-delete flag column (the source's IsDeleted):
+      // flagged rows are propagated as DELETEs, not upserts
+      deleteField: Option[String] = None)
 
   /** Transform pass: apply the Salesforce→PG type map (cast columns
     * present in the map, keep the rest), then drop exact-duplicate
@@ -62,20 +65,52 @@ object Pipeline {
   }
 
   /** Incremental sync: rows with cursor strictly past `cursor`,
-    * normalized and upserted; returns (rows written, next cursor). */
+    * normalized and upserted; soft-deleted rows (deleteField true)
+    * become DELETE batches instead. Returns (rows written, next
+    * cursor) — deletes advance the cursor like any other change. */
   def incrementalSync(spark: SparkSession, sync: ObjectSync, cursor: Any,
                       batchSize: Int)(
       execute: (String, JdbcUpsertSink.Batch) => Unit): (Long, Option[Any]) = {
     val src = IncrementalSource(sync.read, sync.cursorField)
     val pulled = src.pull(spark, cursor,
       sync.read(spark).columns.toSeq)
-    val normalized = normalize(pulled, sync)
+    val (live, dead) = sync.deleteField match {
+      case Some(f) =>
+        (pulled.filter(!coalesce(col(f), lit(false))).drop(f),
+         Some(pulled.filter(coalesce(col(f), lit(false)))))
+      case None => (pulled, None)
+    }
+    val normalized = normalize(live, sync)
     val n = normalized.count()
     if (n > 0)
       JdbcUpsertSink.writeUpsert(
         normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
         batchSize)(execute)
+    dead.foreach { d =>
+      JdbcUpsertSink.writeDeletes(
+        d.select(col(sync.pk)).distinct().repartition(col(sync.pk)),
+        sync.name, Seq(sync.pk), batchSize)(execute)
+    }
     (n, src.nextCursor(pulled))
+  }
+
+  /** Ad-hoc backfill (SURVEY §3.1 entry point 3): re-extract a cursor
+    * range [lo, hi] and upsert it — idempotent because the sink is a
+    * keyed MERGE. Returns rows written. */
+  def backfillSync(spark: SparkSession, sync: ObjectSync, lo: Any, hi: Any,
+                   batchSize: Int)(
+      execute: (String, JdbcUpsertSink.Batch) => Unit): Long = {
+    val src = IncrementalSource(sync.read, sync.cursorField)
+    val pulled = src.pullRange(spark, lo, hi, sync.read(spark).columns.toSeq)
+    val base = sync.deleteField.fold(pulled)(f =>
+      pulled.filter(!coalesce(col(f), lit(false))).drop(f))
+    val normalized = normalize(base, sync)
+    val n = normalized.count()
+    if (n > 0)
+      JdbcUpsertSink.writeUpsert(
+        normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
+        batchSize)(execute)
+    n
   }
 
   /** DDL for the object's target table from its actual schema. */

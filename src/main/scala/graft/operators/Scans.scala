@@ -59,6 +59,13 @@ object Scans {
         .orderBy("event_id")
     },
 
+    // SQL-text entry point: ONE portable ANSI string (Q3 shape) runs
+    // verbatim through Catalyst here AND as the DuckDB oracle — the
+    // switch surface for SQL-text users (graft.Sql).
+    "a_sql_entrypoint" -> { (s, d) =>
+      graft.Sql.run(s, d, Scans.portableQ3)
+    },
+
     // CSV round-trip (the Bulk-API CSV batch shape of the reference's
     // extract side): write the table as CSV, read it back with the
     // declared schema, prove losslessness against the parquet oracle.
@@ -84,7 +91,26 @@ object Scans {
     }
   )
 
+  /** TPC-H Q3 shape in the portable ANSI subset: decimal-cast sum for
+    * cross-engine determinism, TIMESTAMP literals, total-order tail.
+    * Runs unmodified on Spark SQL and DuckDB. */
+  val portableQ3: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
+      |  o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "a_sql_entrypoint" -> portableQ3,
     "a_scan_full" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "a_scan_prune_pushdown" ->

@@ -27,6 +27,15 @@ final case class IncrementalSource(
       .filter(col(cursorField) > cursor)
       .select(fields.map(col): _*)
 
+  /** Parameterized backfill pull (SURVEY §3.1 entry point 3): rows with
+    * cursor in [lo, hi], projected — the ad-hoc date-range re-extract.
+    * On a date-partitioned layout this predicate prunes partitions. */
+  def pullRange(spark: SparkSession, lo: Any, hi: Any,
+                fields: Seq[String]): DataFrame =
+    read(spark)
+      .filter(col(cursorField) >= lo && col(cursorField) <= hi)
+      .select(fields.map(col): _*)
+
   /** The next cursor after a pull (max modstamp seen). */
   def nextCursor(pulled: DataFrame): Option[Any] = {
     val r = pulled.agg(org.apache.spark.sql.functions.max(col(cursorField)))

@@ -72,6 +72,12 @@ object JdbcUpsertSink {
       s"ON CONFLICT (${pk.map(q).mkString(", ")}) DO $updates"
   }
 
+  /** Parameterized DELETE by primary key — tombstone propagation for
+    * the source's soft deletes (queryAll … IsDeleted = true). */
+  def deleteSql(table: String, pk: Seq[String]): String =
+    s"DELETE FROM ${q(table)} WHERE " +
+      pk.map(c => s"${q(c)} = ?").mkString(" AND ")
+
   /** One executor-side batch: column-ordered parameter rows for the
     * prepared statement. */
   type Batch = Seq[Seq[Any]]
@@ -86,6 +92,21 @@ object JdbcUpsertSink {
     val sql = upsertSql(table, df.schema, pk)
     val width = df.schema.length
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.grouped(batchSize).foreach { chunk =>
+        val batch: Batch = chunk.map(r => (0 until width).map(r.get))
+        execute(sql, batch)
+      }
+    }
+  }
+
+  /** Distributed tombstone delete: `df` must carry exactly the pk
+    * columns. Same per-partition batch protocol as writeUpsert. */
+  def writeDeletes(df: DataFrame, table: String, pk: Seq[String],
+                   batchSize: Int)(execute: (String, Batch) => Unit): Unit = {
+    val sql = deleteSql(table, pk)
+    val keyed = df.select(pk.map(org.apache.spark.sql.functions.col): _*)
+    val width = pk.length
+    keyed.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.grouped(batchSize).foreach { chunk =>
         val batch: Batch = chunk.map(r => (0 until width).map(r.get))
         execute(sql, batch)

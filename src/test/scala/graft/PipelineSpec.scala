@@ -51,6 +51,52 @@ class PipelineSpec extends SparkSpec {
     assert(n2 == 0 && next2.isEmpty)
   }
 
+  test("incremental sync routes soft-deleted rows to DELETE batches") {
+    val softSync = eventsSync.copy(
+      read = s => eventsSync.read(s)
+        .withColumn("is_deleted", expr("event_id % 20 = 0")),
+      deleteField = Some("is_deleted"))
+    val all = eventsSync.read(spark)
+    val mid = all.selectExpr("percentile(ts_us, 0.5)").head()
+      .getDouble(0).toLong
+    PipelineSpec.upserts.clear(); PipelineSpec.deletes.clear()
+    val (n, _) = Pipeline.incrementalSync(spark, softSync, mid, 100) {
+      (sql, batch) =>
+        val sink = if (sql.startsWith("DELETE")) PipelineSpec.deletes
+                   else PipelineSpec.upserts
+        batch.foreach(r => sink.add(r.head.asInstanceOf[Long]))
+    }
+    val pulled = all.filter(col("ts_us") > mid)
+    val expectedDead = pulled.filter(col("event_id") % 20 === 0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    import scala.jdk.CollectionConverters._
+    val dels = PipelineSpec.deletes.asScala.map(_.toLong).toSet
+    val ups = PipelineSpec.upserts.asScala.map(_.toLong).toSet
+    assert(dels == expectedDead && expectedDead.nonEmpty)
+    assert(ups.intersect(expectedDead).isEmpty)
+    assert(n == pulled.count() - expectedDead.size)
+  }
+
+  test("backfill re-extracts a cursor range idempotently") {
+    val all = eventsSync.read(spark)
+    val (lo, hi) = {
+      val r = all.selectExpr("percentile(ts_us, 0.25)",
+        "percentile(ts_us, 0.5)").head()
+      (r.getDouble(0).toLong, r.getDouble(1).toLong)
+    }
+    PipelineSpec.rows.clear()
+    val n = Pipeline.backfillSync(spark, eventsSync, lo, hi, 100) {
+      (sql, batch) =>
+        assert(sql.contains("ON CONFLICT"), "backfill must be a MERGE")
+        batch.foreach(r => PipelineSpec.rows.add(r.head.asInstanceOf[Long]))
+    }
+    val expected = all.filter(col("ts_us") >= lo && col("ts_us") <= hi)
+    assert(n == expected.count() && n > 0)
+    import scala.jdk.CollectionConverters._
+    assert(PipelineSpec.rows.asScala.map(_.toLong).toSet ==
+      expected.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("normalize picks a deterministic survivor for duplicate " +
     "(pk, cursor) pairs regardless of input order") {
     import spark.implicits._
@@ -80,4 +126,6 @@ class PipelineSpec extends SparkSpec {
 
 object PipelineSpec {
   val rows = new ConcurrentLinkedQueue[java.lang.Long]()
+  val upserts = new ConcurrentLinkedQueue[java.lang.Long]()
+  val deletes = new ConcurrentLinkedQueue[java.lang.Long]()
 }
