@@ -160,8 +160,11 @@ object VectorExprs {
   * `SparkSession.builder.withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     VectorExprs.functions.foreach(ext.injectFunction)
+    // custom whole-operator path (plans/CosineKnnPlan.scala)
+    ext.injectPlannerStrategy(_ => graft.plans.CosineKnnStrategy)
+  }
 }
 
 /** Distinct word n-gram shingles of a text in one pass — replaces the

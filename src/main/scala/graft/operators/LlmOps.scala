@@ -141,12 +141,15 @@ object LlmOps {
     },
 
     // kNN-join: 5 nearest neighbors per vector + majority label, via
-    // the KnnJoin block nested-loop operator (broadcast candidates +
-    // per-probe top-k buffer; never materializes n² pair rows).
+    // the CosineKnn custom operator (LogicalPlan → Strategy → SparkPlan,
+    // plans/CosineKnnPlan.scala): broadcast candidates + per-probe
+    // top-k buffer, never materializes n² pair rows. KnnJoinSpec
+    // asserts it agrees with the mapPartitions and declarative forms.
     "j_knn_per_vector" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val u = unitVectors(s, d)
-      val knn = graft.plans.KnnJoin.knnBruteForce(u, 5)
+      val knn = graft.plans.CosineKnn.knn(
+        u.select(col("vec_id"), col("u"), col("label")), 5)
       graft.plans.KnnJoin.majorityLabel(knn, 5)
         .orderBy("vec_id")
     },

@@ -38,6 +38,25 @@ class KnnJoinSpec extends SparkSpec {
     assert(fast.size == u.count() * 5)
   }
 
+  test("custom CosineKnn operator (LogicalPlan+Strategy+SparkPlan) " +
+    "agrees with the mapPartitions form row for row") {
+    val u = unitVecs
+    val viaStrategy = graft.plans.CosineKnn.knn(
+      u.select(col("vec_id"), col("u"), col("label")), 5)
+    // the custom node must actually plan to its physical operator
+    // (SparkPlan.nodeName strips the Exec suffix in plan strings)
+    assert(viaStrategy.queryExecution.executedPlan.collect {
+      case e: graft.plans.CosineKnnExec => e
+    }.nonEmpty)
+    val sRows = viaStrategy
+      .select("a_id", "b_id", "b_label", "cos")
+      .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val mRows = KnnJoin.knnBruteForce(u, 5)
+      .select("a_id", "b_id", "b_label", "cos")
+      .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    assert(sRows == mRows)
+  }
+
   test("every probe gets exactly k ordered neighbors") {
     val knn = KnnJoin.knnBruteForce(unitVecs, 5)
       .as[KnnJoin.Neighbor].collect()
