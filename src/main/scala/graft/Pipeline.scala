@@ -113,6 +113,36 @@ object Pipeline {
     n
   }
 
+  /** Continuous incremental sync: the streaming twin of
+    * [[incrementalSync]]. A file-source stream watches `sourceDir`
+    * (the landing zone an extractor appends batches to); every
+    * micro-batch runs the same normalize → keyed-MERGE path via
+    * foreachBatch, so batch and streaming share one code path
+    * (Spark's unified model). The checkpoint carries the source
+    * offsets — exactly the cursor role CursorStore plays for batch
+    * syncs. Upserts are idempotent, so micro-batch replays after a
+    * failure are safe (effectively exactly-once in the target).
+    */
+  def streamingSync(spark: SparkSession, sync: ObjectSync,
+                    sourceDir: String, schema: StructType,
+                    checkpoint: String, batchSize: Int)(
+      execute: (String, JdbcUpsertSink.Batch) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val live = sync.deleteField match {
+          case Some(f) => batch.filter(!coalesce(col(f), lit(false))).drop(f)
+          case None => batch.toDF()
+        }
+        val normalized = normalize(live, sync)
+        JdbcUpsertSink.writeUpsert(
+          normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
+          batchSize)(execute)
+      }
+      .start()
+
   /** DDL for the object's target table from its actual schema. */
   def targetDdl(spark: SparkSession, sync: ObjectSync): String =
     JdbcUpsertSink.createTableSql(sync.name,

@@ -1,5 +1,6 @@
 package graft
 
+import java.nio.file.Files
 import java.util.concurrent.ConcurrentLinkedQueue
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -95,6 +96,33 @@ class PipelineSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(PipelineSpec.rows.asScala.map(_.toLong).toSet ==
       expected.select("event_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("streaming sync upserts each appended batch through the same " +
+    "normalize+MERGE path as batch sync") {
+    val srcDir = Files.createTempDirectory("graft-streamsync-src").toString
+    val ckpt = Files.createTempDirectory("graft-streamsync-ckpt").toString
+    val all = eventsSync.read(spark).orderBy("event_id")
+    val schema = all.schema
+    // batch 1: first half of the events
+    all.filter(col("event_id") % 2 === 0)
+      .write.mode("append").parquet(srcDir)
+    PipelineSpec.rows.clear()
+    val q = Pipeline.streamingSync(spark, eventsSync, srcDir, schema,
+      ckpt, batchSize = 100) { (sql, batch) =>
+      assert(sql.contains("ON CONFLICT"))
+      batch.foreach(r => PipelineSpec.rows.add(r.head.asInstanceOf[Long]))
+    }
+    q.processAllAvailable()
+    assert(PipelineSpec.rows.size == all.filter(col("event_id") % 2 === 0).count())
+    // batch 2 lands in the directory; the stream picks it up
+    all.filter(col("event_id") % 2 === 1)
+      .write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val seen = PipelineSpec.rows.asScala.map(_.toLong).toSet
+    assert(seen == all.select("event_id").collect().map(_.getLong(0)).toSet)
   }
 
   test("normalize picks a deterministic survivor for duplicate " +
