@@ -17,6 +17,24 @@ class PropertySpec extends SparkSpec {
 
   private val smallInts = Gen.nonEmptyListOf(Gen.chooseNum(0, 9))
 
+  test("splitBucket: range [0,100), overflow-free up to Long.MaxValue, " +
+    "and equal to the reference Lehmer arithmetic") {
+    val ids = samples(Gen.chooseNum(0L, Long.MaxValue), 40)
+    val out = ids.toDF("id")
+      .select(graft.operators.TextOps.splitBucket(col("id")).as("b"))
+      .collect().map(_.getLong(0))
+    out.zip(ids).foreach { case (b, id) =>
+      assert(b >= 0 && b < 100, s"bucket $b out of range for id $id")
+      val expect = ((id % 2147483647L) * 48271L) % 2147483647L % 100L
+      assert(b == expect, s"id $id: spark $b vs reference $expect")
+    }
+    // stability: same ids through a different partitioning
+    val out2 = ids.toDF("id").repartition(7)
+      .select(col("id"), graft.operators.TextOps.splitBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.zip(out).foreach { case (id, b) => assert(out2(id) == b) }
+  }
+
   test("dedup is idempotent") {
     samples(smallInts).foreach { xs =>
       val once = xs.toDF("x").distinct()
