@@ -4,7 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.streaming.{Session, SessionEvent, Sessionize}
+import graft.streaming.{DedupEvent, Session, SessionEvent, Sessionize, StatefulDedup}
 
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
               event_type: String, value: Double)
@@ -154,6 +154,42 @@ class StreamingSpec extends SparkSpec {
       ts("2024-01-01 10:10:00").getTime * 1000L, 2L)
     assert(out.contains(expectUser1),
       s"user 1's closed session not emitted: $out")
+  }
+
+  test("transformWithState dedup emits each event_id exactly once " +
+    "across micro-batches (Spark 4 StatefulProcessor API)") {
+    // tws requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[DedupEvent]
+      val q = StatefulDedup.dedup(input.toDS())
+        .writeStream.format("memory").queryName("tws_dedup")
+        .outputMode("append").start()
+      // batch 1: ids 1,2,3 with id 2 duplicated in-batch
+      input.addData(DedupEvent(1, 10, 1.0), DedupEvent(2, 20, 2.0),
+        DedupEvent(2, 5, 0.5), DedupEvent(3, 30, 3.0))
+      q.processAllAvailable()
+      // batch 2: ids 2,3 replayed (cross-batch dups) + new id 4
+      input.addData(DedupEvent(2, 99, 9.9), DedupEvent(3, 99, 9.9),
+        DedupEvent(4, 40, 4.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("tws_dedup").as[DedupEvent].collect()
+      assert(out.map(_.event_id).sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+        s"got ${out.toSeq}")
+      // in-batch duplicate of id 2 resolved by (user_id, value) order
+      assert(out.find(_.event_id == 2L).get.user_id == 5L)
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("flatMapGroupsWithState sessionize equals session_window batch") {
