@@ -115,6 +115,25 @@ object AnnOps {
         .orderBy("doc_id")
     },
 
+    // The REAL multimodal decode path through the correctness gate:
+    // syntheticMedia (binary payload + typed metadata) → mapPartitions
+    // batched decodeStub (tile bytes to width×height "pixels") →
+    // 16-bin byte histogram (functions/Multimodal.scala). The emitted
+    // projection is integer-only (payload size + argmax bin) so the
+    // float features never enter the hash; the DuckDB twin derives the
+    // same histogram analytically from the tiling multiplicity
+    // (source byte j appears n_px div len + [j < n_px mod len] times).
+    "j_multimodal_decode_batch" -> { (s, d) =>
+      val media = graft.Par.spread(
+        graft.functions.Multimodal.syntheticMedia(s, d))
+      graft.functions.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"),
+          col("n_bytes").cast(LongType).as("n_px"),
+          (expr("array_position(features, array_max(features))") - 1L)
+            .cast(IntegerType).as("top_bin"))
+        .orderBy("media_id")
+    },
+
     // Multimodal binary-column pass: text bytes stand in for an image
     // payload (opaque BINARY + typed metadata). Real plumbing: binary
     // cast, byte length, magic-prefix sniff. Fake decode: width/height
@@ -199,6 +218,26 @@ object AnnOps {
         |FROM documents
         |WHERE ${TextOps.splitBucketSql("doc_id")} < 10
         |ORDER BY doc_id""".stripMargin,
+    "j_multimodal_decode_batch" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    CAST((n_chars % 64 + 16) * (n_chars % 48 + 16) AS BIGINT) AS n_px,
+        |    text, strlen(text) AS len
+        |  FROM documents),
+        |hist AS (
+        |  SELECT media_id, kind, n_px,
+        |    list_transform(range(16), b ->
+        |      list_sum(list_transform(string_split(text, ''),
+        |        (c, i) -> CASE WHEN ascii(c) // 16 = b
+        |          THEN n_px // len
+        |               + (CASE WHEN i - 1 < n_px % len THEN 1 ELSE 0 END)
+        |          ELSE 0 END))) AS counts
+        |  FROM m)
+        |SELECT media_id, kind, n_px,
+        |  CAST(list_position(counts,
+        |    list_aggregate(counts, 'max')) - 1 AS INT) AS top_bin
+        |FROM hist ORDER BY media_id""".stripMargin,
     "j_multimodal_features" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
