@@ -88,13 +88,16 @@ object JdbcUpsertSink {
     * side effects kept inside `execute`.
     */
   def writeUpsert(df: DataFrame, table: String, pk: Seq[String],
-                  batchSize: Int)(execute: (String, Batch) => Unit): Unit = {
+                  batchSize: Int, maxAttempts: Int = 3)(
+      execute: (String, Batch) => Unit): Unit = {
     val sql = upsertSql(table, df.schema, pk)
     val width = df.schema.length
     df.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.grouped(batchSize).foreach { chunk =>
         val batch: Batch = chunk.map(r => (0 until width).map(r.get))
-        execute(sql, batch)
+        // executor-side transient-failure retry per batch; safe to
+        // replay because the statement is a keyed MERGE
+        Retry.withBackoff(maxAttempts)(execute(sql, batch))
       }
     }
   }
@@ -102,14 +105,16 @@ object JdbcUpsertSink {
   /** Distributed tombstone delete: `df` must carry exactly the pk
     * columns. Same per-partition batch protocol as writeUpsert. */
   def writeDeletes(df: DataFrame, table: String, pk: Seq[String],
-                   batchSize: Int)(execute: (String, Batch) => Unit): Unit = {
+                   batchSize: Int, maxAttempts: Int = 3)(
+      execute: (String, Batch) => Unit): Unit = {
     val sql = deleteSql(table, pk)
     val keyed = df.select(pk.map(org.apache.spark.sql.functions.col): _*)
     val width = pk.length
     keyed.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       rows.grouped(batchSize).foreach { chunk =>
         val batch: Batch = chunk.map(r => (0 until width).map(r.get))
-        execute(sql, batch)
+        // deletes are idempotent by key — replay-safe under retry
+        Retry.withBackoff(maxAttempts)(execute(sql, batch))
       }
     }
   }
