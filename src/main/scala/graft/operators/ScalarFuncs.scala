@@ -163,6 +163,22 @@ object ScalarFuncs {
         .orderBy("l_orderkey", "l_linenumber", "measure", "val")
     },
 
+    // Bitwise algebra (band extraction, flag masks, popcount — the
+    // primitives behind SimHash banding, surfaced as an operator).
+    "h_bitwise_funcs" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("band"),
+          col("event_id").bitwiseOR(lit(16L)).as("flagged"),
+          col("event_id").bitwiseXOR(shiftright(col("event_id"), 3))
+            .as("mixed"),
+          bit_count(col("event_id")).as("bits"),
+          shiftleft(pmod(col("event_id"), lit(8L)).cast("int"), 4)
+            .cast(LongType).as("shifted"))
+        .orderBy("event_id")
+    },
+
     // Correlated scalar subquery (decorrelated by Catalyst to a join).
     "b_subquery_correlated" -> { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders_sq")
@@ -276,6 +292,14 @@ object ScalarFuncs {
         |      FROM lineitem WHERE l_orderkey < 100)
         |UNPIVOT (val FOR measure IN (l_quantity, l_discount, l_tax))
         |ORDER BY l_orderkey, l_linenumber, measure, val""".stripMargin,
+    "h_bitwise_funcs" ->
+      """SELECT event_id,
+        |  event_id & 255 AS band,
+        |  event_id | 16 AS flagged,
+        |  xor(event_id, event_id >> 3) AS mixed,
+        |  CAST(bit_count(event_id) AS INT) AS bits,
+        |  CAST((event_id % 8) << 4 AS BIGINT) AS shifted
+        |FROM events ORDER BY event_id""".stripMargin,
     "b_subquery_correlated" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
