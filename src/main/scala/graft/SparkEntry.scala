@@ -20,7 +20,8 @@ object SparkEntry {
     Scans.queries ++ Filters.queries ++ Joins.queries ++
       Aggregations.queries ++ Windows.queries ++ ScalarFuncs.queries ++
       EtlOps.queries ++ LlmOps.queries ++ TextOps.queries ++
-      AnnOps.queries ++ StreamingOps.queries ++ UdfOps.queries
+      AnnOps.queries ++ ScaleOps.queries ++ StreamingOps.queries ++
+      UdfOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
     Scans.oracles ++ Filters.oracles ++ Joins.oracles ++
       Aggregations.oracles ++ Windows.oracles ++ ScalarFuncs.oracles ++
       EtlOps.oracles ++ LlmOps.oracles ++ TextOps.oracles ++
-      AnnOps.oracles ++ StreamingOps.oracles ++ UdfOps.oracles
+      AnnOps.oracles ++ ScaleOps.oracles ++ StreamingOps.oracles ++
+      UdfOps.oracles
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{Det, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale patterns for skew and co-location (SURVEY §4 obligations).
@@ -34,6 +35,70 @@ object ScaleOps {
       .agg(merge.head._1.as(merge.head._2),
         merge.tail.map { case (c, n) => c.as(n) }: _*)
   }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Band (range) join WITHOUT a nested loop: bucket both sides by
+    // floor(value/eps); any |diff| ≤ eps pair lives in adjacent
+    // buckets, so an equi-join on bucket (b side exploded to its three
+    // neighbors) + the exact band filter finds every pair. The oracle
+    // is the NAIVE theta predicate — the hash-match proves the
+    // bucketing algebra is exactly the band join. At 100 TB this is
+    // the fact-fact interval-join prepass (one shuffle per side on
+    // bucket, no BroadcastNestedLoop).
+    "c_join_range_bucket" -> { (s, d) =>
+      // eps sized so every fixture SF yields pairs (10-supplier sf0.001
+      // has no gap under 10)
+      val eps = 200.0
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"))
+      val a = sup
+        .select(col("s_suppkey").as("a_id"), col("s_acctbal").as("a_bal"))
+        .withColumn("bucket", floor(col("a_bal") / eps))
+      val b = sup
+        .select(col("s_suppkey").as("b_id"), col("s_acctbal").as("b_bal"))
+        .withColumn("bucket", explode(array(
+          floor(col("b_bal") / eps) - 1, floor(col("b_bal") / eps),
+          floor(col("b_bal") / eps) + 1)))
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id") &&
+          abs(col("a_bal") - col("b_bal")) <= eps)
+        .select(col("a_id"), col("b_id"),
+          (col("a_bal") - col("b_bal")).as("bal_diff"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // Skew-salted fact⋈dim join: replicate the dim nSalts×, spread the
+    // fact rows across replicas — result-identical to the plain join
+    // (the oracle IS the plain join), with no single reducer owning a
+    // hot key. Aggregated per segment to a stable projection.
+    "c_join_skew_salted" -> { (s, d) =>
+      val fact = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      saltedJoin(fact, dim, "o_custkey", nSalts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Det.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c_join_range_bucket" ->
+      """SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+        |  a.s_acctbal - b.s_acctbal AS bal_diff
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND abs(a.s_acctbal - b.s_acctbal) <= 200.0
+        |ORDER BY a_id, b_id""".stripMargin,
+    "c_join_skew_salted" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${Det.dsumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin
+  )
 
   /** Broadcast-salt join for a skewed fact⋈dim with hot fact keys:
     * replicate the dim side `nSalts`× and spread the fact side's rows
