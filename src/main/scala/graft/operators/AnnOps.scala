@@ -134,6 +134,17 @@ object AnnOps {
         .orderBy("media_id")
     },
 
+    // Frame sampling for the video-kind media (every 5th frame as its
+    // own binary payload, functions/Multimodal.sampleFrames) — emitted
+    // as hex so the binary payload hashes engine-neutrally.
+    "j_multimodal_frame_sample" -> { (s, d) =>
+      val media = graft.functions.Multimodal.syntheticMedia(s, d)
+      graft.functions.Multimodal.sampleFrames(media, everyK = 5)
+        .select(col("media_id"), col("frame_idx"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // Multimodal binary-column pass: text bytes stand in for an image
     // payload (opaque BINARY + typed metadata). Real plumbing: binary
     // cast, byte length, magic-prefix sniff. Fake decode: width/height
@@ -238,6 +249,18 @@ object AnnOps {
         |  CAST(list_position(counts,
         |    list_aggregate(counts, 'max')) - 1 AS INT) AS top_bin
         |FROM hist ORDER BY media_id""".stripMargin,
+    "j_multimodal_frame_sample" ->
+      """SELECT media_id, CAST(u.idx AS INT) AS frame_idx,
+        |  u.fh AS frame_hex
+        |FROM (
+        |  SELECT doc_id AS media_id,
+        |    unnest(list_transform(
+        |      range(CAST((n_chars % 30 + 1 - 1) // 5 + 1 AS BIGINT)),
+        |      i -> struct_pack(idx := i,
+        |        fh := hex(encode(substring(text,
+        |          CAST(i * 5 * 256 + 1 AS INT), 256)))))) AS u
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "j_multimodal_features" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
