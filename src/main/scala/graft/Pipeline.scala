@@ -51,6 +51,36 @@ object Pipeline {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Shared load pass for one pulled window/micro-batch: normalize FIRST
+    * (latest version per pk, including the soft-delete flag), then route
+    * each pk by its LATEST version — upsert if live, DELETE if flagged.
+    * A window can contain delete-then-undelete sequences for one pk; an
+    * older tombstone must never outlive a newer live version, and a
+    * stale live version must never resurrect a pk whose latest state is
+    * deleted (both violate the latest-wins contract normalize exists
+    * for). Returns the number of live rows upserted. */
+  private def loadLatest(batch: DataFrame, sync: ObjectSync, batchSize: Int)(
+      execute: (String, JdbcUpsertSink.Batch) => Unit): Long = {
+    val latest = normalize(batch, sync)
+    val (live, dead) = sync.deleteField match {
+      case Some(f) =>
+        (latest.filter(!coalesce(col(f), lit(false))).drop(f),
+         Some(latest.filter(coalesce(col(f), lit(false)))))
+      case None => (latest, None)
+    }
+    val n = live.count()
+    if (n > 0)
+      JdbcUpsertSink.writeUpsert(
+        live.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
+        batchSize)(execute)
+    dead.foreach { d =>
+      JdbcUpsertSink.writeDeletes(
+        d.select(col(sync.pk)).distinct().repartition(col(sync.pk)),
+        sync.name, Seq(sync.pk), batchSize)(execute)
+    }
+    n
+  }
+
   /** Stage 1+2+3, full sync: read everything, normalize, upsert.
     * Returns rows written. `execute` abstracts the JDBC round-trip
     * (JdbcUpsertSink.writeUpsert). */
@@ -65,32 +95,17 @@ object Pipeline {
   }
 
   /** Incremental sync: rows with cursor strictly past `cursor`,
-    * normalized and upserted; soft-deleted rows (deleteField true)
-    * become DELETE batches instead. Returns (rows written, next
-    * cursor) — deletes advance the cursor like any other change. */
+    * normalized and upserted; pks whose LATEST pulled version carries
+    * the soft-delete flag become DELETE batches instead (see
+    * [[loadLatest]]). Returns (rows written, next cursor) — deletes
+    * advance the cursor like any other change. */
   def incrementalSync(spark: SparkSession, sync: ObjectSync, cursor: Any,
                       batchSize: Int)(
       execute: (String, JdbcUpsertSink.Batch) => Unit): (Long, Option[Any]) = {
     val src = IncrementalSource(sync.read, sync.cursorField)
     val pulled = src.pull(spark, cursor,
       sync.read(spark).columns.toSeq)
-    val (live, dead) = sync.deleteField match {
-      case Some(f) =>
-        (pulled.filter(!coalesce(col(f), lit(false))).drop(f),
-         Some(pulled.filter(coalesce(col(f), lit(false)))))
-      case None => (pulled, None)
-    }
-    val normalized = normalize(live, sync)
-    val n = normalized.count()
-    if (n > 0)
-      JdbcUpsertSink.writeUpsert(
-        normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
-        batchSize)(execute)
-    dead.foreach { d =>
-      JdbcUpsertSink.writeDeletes(
-        d.select(col(sync.pk)).distinct().repartition(col(sync.pk)),
-        sync.name, Seq(sync.pk), batchSize)(execute)
-    }
+    val n = loadLatest(pulled, sync, batchSize)(execute)
     (n, src.nextCursor(pulled))
   }
 
@@ -102,15 +117,7 @@ object Pipeline {
       execute: (String, JdbcUpsertSink.Batch) => Unit): Long = {
     val src = IncrementalSource(sync.read, sync.cursorField)
     val pulled = src.pullRange(spark, lo, hi, sync.read(spark).columns.toSeq)
-    val base = sync.deleteField.fold(pulled)(f =>
-      pulled.filter(!coalesce(col(f), lit(false))).drop(f))
-    val normalized = normalize(base, sync)
-    val n = normalized.count()
-    if (n > 0)
-      JdbcUpsertSink.writeUpsert(
-        normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
-        batchSize)(execute)
-    n
+    loadLatest(pulled, sync, batchSize)(execute)
   }
 
   /** Continuous incremental sync: the streaming twin of
@@ -121,7 +128,9 @@ object Pipeline {
     * (Spark's unified model). The checkpoint carries the source
     * offsets — exactly the cursor role CursorStore plays for batch
     * syncs. Upserts are idempotent, so micro-batch replays after a
-    * failure are safe (effectively exactly-once in the target).
+    * failure are safe (effectively exactly-once in the target); the
+    * per-key DELETEs are equally idempotent, so the soft-delete
+    * tombstones ride the same replay guarantee.
     */
   def streamingSync(spark: SparkSession, sync: ObjectSync,
                     sourceDir: String, schema: StructType,
@@ -132,14 +141,8 @@ object Pipeline {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val live = sync.deleteField match {
-          case Some(f) => batch.filter(!coalesce(col(f), lit(false))).drop(f)
-          case None => batch.toDF()
-        }
-        val normalized = normalize(live, sync)
-        JdbcUpsertSink.writeUpsert(
-          normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
-          batchSize)(execute)
+        loadLatest(batch.toDF(), sync, batchSize)(execute)
+        ()
       }
       .start()
 

@@ -13,10 +13,21 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
   * leaves a torn state file — on restart the previous cursor is intact
   * and the worst case is re-pulling one batch (the upsert sink is
   * idempotent, so replays are safe).
+  *
+  * Concurrency contract: put()/reset() are load-then-save
+  * read-modify-write passes over the whole file, serialized across all
+  * CursorStore instances in THIS JVM via a per-path lock (two object
+  * syncs sharing one state file can no longer drop each other's cursor
+  * update). Across processes the file is single-writer by ownership:
+  * one scheduler owns a state file; concurrent external writers are
+  * outside the contract (use one file per object if two schedulers
+  * must run).
   */
 final class CursorStore(path: Path) {
 
   def this(path: String) = this(Paths.get(path))
+
+  private val lock = CursorStore.lockFor(path)
 
   private def load(): Map[String, String] =
     if (!Files.exists(path)) Map.empty
@@ -49,12 +60,22 @@ final class CursorStore(path: Path) {
   }
 
   /** Cursor for an object, if one was ever committed. */
-  def get(obj: String): Option[Any] = load().get(obj).map(decode)
+  def get(obj: String): Option[Any] =
+    lock.synchronized { load().get(obj).map(decode) }
 
   /** Commit the cursor for an object (atomic). */
   def put(obj: String, cursor: Any): Unit =
-    save(load() + (obj -> encode(cursor)))
+    lock.synchronized { save(load() + (obj -> encode(cursor))) }
 
   /** Drop an object's cursor (forces a full re-sync next run). */
-  def reset(obj: String): Unit = save(load() - obj)
+  def reset(obj: String): Unit = lock.synchronized { save(load() - obj) }
+}
+
+object CursorStore {
+  // one lock per absolute state-file path, JVM-wide, so independent
+  // CursorStore instances over the same file serialize their RMW cycles
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(p: Path): Object =
+    locks.computeIfAbsent(p.toAbsolutePath.toString, _ => new Object)
 }

@@ -28,7 +28,11 @@ object Retry {
           lastError = e
           attempt += 1
           if (attempt < maxAttempts)
-            sleep(math.min(baseDelayMs << (attempt - 1), maxDelayMs))
+            // clamp the shift: baseDelayMs << 57+ wraps Long negative,
+            // and math.min would then pick the negative value and make
+            // Thread.sleep throw instead of backing off. 2^20·base is
+            // already far past any sane maxDelayMs.
+            sleep(math.min(baseDelayMs << math.min(attempt - 1, 20), maxDelayMs))
         case e: Throwable => throw e
       }
     }

@@ -32,6 +32,24 @@ class CursorStoreSpec extends AnyFunSuite {
     assert(new CursorStore(p).get("events").contains(42L))
   }
 
+  test("concurrent writers over one state file lose no update " +
+    "(per-path lock serializes the read-modify-write)") {
+    val dir = Files.createTempDirectory("graft-cursor3")
+    val p = dir.resolve("state.tsv")
+    val objs = (0 until 8).map(i => s"obj$i")
+    // one store instance per writer — the interleaving the advisor
+    // flagged: load() both, save() both, last save drops the other's key
+    val threads = objs.map { o =>
+      new Thread(() => {
+        val st = new CursorStore(p)
+        (1 to 25).foreach(i => st.put(o, i.toLong))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val st = new CursorStore(p)
+    objs.foreach(o => assert(st.get(o).contains(25L), s"lost cursor for $o"))
+  }
+
   test("drives incrementalSync end to end: cursor advances and the " +
     "second run pulls nothing") {
     val st = freshStore

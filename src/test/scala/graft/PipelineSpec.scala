@@ -78,6 +78,59 @@ class PipelineSpec extends SparkSpec {
     assert(n == pulled.count() - expectedDead.size)
   }
 
+  test("a pk deleted then re-created within one pull stays live; a pk " +
+    "whose latest version is deleted is removed (latest decides)") {
+    import spark.implicits._
+    // pk 1: tombstone at cur=10, re-created live at cur=20 → must be
+    //       upserted and NOT deleted (the advisor-flagged undelete case)
+    // pk 2: live at cur=10, deleted at cur=20 → delete, and the stale
+    //       live version must not be upserted
+    // pk 3: plain live row → upserted
+    val data = Seq(
+      (1L, 10L, "old", true), (1L, 20L, "new", false),
+      (2L, 10L, "x", false), (2L, 20L, "x2", true),
+      (3L, 5L, "z", false))
+    val sync = Pipeline.ObjectSync("t",
+      s => { import s.implicits._; data.toDF("id", "cur", "payload", "is_del") },
+      pk = "id", cursorField = "cur", deleteField = Some("is_del"))
+    PipelineSpec.upserts.clear(); PipelineSpec.deletes.clear()
+    val (n, next) = Pipeline.incrementalSync(spark, sync, 0L, 10) {
+      (sql, batch) =>
+        val sink = if (sql.startsWith("DELETE")) PipelineSpec.deletes
+                   else PipelineSpec.upserts
+        batch.foreach(r => sink.add(r.head.asInstanceOf[Long]))
+    }
+    import scala.jdk.CollectionConverters._
+    assert(PipelineSpec.upserts.asScala.map(_.toLong).toSet == Set(1L, 3L))
+    assert(PipelineSpec.deletes.asScala.map(_.toLong).toSet == Set(2L))
+    assert(n == 2)
+    assert(next.contains(20L))
+  }
+
+  test("streaming sync propagates soft deletes per micro-batch") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-streamdel-src").toString
+    val ckpt = Files.createTempDirectory("graft-streamdel-ckpt").toString
+    val df = Seq(
+      (1L, 10L, "a", false), (2L, 10L, "b", true), (3L, 10L, "c", false))
+      .toDF("id", "cur", "payload", "is_del")
+    val sync = Pipeline.ObjectSync("t2", _ => spark.emptyDataFrame,
+      pk = "id", cursorField = "cur", deleteField = Some("is_del"))
+    df.write.mode("append").parquet(srcDir)
+    PipelineSpec.upserts.clear(); PipelineSpec.deletes.clear()
+    val q = Pipeline.streamingSync(spark, sync, srcDir, df.schema, ckpt, 10) {
+      (sql, batch) =>
+        val sink = if (sql.startsWith("DELETE")) PipelineSpec.deletes
+                   else PipelineSpec.upserts
+        batch.foreach(r => sink.add(r.head.asInstanceOf[Long]))
+    }
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(PipelineSpec.upserts.asScala.map(_.toLong).toSet == Set(1L, 3L))
+    assert(PipelineSpec.deletes.asScala.map(_.toLong).toSet == Set(2L))
+  }
+
   test("backfill re-extracts a cursor range idempotently") {
     val all = eventsSync.read(spark)
     val (lo, hi) = {

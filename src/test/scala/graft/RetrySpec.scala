@@ -50,4 +50,19 @@ class RetrySpec extends AnyFunSuite {
     }
     assert(sleeps.max == 300L && sleeps.length == 7)
   }
+
+  test("backoff delay never goes negative at high attempt counts " +
+    "(shift clamp, no Long overflow)") {
+    var sleeps = Vector.empty[Long]
+    intercept[RuntimeException] {
+      Retry.withBackoff(70, baseDelayMs = 100, maxDelayMs = 30000,
+        sleep = d => sleeps :+= d) {
+        throw new RuntimeException("always")
+      }
+    }
+    assert(sleeps.length == 69)
+    assert(sleeps.forall(d => d >= 0 && d <= 30000),
+      s"negative or uncapped delay in $sleeps")
+    assert(sleeps.max == 30000L)
+  }
 }
