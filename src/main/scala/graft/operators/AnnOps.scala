@@ -12,12 +12,15 @@ import org.apache.spark.sql.types._
   *
   * Scale notes (100 TB):
   * - IVF: assignment is a broadcast of the (tiny) centroid set against
-  *   the full table (narrow, no shuffle), then ONE shuffle on cell id
-  *   co-locates each inverted list; the quadratic search runs per-cell,
-  *   so cost drops from n² to Σ|cell|² and the pair exchange never
-  *   carries vectors across cells. On a cluster the centroid set comes
-  *   from a k-means sample; here the seeds are the first 16 vectors so
-  *   the whole operator stays deterministic and DuckDB-checkable.
+  *   the full table (narrow, no shuffle); then the per-cell search is a
+  *   SIZE-DRIVEN physical choice (pairWithinBucket): candidate lists
+  *   are broadcast while the table fits the row limit, and above it
+  *   both sides co-partition on cell id (one Exchange each) so the
+  *   quadratic search runs cell-local — cost drops from n² to Σ|cell|²
+  *   and nothing table-sized is ever broadcast. The oracled entry seeds
+  *   centroids from the first 16 vectors (deterministic,
+  *   DuckDB-checkable); j_ann_ivf_kmeans is the sampled-k-means twin,
+  *   invariant-gated with a measured recall floor.
   * - stratified sample: a pure map-side filter on a stable hash — no
   *   shuffle, reproducible under repartitioning, never rand().
   * - multimodal: payload stays an opaque binary column; every derived
@@ -29,10 +32,79 @@ object AnnOps {
 
   private def unit(s: SparkSession, d: String): DataFrame =
     Par.spread(Tables.embeddings(s, d))
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u"))
+      .select(col("vec_id"), col("label"),
+        expr("transform(v, x -> x / nrm)").as("u"))
+
+  /** Nearest-centroid cell assignment: centroids are the first 16 unit
+    * vectors (deterministic, DuckDB-checkable stand-in for sampled
+    * k-means — see Centroids for the measured-recall k-means twin).
+    * Output: (vec_id, cell, u, label). */
+  private def ivfAssign(u: DataFrame): DataFrame = {
+    val cents = u.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("u").as("cu"))
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(desc("cdot"), asc("cell_id"))
+    u.join(broadcast(cents))
+      .withColumn("cdot", expr("graft_dot(u, cu)"))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id").as("cell"), col("u"),
+        col("label"))
+  }
+
+  /** Rows above which the per-bucket self-join stops broadcasting the
+    * candidate side and co-partitions BOTH sides on the bucket key
+    * instead. Session-tunable so tests (and deployments) can force
+    * either physical shape. */
+  val BroadcastRowLimitKey = "spark.graft.ann.broadcastRowLimit"
+
+  /** Candidate pairing within a bucket, with a size-driven physical
+    * choice: below the row limit the candidate side is broadcast
+    * (BroadcastHashJoin on the bucket key — no probe-side shuffle);
+    * above it both sides are co-partitioned on the bucket key (one
+    * Exchange each, a spill-safe sort-merge join, and the quadratic
+    * search stays bucket-local — nothing table-sized is ever collected
+    * or broadcast). Identical algebra either way, so the oracle hash
+    * is mode-independent.
+    *
+    * `asg` must expose (vec_id, <key>, u); `nRows` is the table's row
+    * count (parquet metadata count — no scan).
+    */
+  private[graft] def pairWithinBucket(asg: DataFrame, key: String,
+                                      nRows: Long,
+                                      candExtra: Seq[String] = Nil): DataFrame = {
+    val a = asg.select(col("vec_id"), col(key), col("u").as("ua"))
+    val b = asg.select(Seq(col("vec_id").as("nn_id"), col(key),
+      col("u").as("ub")) ++ candExtra.map(col): _*)
+    val limit = asg.sparkSession.conf
+      .get(BroadcastRowLimitKey, "1000000").toLong
+    val (pa, pb) =
+      if (nRows <= limit) (a, broadcast(b))
+      else (a.repartition(col(key)).hint("merge"),
+            b.repartition(col(key)))
+    pa.join(pb, Seq(key))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", expr("graft_dot(ua, ub)"))
+      // arrays projected away BEFORE the window shuffle (pair rows
+      // carrying 2×64 doubles would dominate the exchange)
+      .select(Seq(col("vec_id"), col("nn_id"), col("cos")) ++
+        candExtra.map(col): _*)
+  }
+
+  /** Top-3 neighbors per vector from a (vec_id, nn_id, cos) pair set. */
+  private def top3(pairs: DataFrame): DataFrame = {
+    val wTop = Window.partitionBy("vec_id")
+      .orderBy(desc("cos"), asc("nn_id"))
+    pairs
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= 3)
+      .select(col("vec_id"), col("rk"), col("nn_id"),
+        Det.r4(col("cos")).as("cos"))
+      .orderBy("vec_id", "rk")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // IVF-bucketed ANN: assign every vector to its nearest of 16 seed
@@ -40,36 +112,34 @@ object AnnOps {
     // then search top-3 cosine neighbors WITHIN the cell only.
     "j_ann_ivf_topk" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val u = unit(s, d)
-      val cents = u.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cell_id"), col("u").as("cu"))
-      val wAsg = Window.partitionBy("vec_id")
-        .orderBy(desc("cdot"), asc("cell_id"))
-      val asg = u.join(broadcast(cents))
-        .withColumn("cdot", expr("graft_dot(u, cu)"))
-        .withColumn("rn", row_number().over(wAsg))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
-      val a = asg.select(col("vec_id"), col("cell"), col("u").as("ua"))
-      val b = asg.select(col("vec_id").as("nn_id"), col("cell"),
-        col("u").as("ub"))
+      val asg = ivfAssign(unit(s, d)).drop("label")
+      // size-driven physical choice (pairWithinBucket): broadcast the
+      // per-cell candidate lists while they fit, co-partition both
+      // sides on cell once they don't
+      top3(pairWithinBucket(asg, "cell", Tables.embeddings(s, d).count()))
+    },
+
+    // kNN over IVF cells — the bounded-candidate kNN the custom
+    // CosineKnn operator points to at scale: neighbors and the majority
+    // label are computed WITHIN a probe's cell only, so the candidate
+    // set per probe is one inverted list, never the table. Same
+    // size-driven broadcast/co-partition choice as the ANN ops.
+    "j_knn_ivf" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val asg = ivfAssign(unit(s, d))
+      val pairs = pairWithinBucket(asg, "cell",
+        Tables.embeddings(s, d).count(), candExtra = Seq("label"))
       val wTop = Window.partitionBy("vec_id")
         .orderBy(desc("cos"), asc("nn_id"))
-      // candidate lists broadcast → BroadcastHashJoin on cell, no probe
-      // shuffle. At 100 TB the lists outgrow a broadcast: co-partition
-      // BOTH sides on cell instead (one shuffle each, search stays
-      // cell-local) — same algebra, swap broadcast() for repartition().
-      a.join(broadcast(b), Seq("cell"))
-        .filter(col("vec_id") =!= col("nn_id"))
-        .withColumn("cos", expr("graft_dot(ua, ub)"))
-        // arrays projected away BEFORE the window shuffle (pair rows
-        // carrying 2×64 doubles would dominate the exchange)
-        .select(col("vec_id"), col("nn_id"), col("cos"))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 3)
-        .select(col("vec_id"), col("rk"), col("nn_id"),
-          Det.r4(col("cos")).as("cos"))
-        .orderBy("vec_id", "rk")
+      pairs.withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 5)
+        .groupBy(col("vec_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("mr", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(desc("votes"), asc("label"))))
+        .filter(col("mr") === 1)
+        .select(col("vec_id"), col("label").as("maj_label"), col("votes"))
+        .orderBy("vec_id")
     },
 
     // LSH-bucketed ANN — the second bucketing family next to IVF:
@@ -89,20 +159,7 @@ object AnnOps {
           pow(lit(2.0), col("plane_id")).cast(LongType))
           .otherwise(0L)).as("bucket"))
       val asg = u.join(sig, "vec_id")
-      val a = asg.select(col("vec_id"), col("bucket"), col("u").as("ua"))
-      val b = asg.select(col("vec_id").as("nn_id"), col("bucket"),
-        col("u").as("ub"))
-      val wTop = Window.partitionBy("vec_id")
-        .orderBy(desc("cos"), asc("nn_id"))
-      a.join(broadcast(b), Seq("bucket"))
-        .filter(col("vec_id") =!= col("nn_id"))
-        .withColumn("cos", expr("graft_dot(ua, ub)"))
-        .select(col("vec_id"), col("nn_id"), col("cos"))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 3)
-        .select(col("vec_id"), col("rk"), col("nn_id"),
-          Det.r4(col("cos")).as("cos"))
-        .orderBy("vec_id", "rk")
+      top3(pairWithinBucket(asg, "bucket", Tables.embeddings(s, d).count()))
     },
 
     // Deterministic stratified sample: ~10% per language via the
@@ -224,6 +281,33 @@ object AnnOps {
         |FROM pr
         |QUALIFY rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,
+    "j_knn_ivf" ->
+      """WITH ec AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |un AS (
+        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM ec),
+        |uv AS (
+        |  SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
+        |  FROM un),
+        |asg AS (
+        |  SELECT e.vec_id, e.label, e.u, c.vec_id AS cell
+        |  FROM uv e JOIN uv c ON c.vec_id < 16
+        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY list_dot_product(e.u, c.u) DESC, c.vec_id ASC) = 1),
+        |top5 AS (
+        |  SELECT a.vec_id, b.label AS b_label
+        |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |  QUALIFY row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_dot_product(a.u, b.u) DESC, b.vec_id ASC) <= 5),
+        |votes AS (
+        |  SELECT vec_id, b_label, count(*) AS votes
+        |  FROM top5 GROUP BY 1, 2)
+        |SELECT vec_id, b_label AS maj_label, votes FROM votes
+        |QUALIFY row_number() OVER (PARTITION BY vec_id
+        |  ORDER BY votes DESC, b_label ASC) = 1
+        |ORDER BY vec_id""".stripMargin,
     "j_sample_stratified" ->
       s"""SELECT doc_id, lang, ${TextOps.splitBucketSql("doc_id")} AS bucket
         |FROM documents

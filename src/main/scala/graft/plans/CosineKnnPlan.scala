@@ -2,105 +2,144 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** The full custom-operator path (preference cascade step (c), SURVEY
-  * §4): a kNN self-join as a first-class Catalyst citizen — logical
-  * node → planner strategy → physical operator — injected through
+  * §4): a kNN join as a first-class Catalyst citizen — logical node →
+  * planner strategy → physical operator — injected through
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions).
   *
   * Semantics are identical to `plans/KnnJoin.knnBruteForce` (the
   * mapPartitions formulation, cascade step (d)) and to the declarative
-  * join+window formulation; KnnJoinSpec asserts all three agree. The
-  * value of the (c) path: the operator is visible to the optimizer and
-  * EXPLAIN (`CosineKnnExec` in the plan), composes with downstream
-  * logical rewrites, and owns its distribution decision.
+  * join+window formulation; KnnJoinSpec asserts all three agree.
   *
-  * Physical shape: candidates are collected once on the driver and
-  * broadcast (n×dim doubles — at 100 TB, one IVF cell's inverted list,
-  * cf. AnnOps); probes stream per-partition keeping a size-k ordered
-  * buffer, so only n·k rows are ever materialized and no vector
-  * payload enters a shuffle.
+  * Physical shape: a BINARY operator — probes on the left, candidates
+  * on the right. The candidate side declares
+  * `BroadcastDistribution(IdentityBroadcastMode)`, so EnsureRequirements
+  * plans a real `BroadcastExchangeExec` under it: the candidate rows
+  * are collected and shipped by Spark's executor-side broadcast
+  * machinery (size-guarded by `spark.sql.broadcastExchangeMaxSize`,
+  * visible in EXPLAIN, reusable across plan fragments) — never by a
+  * hand-rolled driver `executeCollect`. Each child is its own subtree
+  * executed exactly once, so a nondeterministic input can no longer
+  * yield inconsistent candidate/probe sets for the self-join case (the
+  * caller passes the same deterministic frame twice).
+  *
+  * Probes stream per-partition keeping a size-k ordered buffer, so only
+  * n·k rows are ever materialized and no vector payload enters a
+  * shuffle. At 100 TB the candidate side is one IVF cell's inverted
+  * list (cf. `j_knn_ivf` in AnnOps), bounded by construction.
   */
-case class CosineKnn(child: LogicalPlan, k: Int,
-                     override val output: Seq[Attribute]) extends UnaryNode {
+case class CosineKnn(probe: LogicalPlan, candidates: LogicalPlan, k: Int,
+                     override val output: Seq[Attribute]) extends BinaryNode {
+  override def left: LogicalPlan = probe
+  override def right: LogicalPlan = candidates
   // the operator mints its output attributes (they don't derive from
-  // the child), so declare them produced or CheckAnalysis flags them
-  // as missing from the input
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
-  // the node consumes the child rows positionally but holds no
-  // Expressions over them, so the derived `references` is EMPTY —
-  // without this override ColumnPruning prunes the child to zero
-  // columns and the operator reads type-defaults (0) from empty rows
-  // whenever any projection sits above it
-  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    child.outputSet
-  override protected def withNewChildInternal(c: LogicalPlan): CosineKnn =
-    copy(child = c)
+  // the children), so declare them produced or CheckAnalysis flags
+  // them as missing from the input
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+  // the node consumes child rows positionally but holds no Expressions
+  // over them, so the derived `references` is EMPTY — without this
+  // override ColumnPruning prunes the children to zero columns and the
+  // operator reads type-defaults (0) from empty rows whenever any
+  // projection sits above it
+  override def references: AttributeSet =
+    probe.outputSet ++ candidates.outputSet
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): CosineKnn =
+    copy(probe = newLeft, candidates = newRight)
 }
 
 object CosineKnn {
   /** Fresh output attributes for one operator instance. */
-  def apply(child: LogicalPlan, k: Int): CosineKnn =
-    new CosineKnn(child, k, Seq(
+  def apply(probe: LogicalPlan, candidates: LogicalPlan, k: Int): CosineKnn =
+    new CosineKnn(probe, candidates, k, Seq(
       AttributeReference("a_id", LongType, nullable = false)(),
       AttributeReference("b_id", LongType, nullable = false)(),
       AttributeReference("b_label", IntegerType, nullable = false)(),
       AttributeReference("cos", DoubleType, nullable = false)()))
 
-  /** Dataset-API entry: `df` must expose (id: bigint, u: array<double>
-    * unit vector, label: int) in that positional order. The strategy is
-    * ensured on the session (idempotently) so the helper works on
-    * sessions built without GraftExtensions, e.g. the harness-owned
-    * one. */
-  def knn(df: org.apache.spark.sql.DataFrame, k: Int)
+  /** Dataset-API entry, probe and candidate sides separate: both frames
+    * must expose (id: bigint, u: array<double> unit vector, label: int)
+    * in that positional order. The candidate frame should be bounded
+    * (an IVF cell / LSH bucket at scale); it flows through a real
+    * BroadcastExchange. The strategy is ensured on the session
+    * (idempotently) so the helper works on sessions built without
+    * GraftExtensions, e.g. the harness-owned one. */
+  def knn(probe: org.apache.spark.sql.DataFrame,
+          candidates: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
-    val s = df.sparkSession
+    val s = probe.sparkSession
     if (!s.experimental.extraStrategies.contains(CosineKnnStrategy))
       s.experimental.extraStrategies =
         s.experimental.extraStrategies :+ CosineKnnStrategy
     org.apache.spark.sql.GraftPlanBridge.ofRows(
-      s, CosineKnn(df.queryExecution.analyzed, k))
+      s, CosineKnn(probe.queryExecution.analyzed,
+        candidates.queryExecution.analyzed, k))
   }
+
+  /** Self-kNN: every vector against every other (the brute-force
+    * correctness baseline behind j_knn_per_vector). */
+  def knn(df: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = knn(df, df, k)
 }
 
 /** Plans the logical CosineKnn onto its physical operator. */
 object CosineKnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case ck: CosineKnn =>
-      CosineKnnExec(planLater(ck.child), ck.k, ck.output) :: Nil
+      CosineKnnExec(planLater(ck.probe), planLater(ck.candidates),
+        ck.k, ck.output) :: Nil
     case _ => Nil
   }
 }
 
 /** Broadcast block nested-loop kNN. Child rows must be
   * (id: bigint, u: array<double> unit vector, label: int). */
-case class CosineKnnExec(child: SparkPlan, k: Int,
+case class CosineKnnExec(probe: SparkPlan, candidates: SparkPlan, k: Int,
                          override val output: Seq[Attribute])
-    extends UnaryExecNode {
+    extends BinaryExecNode {
 
-  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
-    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override def left: SparkPlan = probe
+  override def right: SparkPlan = candidates
 
-  override protected def withNewChildInternal(c: SparkPlan): CosineKnnExec =
-    copy(child = c)
+  override def producedAttributes: AttributeSet = AttributeSet(output)
+
+  // EnsureRequirements satisfies this with a BroadcastExchangeExec over
+  // the candidate child — Spark's own broadcast path (driver memory
+  // guard, torrent broadcast, exchange reuse), not a manual collect
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): CosineKnnExec =
+    copy(probe = newLeft, candidates = newRight)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
-    // candidate set: one driver collect + broadcast (bounded — a cell's
-    // inverted list at scale, never a shuffled pair materialization)
-    val cand = child.executeCollect().map { r =>
-      (r.getLong(0), r.getArray(1).toDoubleArray, r.getInt(2))
-    }
-    val bc = sparkContext.broadcast(cand)
+    val bc = candidates.executeBroadcast[Array[InternalRow]]()
     val outTypes: Array[DataType] = output.map(_.dataType).toArray
-    child.execute().mapPartitions { probes =>
+    probe.execute().mapPartitions { probes =>
       val proj = UnsafeProjection.create(outTypes)
-      val cs = bc.value
+      // decode the broadcast candidate rows once per partition; the
+      // arrays then feed the hot loop without per-probe row access
+      val rows = bc.value
+      val n = rows.length
+      val candIds = new Array[Long](n)
+      val candVecs = new Array[Array[Double]](n)
+      val candLabels = new Array[Int](n)
+      var d = 0
+      while (d < n) {
+        val r = rows(d)
+        candIds(d) = r.getLong(0)
+        candVecs(d) = r.getArray(1).toDoubleArray
+        candLabels(d) = r.getInt(2)
+        d += 1
+      }
       probes.flatMap { row =>
         val aId = row.getLong(0)
         val ua = row.getArray(1).toDoubleArray
@@ -111,13 +150,14 @@ case class CosineKnnExec(child: SparkPlan, k: Int,
         val coss = new Array[Double](kk)
         var filled = 0
         var ci = 0
-        while (ci < cs.length) {
-          val (bId, ub, bLabel) = cs(ci)
+        while (ci < n) {
+          val bId = candIds(ci)
           if (bId != aId) {
+            val ub = candVecs(ci)
             var dot = 0.0
             var i = 0
-            val n = math.min(ua.length, ub.length)
-            while (i < n) { dot += ua(i) * ub(i); i += 1 }
+            val len = math.min(ua.length, ub.length)
+            while (i < len) { dot += ua(i) * ub(i); i += 1 }
             var pos = filled
             while (pos > 0 && {
               coss(pos - 1) < dot ||
@@ -130,7 +170,7 @@ case class CosineKnnExec(child: SparkPlan, k: Int,
                 ids(j) = ids(j - 1); labels(j) = labels(j - 1)
                 coss(j) = coss(j - 1); j -= 1
               }
-              ids(pos) = bId; labels(pos) = bLabel; coss(pos) = dot
+              ids(pos) = bId; labels(pos) = candLabels(ci); coss(pos) = dot
               if (filled < kk) filled += 1
             }
           }

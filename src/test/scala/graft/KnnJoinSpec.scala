@@ -44,10 +44,14 @@ class KnnJoinSpec extends SparkSpec {
     val viaStrategy = graft.plans.CosineKnn.knn(
       u.select(col("vec_id"), col("u"), col("label")), 5)
     // the custom node must actually plan to its physical operator
-    // (SparkPlan.nodeName strips the Exec suffix in plan strings)
-    assert(viaStrategy.queryExecution.executedPlan.collect {
-      case e: graft.plans.CosineKnnExec => e
-    }.nonEmpty)
+    // (SparkPlan.nodeName strips the Exec suffix in plan strings); the
+    // exchange requirement makes the plan adaptive, so assert on the
+    // plan string rather than a tree collect that stops at the AQE root
+    val planStr = viaStrategy.queryExecution.executedPlan.toString
+    assert(planStr.contains("CosineKnn"), planStr)
+    // the candidate side flows through Spark's own broadcast exchange
+    // (no hand-rolled driver collect)
+    assert(planStr.contains("BroadcastExchange"), planStr)
     val sRows = viaStrategy
       .select("a_id", "b_id", "b_label", "cos")
       .as[(Long, Long, Int, Double)].collect().sorted.toSeq

@@ -64,6 +64,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("above the broadcast row limit the ANN search co-partitions " +
+    "both sides on the bucket key (Exchange-on-cell, no table broadcast)") {
+    spark.conf.set(operators.AnnOps.BroadcastRowLimitKey, "0")
+    try {
+      val ivf = plan("j_ann_ivf_topk")
+      // the pair join shuffles on the cell key and sort-merges — the
+      // scale shape where no candidate list is ever broadcast
+      assert(ivf.contains("hashpartitioning(cell"), ivf)
+      assert(ivf.contains("SortMergeJoin"), ivf)
+      val lsh = plan("j_ann_lsh_topk")
+      assert(lsh.contains("hashpartitioning(bucket"), lsh)
+      assert(lsh.contains("SortMergeJoin"), lsh)
+    } finally spark.conf.unset(operators.AnnOps.BroadcastRowLimitKey)
+  }
+
+  test("ANN results are identical in broadcast and co-partition modes") {
+    def run(name: String): Seq[String] = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect().map(_.toString).toSeq
+    }
+    val (bIvf, bLsh) = (run("j_ann_ivf_topk"), run("j_ann_lsh_topk"))
+    spark.conf.set(operators.AnnOps.BroadcastRowLimitKey, "0")
+    try {
+      assert(run("j_ann_ivf_topk") == bIvf)
+      assert(run("j_ann_lsh_topk") == bLsh)
+    } finally spark.conf.unset(operators.AnnOps.BroadcastRowLimitKey)
+  }
+
   test("no accidental cartesian products outside the explicit cross join") {
     SparkEntry.queries.keys.filterNot(_ == "c_join_cross").foreach { name =>
       val p = plan(name)
