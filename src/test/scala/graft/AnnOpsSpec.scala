@@ -44,6 +44,54 @@ class AnnOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-means centroids are deterministic across runs and input " +
+    "partitionings") {
+    graft.functions.VectorExprs.register(spark)
+    val u = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id"), col("label"),
+        expr("transform(v, x -> x / nrm)").as("u"))
+    val c1 = operators.AnnOps.kmeansCentroids(u, 16, 5, 256)
+    val c2 = operators.AnnOps.kmeansCentroids(u.repartition(7), 16, 5, 256)
+    assert(c1.length == 16)
+    c1.zip(c2).foreach { case ((i1, v1), (i2, v2)) =>
+      assert(i1 == i2 && v1.sameElements(v2),
+        s"centroid $i1 differs under repartitioning")
+    }
+  }
+
+  test("j_ann_ivf_kmeans recall@3 vs brute force is >= 0.8 on sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    val ivf = SparkEntry.queries("j_ann_ivf_kmeans")(spark, d)
+      .select("vec_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // brute-force exact top-3 (same tie rule: cos desc, nn_id asc)
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val units = emb.map { case (id, v) => id -> unit(v) }
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val exact = units.map { case (id, ua) =>
+      id -> units.filter(_._1 != id)
+        .map { case (bid, ub) => (dot(ua, ub), bid) }
+        .sortBy { case (c, bid) => (-c, bid) }.take(3).map(_._2).toSet
+    }.toMap
+    val recalls = exact.toSeq.map { case (id, ex) =>
+      ivf.getOrElse(id, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@3 = $mean%.3f over ${recalls.size} probes")
+    assert(mean >= 0.8, f"recall@3 $mean%.3f below 0.8")
+  }
+
   test("j_ann_lsh_topk: every neighbor shares the probe's hyperplane " +
     "signature (bucketed search never crosses buckets)") {
     val emb = Tables.embeddings(spark, sfDir)

@@ -67,6 +67,47 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("rare-shingle blocking loses no qualifying pair: blocked jaccard " +
+    "and cascade equal the all-pairs formulation at sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    graft.functions.VectorExprs.register(spark)
+    val ex = Tables.documents(spark, d)
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // cutoff = MaxValue ⇒ every shingle is a blocking key ⇒ exactly the
+    // unblocked all-pairs semantics, through the same verify stage
+    def pairs(cutoff: Int, tau: Double): Set[(Long, Long, Long)] =
+      operators.LlmOps.exactPairStats(ex,
+          operators.LlmOps.rareShingleCandidates(ex, cutoff))
+        .filter(col("jac") >= tau)
+        .select("doc_a", "doc_b", "n_common")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(pairs(operators.LlmOps.DfCutoff, 0.2) ==
+      pairs(Int.MaxValue, 0.2), "blocked τ=0.2 pair set differs")
+    def casc(cutoff: Int): Set[(Long, Long)] =
+      operators.LlmOps.dedupCascade(ex,
+          operators.LlmOps.rareShingleCandidates(ex, cutoff), 0.6)
+        .as[(Long, Long)].collect().toSet
+    assert(casc(operators.LlmOps.DfCutoff) == casc(Int.MaxValue),
+      "blocked cascade decision differs")
+  }
+
+  test("LSH-driven cascade: planted dups flow candidates → exact " +
+    "verify → dup decision") {
+    graft.functions.VectorExprs.register(spark)
+    val docs = docsWithPlantedDups
+    val ex = docs
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dec = operators.LlmOps.dedupCascade(
+        ex, operators.LlmOps.minhashCandidates(docs), tau = 0.99)
+      .as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { id =>
+      assert(dec.get(id + 10000).exists(_ <= id),
+        s"planted dup ${id + 10000} not routed to a smaller partner")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("d_agg_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap
