@@ -70,7 +70,7 @@ object LlmOps {
   private[graft] val DfCutoff = 50
 
   /** Candidate pairs sharing at least one shingle with document
-    * frequency ≤ cutoff. The self-join key is now bounded-fan-out by
+    * frequency ≤ cutoff. The self-join key is bounded-fan-out by
     * construction — the skew-safe blocking stage of the cascade. */
   private[graft] def rareShingleCandidates(ex: DataFrame,
                                            cutoff: Int): DataFrame = {
@@ -84,8 +84,9 @@ object LlmOps {
       .distinct()
   }
 
-  /** Exact verification stage: full-shingle-set intersection and
-    * jaccard for the CANDIDATE pairs only — never an all-pairs pass.
+  /** Exact verification stage for an EXTERNAL candidate set (LSH/
+    * SimHash bands): full-shingle-set intersection and jaccard for the
+    * candidate pairs only — never an all-pairs pass.
     * Output: (doc_a, doc_b, n_common, sh_a, sh_b, jac). */
   private[graft] def exactPairStats(ex: DataFrame,
                                     cand: DataFrame): DataFrame = {
@@ -101,18 +102,70 @@ object LlmOps {
         (col("sh_a") + col("sh_b") - col("n_common")))
   }
 
-  /** The dedup cascade (the design the §2.J scaladoc promises):
-    * blocking candidates from ANY cheap stage — MinHash-LSH bands,
-    * SimHash bands, or the rare-shingle blocker — verified by exact
-    * jaccard on candidates only, then a deterministic keep/dup
-    * decision: a document is a duplicate of its smallest verified
-    * partner with a lower doc_id. Returns (doc_id, dup_of). */
-  def dedupCascade(ex: DataFrame, candidates: DataFrame,
-                   tau: Double): DataFrame =
-    exactPairStats(ex, candidates)
-      .filter(col("jac") >= tau)
+  /** Rare-shingle-blocked pair stats in ONE pass over the postings:
+    * the rare self-join yields candidate pairs WITH their rare-shared
+    * count directly (no separate candidate materialization + full
+    * rejoin), and only the hot postings (df > cutoff — a small set by
+    * definition) are joined back to complete the intersection count.
+    * n_common = rare_common + hot_common is exact, so results equal
+    * the all-pairs formulation for every emitted pair. The postings
+    * frame is persisted — it feeds five consumers (df, rare, hot,
+    * sizes) and shingle explosion is the expensive part; the persist
+    * is also shared across the jaccard and cascade queries via
+    * CacheManager plan matching. */
+  private[graft] def blockedPairStats(ex: DataFrame, cutoff: Int): DataFrame = {
+    val exP = ex.persist()
+    val dfreq = exP.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val posts = exP.join(dfreq, "shingle")
+    val rare = posts.filter(col("df") <= cutoff).select("doc_id", "shingle")
+    val hot = posts.filter(col("df") > cutoff).select("doc_id", "shingle")
+    val rarePairs = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("rare_common"))
+    val hotA = hot.select(col("doc_id").as("doc_a"), col("shingle").as("sh"))
+    val hotB = hot.select(col("doc_id").as("doc_b"), col("shingle").as("sh"))
+    val hotPairs = rarePairs.select("doc_a", "doc_b")
+      .join(hotA, "doc_a").join(hotB, Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("hot_common"))
+    val sizes = exP.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
+    rarePairs.join(hotPairs, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common",
+        col("rare_common") + coalesce(col("hot_common"), lit(0L)))
+      .join(sizes.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("jac", col("n_common").cast(DoubleType) /
+        (col("sh_a") + col("sh_b") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sh_a"), col("sh_b"), col("jac"))
+      // pair stats feed BOTH the τ=0.2 report and the τ=0.6 cascade —
+      // identical subplan, so one persisted computation serves both
+      // queries via CacheManager plan matching
+      .persist()
+  }
+
+  /** Deterministic keep/dup decision over verified pairs: a document
+    * is a duplicate of its smallest verified partner with a lower
+    * doc_id. Returns (doc_id, dup_of). */
+  private def dupDecision(pairs: DataFrame, tau: Double): DataFrame =
+    pairs.filter(col("jac") >= tau)
       .groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
       .select(col("doc_b").as("doc_id"), col("dup_of"))
+
+  /** The dedup cascade (the design the §2.J scaladoc promises):
+    * blocking candidates from ANY cheap stage — MinHash-LSH bands,
+    * SimHash bands — verified by exact jaccard on candidates only,
+    * then the deterministic keep/dup decision. */
+  def dedupCascade(ex: DataFrame, candidates: DataFrame,
+                   tau: Double): DataFrame =
+    dupDecision(exactPairStats(ex, candidates), tau)
+
+  /** The cascade with the built-in rare-shingle blocker (single-pass
+    * blocked stats — see [[blockedPairStats]]). */
+  def dedupCascadeBlocked(ex: DataFrame, cutoff: Int,
+                          tau: Double): DataFrame =
+    dupDecision(blockedPairStats(ex, cutoff), tau)
 
   /** MinHash banding candidates (k=12 hashes, 4 bands × 3 rows) — the
     * sub-quadratic blocking stage behind j_dedup_near_minhash and the
@@ -170,8 +223,7 @@ object LlmOps {
     // the unblocked formulation).
     "j_jaccard_shingle_pairs" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val ex = shingleEx(s, d)
-      exactPairStats(ex, rareShingleCandidates(ex, DfCutoff))
+      blockedPairStats(shingleEx(s, d), DfCutoff)
         .filter(col("jac") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("n_common"), Det.r4(col("jac")).as("jac"))
         .orderBy("doc_a", "doc_b")
@@ -186,8 +238,7 @@ object LlmOps {
     // pairs only.
     "j_dedup_cascade" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val ex = shingleEx(s, d)
-      dedupCascade(ex, rareShingleCandidates(ex, DfCutoff), tau = 0.6)
+      dedupCascadeBlocked(shingleEx(s, d), DfCutoff, tau = 0.6)
         .orderBy("doc_id")
     },
 
@@ -262,8 +313,11 @@ object LlmOps {
     // tf-idf, top-3 terms per document.
     "j_tfidf_topterms" -> { (s, d) =>
       val docs = Par.spread(Tables.documents(s, d))
+      // tf feeds three consumers (df, the join, and via df the score);
+      // persist so the token explosion+aggregation runs once
       val tf = docs.select(col("doc_id"), explode(toks).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist()
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))

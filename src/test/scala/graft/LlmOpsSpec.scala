@@ -74,22 +74,29 @@ class LlmOpsSpec extends SparkSpec {
     val ex = Tables.documents(spark, d)
       .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    // cutoff = MaxValue ⇒ every shingle is a blocking key ⇒ exactly the
-    // unblocked all-pairs semantics, through the same verify stage
-    def pairs(cutoff: Int, tau: Double): Set[(Long, Long, Long)] =
+    // reference = all-pairs semantics via the candidate-driven verify
+    // stage with EVERY sharing pair as a candidate (independent code
+    // path from blockedPairStats, so this cross-validates the rare/hot
+    // split too)
+    def allPairs(tau: Double): Set[(Long, Long, Long)] =
       operators.LlmOps.exactPairStats(ex,
-          operators.LlmOps.rareShingleCandidates(ex, cutoff))
+          operators.LlmOps.rareShingleCandidates(ex, Int.MaxValue))
         .filter(col("jac") >= tau)
         .select("doc_a", "doc_b", "n_common")
         .as[(Long, Long, Long)].collect().toSet
-    assert(pairs(operators.LlmOps.DfCutoff, 0.2) ==
-      pairs(Int.MaxValue, 0.2), "blocked τ=0.2 pair set differs")
-    def casc(cutoff: Int): Set[(Long, Long)] =
-      operators.LlmOps.dedupCascade(ex,
-          operators.LlmOps.rareShingleCandidates(ex, cutoff), 0.6)
-        .as[(Long, Long)].collect().toSet
-    assert(casc(operators.LlmOps.DfCutoff) == casc(Int.MaxValue),
-      "blocked cascade decision differs")
+    def blocked(tau: Double): Set[(Long, Long, Long)] =
+      operators.LlmOps.blockedPairStats(ex, operators.LlmOps.DfCutoff)
+        .filter(col("jac") >= tau)
+        .select("doc_a", "doc_b", "n_common")
+        .as[(Long, Long, Long)].collect().toSet
+    assert(blocked(0.2) == allPairs(0.2), "blocked τ=0.2 pair set differs")
+    val cascBlocked = operators.LlmOps.dedupCascadeBlocked(
+        ex, operators.LlmOps.DfCutoff, 0.6)
+      .as[(Long, Long)].collect().toSet
+    val cascAll = operators.LlmOps.dedupCascade(ex,
+        operators.LlmOps.rareShingleCandidates(ex, Int.MaxValue), 0.6)
+      .as[(Long, Long)].collect().toSet
+    assert(cascBlocked == cascAll, "blocked cascade decision differs")
   }
 
   test("LSH-driven cascade: planted dups flow candidates → exact " +
