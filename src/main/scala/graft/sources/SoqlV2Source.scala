@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,6 +39,10 @@ trait SoqlEndpoint extends Serializable {
   /** Which pushed predicates this endpoint can evaluate remotely
     * (translate into the SOQL WHERE clause). */
   def accepts(f: Filter): Boolean = SoqlFilters.translatable(f)
+  /** Largest committed value of the cursor field right now — the
+    * streaming high-watermark (`SELECT MAX(cursor) FROM obj`). None on
+    * an empty object. */
+  def maxCursor(field: String): Option[Long] = None
 }
 
 /** SOQL translation for the pushable predicate subset. */
@@ -91,8 +96,8 @@ object SoqlEndpoints {
 
 /** In-memory endpoint fake: rows loaded from parquet by the test,
   * filters evaluated locally — the contract double for the REST API. */
-final case class InMemoryEndpoint(schema: StructType, rows: Seq[Seq[Any]],
-                                  override val pageCount: Int = 4)
+class InMemoryEndpoint(val schema: StructType, rows: Seq[Seq[Any]],
+                       override val pageCount: Int = 4)
     extends SoqlEndpoint {
   override def describe(): StructType = schema
 
@@ -122,11 +127,48 @@ final case class InMemoryEndpoint(schema: StructType, rows: Seq[Seq[Any]],
   override def query(cols: Seq[String], filters: Seq[Filter],
                      page: Int): Iterator[Seq[Any]] = {
     val colIdx = cols.map(idx)
-    rows.iterator.zipWithIndex
+    current.iterator.zipWithIndex
       .filter { case (_, i) => i % pageCount == page }
       .map(_._1)
       .filter(r => filters.forall(eval(_, r)))
       .map(r => colIdx.map(r))
+  }
+
+  /** Snapshot of the row set (overridden by the mutable variant). */
+  protected def current: Seq[Seq[Any]] = rows
+
+  override def maxCursor(field: String): Option[Long] = {
+    val i = idx(field)
+    val vs = current.iterator.map(_(i)).collect {
+      case l: Long => l
+      case n: Number => n.longValue
+    }.toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+}
+
+object InMemoryEndpoint {
+  def apply(schema: StructType, rows: Seq[Seq[Any]],
+            pageCount: Int = 4): InMemoryEndpoint =
+    new InMemoryEndpoint(schema, rows, pageCount)
+}
+
+/** Appendable endpoint fake for the streaming tests: new records land
+  * via [[append]], and each micro-batch pull sees the snapshot at call
+  * time. Single-JVM by construction (local-mode tests); a cluster
+  * deployment implements SoqlEndpoint over the real remote API, which
+  * is shared state by nature. */
+final class MutableSoqlEndpoint(schema: StructType,
+                                initial: Seq[Seq[Any]],
+                                pages: Int = 4)
+    extends InMemoryEndpoint(schema, initial, pages) {
+  private val buf =
+    new java.util.concurrent.CopyOnWriteArrayList[Seq[Any]]()
+  initial.foreach(buf.add)
+  def append(rows: Seq[Seq[Any]]): Unit = rows.foreach(buf.add)
+  override protected def current: Seq[Seq[Any]] = {
+    import scala.jdk.CollectionConverters._
+    buf.asScala.toSeq
   }
 }
 
@@ -147,30 +189,41 @@ class SoqlTableProvider extends TableProvider with DataSourceRegister {
     SoqlEndpoints(objName(options)).describe()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: java.util.Map[String, String]): Table =
-    SoqlTable(properties.get("object"), schema)
+                        properties: java.util.Map[String, String]): Table = {
+    // properties preserve the reader options; key lookup must be
+    // case-insensitive (.option("cursorField", …) arrives verbatim)
+    import scala.jdk.CollectionConverters._
+    def prop(key: String): Option[String] = properties.asScala
+      .collectFirst { case (k, v) if k.equalsIgnoreCase(key) => v }
+    SoqlTable(prop("object").orNull, schema, prop("cursorField"))
+  }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final case class SoqlTable(obj: String, override val schema: StructType)
+final case class SoqlTable(obj: String, override val schema: StructType,
+                           cursorField: Option[String])
     extends Table with SupportsRead {
   override def name(): String = s"soql:$obj"
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SoqlScanBuilder(obj, schema)
+    new SoqlScanBuilder(obj, schema, cursorField)
 }
 
 /** Folds Catalyst pushdown into the SOQL: accepted filters join the
   * WHERE clause (and are NOT re-evaluated by Spark); pruned columns
-  * become the SELECT list. */
-final class SoqlScanBuilder(obj: String, full: StructType)
+  * become the SELECT list; a pushed LIMIT becomes a per-page row cap
+  * (partial pushdown — Spark keeps its global limit). */
+final class SoqlScanBuilder(obj: String, full: StructType,
+                            cursorField: Option[String])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val ep = SoqlEndpoints(obj)
@@ -186,18 +239,27 @@ final class SoqlScanBuilder(obj: String, full: StructType)
     required = StructType(full.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = SoqlScan(obj, required, pushed)
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  // each page returns at most `limit` rows — an upper bound, not the
+  // global cut, so Spark must still apply its own limit
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = SoqlScan(obj, required, pushed, limit,
+    cursorField)
 }
 
 final case class SoqlScan(obj: String, required: StructType,
-                          pushed: Array[Filter]) extends Scan with Batch {
+                          pushed: Array[Filter], limit: Option[Int],
+                          cursorField: Option[String])
+    extends Scan with Batch {
   val soql: String =
-    SoqlFilters.soqlFor(obj, required.fieldNames.toSeq, pushed.toSeq)
+    SoqlFilters.soqlFor(obj, required.fieldNames.toSeq, pushed.toSeq) +
+      limit.map(l => s" LIMIT $l").getOrElse("")
 
   override def readSchema(): StructType = required
 
-  // EXPLAIN shows the exact remote query — PlanSpec pins the pushed
-  // cursor predicate through this
+  // EXPLAIN shows the exact remote query — Dsv2SourceSpec pins the
+  // pushed cursor predicate through this
   override def description(): String = s"SoqlScan soql=[$soql]"
 
   override def toBatch: Batch = this
@@ -206,21 +268,62 @@ final case class SoqlScan(obj: String, required: StructType,
     Array.tabulate(SoqlEndpoints(obj).pageCount)(SoqlPagePartition(_))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SoqlReaderFactory(obj, required, pushed.toSeq)
+    SoqlReaderFactory(obj, required, pushed.toSeq, limit)
+
+  /** The streaming twin of the incremental extract: the cursor field
+    * IS the stream offset. Each micro-batch pulls
+    * `WHERE cursor > start AND cursor <= end` (end = the endpoint's
+    * MAX(cursor) at planning time) through the same paged readers, so
+    * batch and streaming share one extraction path and the checkpoint
+    * carries exactly the CursorStore contract. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SoqlMicroBatchStream(obj, required, pushed.toSeq,
+      cursorField.getOrElse(throw new IllegalArgumentException(
+        "streaming read requires .option(\"cursorField\", <column>)")))
+}
+
+final case class SoqlCursorOffset(cursor: Long) extends Offset {
+  override def json(): String = cursor.toString
+}
+
+final class SoqlMicroBatchStream(obj: String, required: StructType,
+                                 pushed: Seq[Filter], cursorField: String)
+    extends MicroBatchStream {
+  override def initialOffset(): Offset = SoqlCursorOffset(Long.MinValue)
+  override def latestOffset(): Offset = SoqlCursorOffset(
+    SoqlEndpoints(obj).maxCursor(cursorField).getOrElse(Long.MinValue))
+  override def deserializeOffset(json: String): Offset =
+    SoqlCursorOffset(json.toLong)
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SoqlCursorOffset].cursor
+    val hi = end.asInstanceOf[SoqlCursorOffset].cursor
+    if (hi <= lo) Array.empty
+    else Array.tabulate(SoqlEndpoints(obj).pageCount)(
+      SoqlStreamPartition(_, lo, hi))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    SoqlStreamReaderFactory(obj, required, pushed, cursorField)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class SoqlPagePartition(page: Int) extends InputPartition
 
-final case class SoqlReaderFactory(obj: String, required: StructType,
-                                   filters: Seq[Filter])
-    extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val page = p.asInstanceOf[SoqlPagePartition].page
+final case class SoqlStreamPartition(page: Int, lo: Long, hi: Long)
+    extends InputPartition
+
+/** Shared page reader: converts endpoint rows to InternalRows via the
+  * Catalyst converter for the pruned schema. */
+private[v2] object SoqlPageReader {
+  def apply(obj: String, required: StructType, filters: Seq[Filter],
+            limit: Option[Int], page: Int): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private val toCatalyst =
         CatalystTypeConverters.createToCatalystConverter(required)
-      private val it = SoqlEndpoints(obj)
+      private val base = SoqlEndpoints(obj)
         .query(required.fieldNames.toSeq, filters, page)
+      private val it = limit.fold(base)(l => base.take(l))
       private var current: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) {
@@ -231,5 +334,24 @@ final case class SoqlReaderFactory(obj: String, required: StructType,
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
+}
+
+final case class SoqlReaderFactory(obj: String, required: StructType,
+                                   filters: Seq[Filter], limit: Option[Int])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    SoqlPageReader(obj, required, filters, limit,
+      p.asInstanceOf[SoqlPagePartition].page)
+}
+
+final case class SoqlStreamReaderFactory(obj: String, required: StructType,
+                                         filters: Seq[Filter],
+                                         cursorField: String)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SoqlStreamPartition]
+    val bounds = Seq(GreaterThan(cursorField, sp.lo),
+      LessThanOrEqual(cursorField, sp.hi))
+    SoqlPageReader(obj, required, filters ++ bounds, None, sp.page)
   }
 }

@@ -62,6 +62,51 @@ class Dsv2SourceSpec extends SparkSpec {
       eventsDf.filter(col("event_type").startsWith("cl")).count())
   }
 
+  test("pushed LIMIT reaches the SOQL as a per-page cap") {
+    registerEvents()
+    val df = sourceDf.select("event_id").limit(5)
+    val plan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("LIMIT 5"), plan)
+    assert(df.collect().length == 5)
+  }
+
+  test("micro-batch stream: the cursor field is the offset — each " +
+    "batch pulls only rows past the last committed cursor") {
+    import graft.sources.v2.MutableSoqlEndpoint
+    val schema = eventsDf.schema
+    val all = eventsDf.collect().map(_.toSeq).toSeq
+    val mid = eventsDf.selectExpr("percentile(ts_us, 0.5)").head()
+      .getDouble(0).toLong
+    val (first, second) = all.partition(_(1).asInstanceOf[Long] <= mid)
+    val ep = new MutableSoqlEndpoint(schema, first)
+    SoqlEndpoints.register("events_stream", ep)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-soql-ckpt").toString
+    Dsv2SourceSpec.streamSeen.clear()
+    val q = spark.readStream.format("graft-soql")
+      .option("object", "events_stream").option("cursorField", "ts_us")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r =>
+            Dsv2SourceSpec.streamSeen.add(r.getLong(0)))
+          ()
+      }.start()
+    q.processAllAvailable()
+    assert(Dsv2SourceSpec.streamSeen.size == first.size,
+      "first micro-batch should pull the initial rows exactly once")
+    // new records land at the endpoint; the next batch pulls ONLY them
+    ep.append(second)
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val seen = Dsv2SourceSpec.streamSeen.asScala.map(_.toLong).toSeq
+    assert(seen.size == all.size, "re-pulled or dropped rows across batches")
+    assert(seen.toSet == all.map(_.head.asInstanceOf[Long]).toSet)
+  }
+
   test("Pipeline.fullSync runs end to end through the DSv2 source") {
     registerEvents()
     val sync = Pipeline.ObjectSync("events_t",
@@ -94,4 +139,6 @@ object Dsv2SourceSpec {
   // static so the executor-side sink closure (same JVM in local mode)
   // mutates THIS queue, not a serialized copy
   val seen = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  val streamSeen =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
 }
