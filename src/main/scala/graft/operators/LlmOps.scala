@@ -242,6 +242,19 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // The same cascade driven by MinHash-LSH banding candidates — the
+    // sub-quadratic blocking a 100 TB corpus actually uses (shuffle
+    // carries 8-byte band signatures, never text). No oracle
+    // (hash-seeded bands won't twin in SQL); LlmOpsSpec gates it:
+    // every emitted dup has verified jaccard ≥ τ (soundness), planted
+    // dups are found and routed to smaller partners (recall).
+    "j_dedup_cascade_lsh" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val docs = Par.spread(Tables.documents(s, d))
+      dedupCascade(shingleEx(s, d), minhashCandidates(docs), tau = 0.6)
+        .orderBy("doc_id")
+    },
+
     // Brute-force cosine top-10 pairs — correctness baseline for ANN.
     // Cosine is the native codegen'd ArrayCosineSimilarity expression
     // (graft.functions.VectorExprs): the HOF formulation

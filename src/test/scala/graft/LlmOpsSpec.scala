@@ -99,6 +99,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(cascBlocked == cascAll, "blocked cascade decision differs")
   }
 
+  test("j_dedup_cascade_lsh is sound: every emitted dup pair has " +
+    "exact jaccard >= tau") {
+    val out = SparkEntry.queries("j_dedup_cascade_lsh")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    if (out.nonEmpty) {
+      graft.functions.VectorExprs.register(spark)
+      val sh = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), expr("graft_shingles(text, 3)").as("s"))
+        .as[(Long, Seq[String])].collect().toMap
+      out.foreach { case (docId, dupOf) =>
+        assert(dupOf < docId, "dup_of must be the smaller id")
+        val (a, b) = (sh(dupOf).toSet, sh(docId).toSet)
+        val jac = a.intersect(b).size.toDouble / a.union(b).size
+        assert(jac >= 0.6, f"($dupOf,$docId) emitted with jaccard $jac%.3f")
+      }
+    }
+  }
+
   test("LSH-driven cascade: planted dups flow candidates → exact " +
     "verify → dup decision") {
     graft.functions.VectorExprs.register(spark)
