@@ -12,6 +12,12 @@ object TimeQ {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc session conf for A/B runs, e.g.
+    // SPARK_GRAFT_CONF=spark.graft.ann.broadcastRowLimit=0
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     spark.range(1000).selectExpr("sum(id)").collect()
     for (rep <- 1 to 3; n <- names) {
       val t0 = System.nanoTime()
