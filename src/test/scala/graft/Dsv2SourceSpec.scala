@@ -107,6 +107,33 @@ class Dsv2SourceSpec extends SparkSpec {
     assert(seen.toSet == all.map(_.head.asInstanceOf[Long]).toSet)
   }
 
+  test("an empty endpoint reads as zero rows in batch and produces no " +
+    "micro-batches in streaming") {
+    import graft.sources.v2.MutableSoqlEndpoint
+    val ep = new MutableSoqlEndpoint(eventsDf.schema, Seq.empty)
+    SoqlEndpoints.register("events_empty", ep)
+    val df = spark.read.format("graft-soql")
+      .option("object", "events_empty").load()
+    assert(df.count() == 0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-soql-empty-ckpt").toString
+    Dsv2SourceSpec.streamSeen.clear()
+    val q = spark.readStream.format("graft-soql")
+      .option("object", "events_empty").option("cursorField", "ts_us")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.collect().foreach(r =>
+            Dsv2SourceSpec.streamSeen.add(r.getLong(0)))
+          ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(Dsv2SourceSpec.streamSeen.isEmpty,
+      "empty endpoint emitted stream rows")
+  }
+
   test("Pipeline.fullSync runs end to end through the DSv2 source") {
     registerEvents()
     val sync = Pipeline.ObjectSync("events_t",

@@ -63,6 +63,68 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("blockedPairStats matches a pure-Scala jaccard reference on " +
+    "random corpora (any pair sharing a rare shingle)") {
+    graft.functions.VectorExprs.register(spark)
+    // random docs over a small token pool so shared shingles (and df
+    // skew) actually occur
+    val token = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val doc = Gen.chooseNum(3, 8).flatMap(n => Gen.listOfN(n, token))
+      .map(_.mkString(" "))
+    val corpus = Gen.chooseNum(8, 16).flatMap(n => Gen.listOfN(n, doc))
+    samples(corpus, 5).foreach { docs =>
+      val cutoff = 4
+      def shingles(t: String): Set[String] = {
+        val ts = t.split(" ")
+        if (ts.length < 3) Set.empty
+        else ts.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sh = docs.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }
+      val df = sh.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+      // reference: every pair sharing >=1 rare shingle, exact stats
+      val expected = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        shared = sa.intersect(sb)
+        if shared.exists(s => df(s) <= cutoff)
+      } yield ((a, b), (shared.size.toLong, sa.size, sb.size))).toMap
+      val ex = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+        .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      val got = graft.operators.LlmOps.blockedPairStats(ex, cutoff)
+        .select("doc_a", "doc_b", "n_common", "sh_a", "sh_b")
+        .as[(Long, Long, Long, Int, Int)].collect()
+        .map { case (a, b, n, x, y) => ((a, b), (n, x, y)) }.toMap
+      assert(got == expected,
+        s"mismatch on corpus ${docs.mkString("|")}")
+    }
+  }
+
+  test("a hot shingle cannot blow up the blocked self-join: candidate " +
+    "pairs are bounded by the df cutoff, results stay exact") {
+    graft.functions.VectorExprs.register(spark)
+    import spark.implicits._
+    // 200 docs all sharing one hot trigram, otherwise unique content:
+    // naive all-pairs blocking would emit C(200,2)=19900 candidates
+    // from the hot key alone; the blocker must emit none from it
+    val docs = (0 until 200).map(i =>
+      (i.toLong, s"common hot trigram unique$i token$i filler$i"))
+    val ex = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val cutoff = 50
+    val stats = graft.operators.LlmOps.blockedPairStats(ex, cutoff)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // "common hot trigram" (df=200 > cutoff) is the only shared
+    // shingle — no pair shares a rare one, so zero candidates survive
+    assert(stats.isEmpty,
+      s"hot-only pairs leaked through the blocker: ${stats.take(5).toSeq}")
+    // sanity: the naive sharing-pair count really is quadratic here
+    val naive = graft.operators.LlmOps
+      .rareShingleCandidates(ex, Int.MaxValue).count()
+    assert(naive == 19900L, s"expected 19900 naive pairs, got $naive")
+  }
+
   test("upsert latest-wins keeps exactly the highest version per key") {
     val kv = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)))
     samples(kv).foreach { kvs =>
