@@ -366,7 +366,7 @@ object LlmOps {
   )
 
   // Shared SQL fragment: distinct 3-token shingles (mirrors `shingles`).
-  private val shSql =
+  private[operators] val shSql =
     """list_distinct(list_filter(
       |  list_transform(string_split(text,' '), (t, i) ->
       |    array_to_string(string_split(text,' ')[i:i+2], ' ')),

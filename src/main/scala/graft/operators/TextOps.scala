@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{Det, Tables}
+import graft.{Det, Par, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -191,10 +191,80 @@ object TextOps {
             (acc, w) => acc + ceil(length(w) / lit(4.0)).cast(LongType))
             .as("n_subtokens"))
         .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination scoring: per-doc overlap of 3-token
+    // shingles against a held-out "benchmark" shingle set (stand-in:
+    // docs 0–4 — a real pipeline registers its eval suites here). The
+    // benchmark set is tiny → broadcast; the per-doc pass is one
+    // narrow explode + one broadcast semi-join, so cost is linear in
+    // corpus size at 100 TB. Score in basis points via integer
+    // division — exact cross-engine arithmetic, no double rounding.
+    "j_text_contamination" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val ex = Par.spread(Tables.documents(s, d))
+        .select(col("doc_id"), explode(expr("graft_shingles(text, 3)"))
+          .as("shingle"))
+      val bench = ex.filter(col("doc_id") < 5)
+        .select(col("shingle")).distinct()
+      val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val hits = ex.filter(col("doc_id") >= 5)
+        .join(broadcast(bench), "shingle")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      sizes.filter(col("doc_id") >= 5)
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .withColumn("contam_bp", expr("(n_hit * 10000) div n_sh"))
+        .select("doc_id", "n_sh", "n_hit", "contam_bp")
+        .orderBy("doc_id")
+    },
+
+    // Source-mix planning: per-source document counts, the
+    // downsample-to-min keep rate (basis points, exact integer
+    // arithmetic), and a temperature-style mix weight
+    // sqrt(n_source / n_total) (irrational → safe under round-4).
+    // This is the "how do I weight my corpora" pass every
+    // training-data pipeline runs before sampling; composes with
+    // j_sample_stratified for the actual deterministic sample.
+    "j_sample_mix_weights" -> { (s, d) =>
+      val bySource = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val totals = bySource.agg(
+        sum("n_docs").cast(LongType).as("n_total"),
+        min("n_docs").cast(LongType).as("n_min"))
+      bySource.crossJoin(totals)
+        .withColumn("keep_rate_bp", expr("(n_min * 10000) div n_docs"))
+        .withColumn("mix_weight",
+          Det.r4(sqrt(col("n_docs").cast("double") / col("n_total"))))
+        .select("source", "n_docs", "keep_rate_bp", "mix_weight")
+        .orderBy("source")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "j_text_contamination" ->
+      s"""WITH sh AS (SELECT doc_id, ${LlmOps.shSql} AS s FROM documents),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 5),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+         |hits AS (
+         |  SELECT ex.doc_id, count(*) AS n_hit
+         |  FROM ex JOIN bench USING (shingle)
+         |  WHERE ex.doc_id >= 5 GROUP BY ex.doc_id)
+         |SELECT s.doc_id, s.n_sh, coalesce(h.n_hit, 0) AS n_hit,
+         |  (coalesce(h.n_hit, 0) * 10000) // s.n_sh AS contam_bp
+         |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+         |WHERE s.doc_id >= 5 ORDER BY s.doc_id""".stripMargin,
+    "j_sample_mix_weights" ->
+      """WITH b AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |         CAST(min(n_docs) AS BIGINT) AS n_min FROM b)
+        |SELECT source, n_docs,
+        |  (n_min * 10000) // n_docs AS keep_rate_bp,
+        |  round(sqrt(CAST(n_docs AS DOUBLE) / n_total), 4) AS mix_weight
+        |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
     "j_dedup_embed_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
