@@ -60,6 +60,28 @@ object StreamingOps {
         .groupBy("user_id", "event_type", "minute_us")
         .agg(min(col("event_id")).as("keep_id"), count(lit(1)).as("n_in_key"))
         .orderBy("user_id", "event_type", "minute_us")
+    },
+
+    // Stream-stream interval join, batch twin: view→purchase
+    // attribution per user within 1 hour. The equi-key (user_id)
+    // carries the shuffle; the time band is a post-join range filter —
+    // under readStream the same join runs with watermarks on both
+    // sides and the band bounds each side's state retention
+    // (StreamingSpec proves streaming/batch parity).
+    "k_stream_join" -> { (s, d) =>
+      val e = Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts_us").as("view_us"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts_us").as("buy_us"))
+      views.join(buys, col("user_id") === col("b_user") &&
+          col("buy_us") >= col("view_us") &&
+          col("buy_us") <= col("view_us") + 3600000000L)
+        .select("user_id", "view_id", "buy_id", "view_us", "buy_us")
+        .orderBy("user_id", "view_id", "buy_id")
     }
   )
 
@@ -99,6 +121,20 @@ object StreamingOps {
         |  (epoch_us(ts) // 60000000) * 60000000 AS minute_us,
         |  min(event_id) AS keep_id, count(*) AS n_in_key
         |FROM events GROUP BY 1, 2, 3
-        |ORDER BY user_id, event_type, minute_us""".stripMargin
+        |ORDER BY user_id, event_type, minute_us""".stripMargin,
+    "k_stream_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, ts_us AS view_us
+        |  FROM e WHERE event_type = 'view'),
+        |b AS (
+        |  SELECT user_id, event_id AS buy_id, ts_us AS buy_us
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT v.user_id AS user_id, view_id, buy_id, view_us, buy_us
+        |FROM v JOIN b ON v.user_id = b.user_id
+        | AND buy_us >= view_us AND buy_us <= view_us + 3600000000
+        |ORDER BY v.user_id, view_id, buy_id""".stripMargin
   )
 }

@@ -55,6 +55,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamRes.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch twin") {
+    implicit val ctx = spark.sqlContext
+    val vIn = MemoryStream[Ev]
+    val bIn = MemoryStream[Ev]
+    def views(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+    def buys(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("buy_ts"))
+    def joined(v: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+      v.join(b, col("user_id") === col("b_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+        .select("view_id", "buy_id")
+    val streamed = joined(
+      views(vIn.toDF().withWatermark("ts", "1 hour")),
+      buys(bIn.toDF().withWatermark("ts", "1 hour")))
+    vIn.addData(fixtureEvents)
+    bIn.addData(fixtureEvents)
+    val q = streamed.writeStream
+      .format("memory").queryName("ssjoin_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamRes = spark.table("ssjoin_test")
+      .as[(Long, Long)].collect().toSet
+    val batch = fixtureEvents.toDF()
+    val batchRes = joined(views(batch), buys(batch))
+      .as[(Long, Long)].collect().toSet
+    assert(streamRes == batchRes)
+    assert(streamRes.nonEmpty)
+  }
+
   test("watermark drops data later than 15 minutes (append mode)") {
     implicit val ctx = spark.sqlContext
     def ts(s: String) = Timestamp.valueOf(s)
