@@ -31,9 +31,18 @@ object Sql {
   def registerViews(s: SparkSession, d: String): Unit =
     tables(s, d).foreach { case (name, df) => df.createOrReplaceTempView(name) }
 
+  // last directory registered per session — repeated run() calls over
+  // the same fixture dir (Bench passes, Verify) skip the 10 view
+  // re-registrations
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Run a SQL string against the registered fixture views. */
   def run(s: SparkSession, d: String, sql: String): DataFrame = {
-    registerViews(s, d)
+    if (registered.get(s) != d) {
+      registerViews(s, d)
+      registered.put(s, d)
+    }
     s.sql(sql)
   }
 }

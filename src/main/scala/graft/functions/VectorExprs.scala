@@ -130,12 +130,67 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Elementwise divide of a double array by a scalar — the unit-vector
+  * normalization step. The `transform(v, x -> x / nrm)` HOF it replaces
+  * evaluates its lambda interpreted per element (a measured tax on
+  * every vector query's n×dim prenormalization); this emits a tight
+  * primitive loop and builds the result array without boxing. Values
+  * are bit-identical to the HOF formulation (same per-element IEEE
+  * division in index order). */
+case class ArrayDivideScalar(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_vdiv"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val k = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = x.getDouble(i) / k; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val tmp = ctx.freshName("tmp")
+      s"""
+         |int $n = $a.numElements();
+         |double[] $tmp = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $tmp[$i] = $a.getDouble($i) / $b;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDivideScalar =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => ArrayDotProduct(args(0), args(1))),
+    (FunctionIdentifier("graft_vdiv"),
+      new ExpressionInfo(classOf[ArrayDivideScalar].getName, "graft_vdiv"),
+      (args: Seq[Expression]) => ArrayDivideScalar(args(0), args(1))),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "graft_cosine"),
       (args: Seq[Expression]) => ArrayCosineSimilarity(args(0), args(1))),

@@ -36,7 +36,7 @@ object AnnOps {
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .select(col("vec_id"), col("label"),
-        expr("transform(v, x -> x / nrm)").as("u"))
+        expr("graft_vdiv(v, nrm)").as("u"))
 
   /** Centroid preference ranking per vector: every (vector, centroid)
     * pair with rn = 1 for the nearest centroid (ties to lowest cell).

@@ -50,7 +50,7 @@ object LlmOps {
     Par.spread(emb(s, d))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .select(col("vec_id"), col("label"),
-        expr("transform(v, x -> x / nrm)").as("u"))
+        expr("graft_vdiv(v, nrm)").as("u"))
 
   /** Exploded (doc_id, shingle) postings — the shared input of the
     * jaccard/cascade family. */
@@ -192,6 +192,9 @@ object LlmOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      // candidates feed both the near-dup report and the LSH cascade —
+      // one persisted computation serves both via plan matching
+      .persist()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -77,7 +77,7 @@ object TextOps {
           col("embedding").cast(ArrayType(DoubleType)).as("v"))
         .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
         .select(col("vec_id"),
-          expr("transform(v, x -> x / nrm)").as("u"))
+          expr("graft_vdiv(v, nrm)").as("u"))
       val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
       val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
       a.join(broadcast(b), col("vec_a") < col("vec_b"))
