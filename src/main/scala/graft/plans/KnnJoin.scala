@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   * bucket (LSH band or centroid cell, cf. j_dedup_near_minhash), each
   * bucket broadcast to the probes hashing into it. The per-probe cost
   * is bucket_size·dim, and no shuffle carries vector payloads.
+  *
+  * This object is the cascade-step-(d) REFERENCE twin used by
+  * KnnJoinSpec to pin the custom operator's semantics; the shipped
+  * operator path is `CosineKnn` (cascade step (c)), whose candidate
+  * side flows through Spark's BroadcastExchange rather than this
+  * driver-side collect, and whose bounded form is `j_knn_ivf`.
   */
 object KnnJoin {
 
