@@ -219,6 +219,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     VectorExprs.functions.foreach(ext.injectFunction)
     // custom whole-operator path (plans/CosineKnnPlan.scala)
     ext.injectPlannerStrategy(_ => graft.plans.CosineKnnStrategy)
+    // fail-fast broadcast-budget guard for the kNN candidate side
+    ext.injectOptimizerRule(_ => new graft.plans.CosineKnnCandidateGuard)
   }
 }
 

@@ -88,6 +88,35 @@ object CosineKnn {
       : org.apache.spark.sql.DataFrame = knn(df, df, k)
 }
 
+/** Injected optimizer rule (GraftExtensions → `injectOptimizerRule`):
+  * fail FAST with an actionable message when the kNN candidate side's
+  * estimated size exceeds the broadcast budget, instead of letting the
+  * BroadcastExchange OOM an executor mid-query. The estimate is
+  * Catalyst's `stats.sizeInBytes` for the candidate subtree; the
+  * budget is `spark.graft.knn.maxCandidateBytes` (default 512 MB —
+  * of the order of Spark's own broadcast-size ceiling). The guard is
+  * advisory-by-config, not semantic: results never change, queries
+  * under the budget are untouched. */
+class CosineKnnCandidateGuard
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  val MaxBytesKey = "spark.graft.knn.maxCandidateBytes"
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    plan.foreach {
+      case ck: CosineKnn =>
+        val max = conf.getConfString(MaxBytesKey,
+          (512L << 20).toString).toLong
+        val est = ck.candidates.stats.sizeInBytes
+        if (est > max)
+          throw new IllegalStateException(
+            s"CosineKnn candidate side estimated $est bytes exceeds " +
+              s"$MaxBytesKey=$max. Bound the candidates (e.g. one IVF " +
+              "cell, cf. j_knn_ivf) or raise the budget.")
+      case _ => ()
+    }
+    plan
+  }
+}
+
 /** Plans the logical CosineKnn onto its physical operator. */
 object CosineKnnStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

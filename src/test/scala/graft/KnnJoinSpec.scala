@@ -61,6 +61,26 @@ class KnnJoinSpec extends SparkSpec {
     assert(sRows == mRows)
   }
 
+  test("the candidate-budget guard fails fast (no broadcast attempt) " +
+    "when the candidate side exceeds spark.graft.knn.maxCandidateBytes") {
+    val u = unitVecs
+    spark.conf.set("spark.graft.knn.maxCandidateBytes", "1")
+    try {
+      val e = intercept[Throwable] {
+        graft.plans.CosineKnn.knn(
+          u.select(col("vec_id"), col("u"), col("label")), 5).count()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("maxCandidateBytes")),
+        s"unexpected failure: $e")
+    } finally spark.conf.unset("spark.graft.knn.maxCandidateBytes")
+    // and the same query under the default budget still runs
+    assert(graft.plans.CosineKnn.knn(
+      u.select(col("vec_id"), col("u"), col("label")), 5).count() > 0)
+  }
+
   test("every probe gets exactly k ordered neighbors") {
     val knn = KnnJoin.knnBruteForce(unitVecs, 5)
       .as[KnnJoin.Neighbor].collect()
