@@ -81,18 +81,15 @@ object Pipeline {
     n
   }
 
-  /** Stage 1+2+3, full sync: read everything, normalize, upsert.
-    * Returns rows written. `execute` abstracts the JDBC round-trip
-    * (JdbcUpsertSink.writeUpsert). */
+  /** Stage 1+2+3, full sync: read everything, then the same
+    * latest-version routing as every other sync path — a source with a
+    * soft-delete flag never upserts its dead rows on a full sync
+    * either (their pks get DELETEs, keeping an existing target
+    * consistent). Returns live rows written. `execute` abstracts the
+    * JDBC round-trip (JdbcUpsertSink.writeUpsert). */
   def fullSync(spark: SparkSession, sync: ObjectSync, batchSize: Int)(
-      execute: (String, JdbcUpsertSink.Batch) => Unit): Long = {
-    val normalized = normalize(sync.read(spark), sync)
-    val n = normalized.count()
-    JdbcUpsertSink.writeUpsert(
-      normalized.repartition(col(sync.pk)), sync.name, Seq(sync.pk),
-      batchSize)(execute)
-    n
-  }
+      execute: (String, JdbcUpsertSink.Batch) => Unit): Long =
+    loadLatest(sync.read(spark), sync, batchSize)(execute)
 
   /** Incremental sync: rows with cursor strictly past `cursor`,
     * normalized and upserted; pks whose LATEST pulled version carries
@@ -146,8 +143,14 @@ object Pipeline {
       }
       .start()
 
-  /** DDL for the object's target table from its actual schema. */
-  def targetDdl(spark: SparkSession, sync: ObjectSync): String =
-    JdbcUpsertSink.createTableSql(sync.name,
-      normalize(sync.read(spark), sync).schema, Seq(sync.pk))
+  /** DDL for the object's target table from its actual schema. The
+    * soft-delete flag never reaches the target (loadLatest drops it
+    * from upserts), so it is excluded here too. */
+  def targetDdl(spark: SparkSession, sync: ObjectSync): String = {
+    val schema = normalize(sync.read(spark), sync).schema
+    val target = sync.deleteField.fold(schema)(f =>
+      org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == f)))
+    JdbcUpsertSink.createTableSql(sync.name, target, Seq(sync.pk))
+  }
 }

@@ -131,6 +131,28 @@ class PipelineSpec extends SparkSpec {
     assert(PipelineSpec.deletes.asScala.map(_.toLong).toSet == Set(2L))
   }
 
+  test("full sync with a soft-delete flag routes dead pks to DELETEs " +
+    "and never upserts the flag column") {
+    val data = Seq(
+      (1L, 10L, "a", false), (2L, 10L, "b", true), (3L, 10L, "c", false))
+    val sync = Pipeline.ObjectSync("t3",
+      s => { import s.implicits._; data.toDF("id", "cur", "payload", "is_del") },
+      pk = "id", cursorField = "cur", deleteField = Some("is_del"))
+    PipelineSpec.upserts.clear(); PipelineSpec.deletes.clear()
+    val n = Pipeline.fullSync(spark, sync, 10) { (sql, batch) =>
+      if (!sql.startsWith("DELETE"))
+        assert(!sql.contains("is_del"), "flag column reached the target")
+      val sink = if (sql.startsWith("DELETE")) PipelineSpec.deletes
+                 else PipelineSpec.upserts
+      batch.foreach(r => sink.add(r.head.asInstanceOf[Long]))
+    }
+    import scala.jdk.CollectionConverters._
+    assert(PipelineSpec.upserts.asScala.map(_.toLong).toSet == Set(1L, 3L))
+    assert(PipelineSpec.deletes.asScala.map(_.toLong).toSet == Set(2L))
+    assert(n == 2)
+    assert(!Pipeline.targetDdl(spark, sync).contains("is_del"))
+  }
+
   test("backfill re-extracts a cursor range idempotently") {
     val all = eventsSync.read(spark)
     val (lo, hi) = {
