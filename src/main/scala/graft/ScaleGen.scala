@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator for local scaling experiments:
+  * replicates the sf0.1 `documents`/`embeddings` fixtures `factor`×
+  * with shifted ids. Each document copy appends a version token, so
+  * copies are NEAR-duplicates of their original (jaccard ≈ 0.95) —
+  * deliberately the densest possible dup-cluster stress for the
+  * dedup cascade (every original anchors a (factor)-clique).
+  * Embedding copies keep the vector (exact-duplicate stress for ANN).
+  *
+  *   sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sfx10 10"
+  *
+  * Measured results live in SCALE.md §"Measured scaling".
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/sfx10")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, src)
+    val bigDocs = (0 until factor).map { k =>
+      val text =
+        if (k == 0) col("text") else concat(col("text"), lit(s" v$k"))
+      docs.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"),
+        octet_length(text).cast("long").as("n_chars"))
+    }.reduce(_ unionByName _)
+    bigDocs.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    val emb = Tables.embeddings(spark, src)
+    val bigEmb = (0 until factor).map { k =>
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+    bigEmb.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+    println(s"scalegen wrote ${bigDocs.count()} docs, " +
+      s"${bigEmb.count()} embeddings to $out")
+    spark.stop()
+  }
+}
