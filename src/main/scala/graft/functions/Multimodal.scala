@@ -94,6 +94,40 @@ object Multimodal {
       }
   }
 
+  case class AudioWindow(media_id: Long, win_idx: Int, n_samples: Int,
+                         energy: Long)
+
+  /** Windowed audio energy over audio-kind rows: the payload bytes as
+    * 8-bit PCM samples, fixed `window`-sample windows, per-window sum
+    * of squared sample values — exact integer arithmetic, so the
+    * DuckDB twin derives the identical numbers analytically from the
+    * source text bytes. Same partition-batched execution shape as
+    * [[extractFeatures]] (bounded memory, no shuffle); a real pipeline
+    * swaps the byte view for a codec's PCM output and nothing else
+    * changes. */
+  def audioEnergy(media: DataFrame, window: Int = 256,
+                  batchSize: Int = 64): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.filter(col("kind") === "audio")
+      .select("media_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, content) =>
+            content.grouped(window).zipWithIndex.map { case (chunk, wi) =>
+              var e = 0L
+              var i = 0
+              while (i < chunk.length) {
+                val v = chunk(i) & 0xff
+                e += v.toLong * v
+                i += 1
+              }
+              AudioWindow(id, wi, chunk.length, e)
+            }
+          }
+        }
+      }
+  }
+
   /** Frame sampling for video rows: every k-th frame as its own binary
     * payload (explode-shaped; deterministic). */
   def sampleFrames(media: DataFrame, everyK: Int): DataFrame = {

@@ -299,6 +299,18 @@ object AnnOps {
         .orderBy("media_id", "frame_idx")
     },
 
+    // Windowed audio energy for the audio-kind media: payload bytes as
+    // 8-bit PCM samples, 256-sample windows, per-window sum of squared
+    // samples (functions/Multimodal.audioEnergy — partition-batched,
+    // shuffle-free). Exact integer arithmetic; the DuckDB twin derives
+    // the same numbers from the source text bytes analytically.
+    "j_multimodal_audio_energy" -> { (s, d) =>
+      val media = graft.Par.spread(
+        graft.functions.Multimodal.syntheticMedia(s, d))
+      graft.functions.Multimodal.audioEnergy(media).toDF()
+        .orderBy("media_id", "win_idx")
+    },
+
     // Multimodal binary-column pass: text bytes stand in for an image
     // payload (opaque BINARY + typed metadata). Real plumbing: binary
     // cast, byte length, magic-prefix sniff. Fake decode: width/height
@@ -442,6 +454,20 @@ object AnnOps {
         |          CAST(i * 5 * 256 + 1 AS INT), 256)))))) AS u
         |  FROM documents WHERE doc_id % 3 = 2)
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "j_multimodal_audio_energy" ->
+      """SELECT doc_id AS media_id, CAST(u.wi AS INT) AS win_idx,
+        |  CAST(strlen(u.seg) AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(string_split(u.seg, ''),
+        |    c -> ascii(c) * ascii(c))) AS BIGINT) AS energy
+        |FROM (
+        |  SELECT doc_id,
+        |    unnest(list_transform(
+        |      range(CAST((strlen(text) + 255) // 256 AS BIGINT)),
+        |      i -> struct_pack(wi := i,
+        |        seg := substring(text, CAST(i * 256 + 1 AS INT), 256))))
+        |      AS u
+        |  FROM documents WHERE doc_id % 3 = 1)
+        |ORDER BY media_id, win_idx""".stripMargin,
     "j_multimodal_features" ->
       """SELECT doc_id,
         |  CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -39,6 +39,26 @@ class MultimodalSpec extends SparkSpec {
     assert(px.toSeq == Multimodal.decodeStub("abc".getBytes, 4, 3).toSeq)
   }
 
+  test("audio energy windows are exact sums of squared payload bytes, " +
+    "audio rows only") {
+    val out = Multimodal.audioEnergy(media, window = 256).collect()
+    assert(out.nonEmpty)
+    val payloads = media.filter(col("kind") === "audio")
+      .select("media_id", "content")
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    // no non-audio rows leak through
+    assert(out.forall(w => payloads.contains(w.media_id)))
+    out.groupBy(_.media_id).foreach { case (id, ws) =>
+      val bytes = payloads(id)
+      val expected = bytes.grouped(256).zipWithIndex.map { case (c, i) =>
+        (i, c.length, c.map(b => { val v = b & 0xff; v.toLong * v }).sum)
+      }.toSeq
+      val got = ws.sortBy(_.win_idx)
+        .map(w => (w.win_idx, w.n_samples, w.energy)).toSeq
+      assert(got == expected, s"media $id windows differ")
+    }
+  }
+
   test("frame sampling emits every k-th frame for video rows only") {
     val frames = Multimodal.sampleFrames(media, everyK = 5)
     assert(frames.schema("frame").dataType == BinaryType)
