@@ -156,6 +156,21 @@ object Aggregations {
           .as("suppliers"),
           count(lit(1)).as("n_supp"))
         .orderBy("n_name")
+    },
+
+    // Conditional/boolean aggregates: count_if, bool_and/bool_or, and
+    // the conditional-max CASE pattern — all deterministic (no
+    // any_value/first, which are partition-order dependent).
+    "d_agg_conditional" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_orderstatus") === "F").as("any_final"),
+          max(when(col("o_orderstatus") === "O", col("o_totalprice")))
+            .as("max_open"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -242,6 +257,15 @@ object Aggregations {
         |  string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
         |  count(*) AS n_supp
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "d_agg_conditional" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_totalprice > 200000) AS n_big,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_orderstatus = 'F') AS any_final,
+        |  max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)
+        |    AS max_open
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -179,6 +179,18 @@ object ScalarFuncs {
         .orderBy("event_id")
     },
 
+    // Regex surface: extract / replace-all / match — pattern kept in
+    // the RE2∩Java-regex common subset so both engines agree.
+    "h_regex_funcs" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+          col("c_name").rlike("0{3}").as("has_triple_zero"))
+        .orderBy("c_custkey")
+    },
+
     // Correlated scalar subquery (decorrelated by Catalyst to a join).
     "b_subquery_correlated" -> { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders_sq")
@@ -300,6 +312,12 @@ object ScalarFuncs {
         |  CAST(bit_count(event_id) AS INT) AS bits,
         |  CAST((event_id % 8) << 4 AS BIGINT) AS shifted
         |FROM events ORDER BY event_id""".stripMargin,
+    "h_regex_funcs" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  regexp_matches(c_name, '0{3}') AS has_triple_zero
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "b_subquery_correlated" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o
