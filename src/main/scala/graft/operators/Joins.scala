@@ -115,22 +115,39 @@ object Joins {
         .orderBy("p_id")
     },
 
-    // TPC-H Q5 shape: revenue by nation for ASIA, 1996.
+    // TPC-H Q5 shape: revenue by nation for ASIA, 1996. The plan is
+    // hint-deterministic (the Bench runs AQE-off): region→nation is a
+    // broadcast chain pushed into customer BEFORE the fact joins, so
+    // the customer⋈orders and orders⋈lineitem shuffles carry only the
+    // surviving region's customers and the date-pruned orders; supplier
+    // (the one dim the static planner previously sort-merged) joins the
+    // fact chain via an explicit broadcast. At cluster scale the dims
+    // (region/nation/supplier) stay broadcast-able long after the fact
+    // tables don't — this is the Q5 plan a 100 TB run wants.
     "c_join_multiway_q5" -> { (s, d) =>
       val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-      Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-        .join(Tables.supplier(s, d),
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val cust = Tables.customer(s, d)
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      val line = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(line, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_nationkey")),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, d)),
-          col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)),
-          col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA" &&
-          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
         .groupBy("n_name")
         .agg(Det.dsum(rev).as("revenue"))
         .orderBy("n_name")

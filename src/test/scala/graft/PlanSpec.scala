@@ -38,8 +38,15 @@ class PlanSpec extends SparkSpec {
 
   test("q5 join chain broadcasts the dimension tables") {
     val p = plan("c_join_multiway_q5")
-    assert(p.contains("BroadcastHashJoin"), p)
+    // region→nation→customer and supplier→facts are all broadcast; the
+    // only shuffled joins are the two fact joins (customer⋈orders,
+    // ⋈lineitem). Pinned after the r3 regression: the supplier join
+    // must never fall back to sort-merge under the AQE-off bench.
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert("SortMergeJoin".r.findAllIn(p).size <= 2, p)
     assert(!p.contains("CartesianProduct"), p)
+    // date filter reaches the orders scan
+    assert(p.contains("o_orderdate"), p)
   }
 
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
