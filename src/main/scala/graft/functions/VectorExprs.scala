@@ -200,7 +200,10 @@ object VectorExprs {
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64Agg].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64Agg(args(0))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_normtext"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normtext"),
+      (args: Seq[Expression]) => NormalizeText(args(0))))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't

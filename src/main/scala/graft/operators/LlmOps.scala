@@ -52,10 +52,25 @@ object LlmOps {
       .select(col("vec_id"), col("label"),
         expr("graft_vdiv(v, nrm)").as("u"))
 
+  /** Dedup-family document input. With
+    * `spark.graft.text.normalize=true` the text is canonicalized first
+    * (graft_normtext: NFC → casefold → digit-mask → punct/ws collapse),
+    * so near-dups differing only in case/punctuation/digits land on the
+    * same shingles — the step a production corpus pipeline always runs
+    * before minhash. Default off: the oracled entries consume the raw
+    * fixture text and their hashes must not move. */
+  private[graft] def dedupDocs(s: SparkSession, d: String): DataFrame = {
+    val base = Par.spread(Tables.documents(s, d))
+    if (s.conf.getOption("spark.graft.text.normalize").exists(_.toBoolean)) {
+      graft.functions.VectorExprs.register(s)
+      base.withColumn("text", expr("graft_normtext(text)"))
+    } else base
+  }
+
   /** Exploded (doc_id, shingle) postings — the shared input of the
     * jaccard/cascade family. */
   private def shingleEx(s: SparkSession, d: String): DataFrame =
-    Par.spread(Tables.documents(s, d))
+    dedupDocs(s, d)
       .select(col("doc_id"), shingles.as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
 
@@ -68,6 +83,23 @@ object LlmOps {
     * LlmOpsSpec proves the blocker loses no qualifying pair on the
     * fixtures (min shared-shingle df over qualifying pairs ≪ cutoff). */
   private[graft] val DfCutoff = 50
+
+  /** Default near-dup decision threshold for the cascade family. */
+  private[graft] val DefaultTau = 0.6
+
+  /** The two knobs a real corpus run tunes (SCALE.md "dedup cascade"):
+    * `spark.graft.dedup.dfCutoff` — blocking document-frequency cutoff
+    * (fan-out cap per shingle), and `spark.graft.dedup.tau` — the
+    * jaccard threshold of the keep/dup decision. Defaults are the
+    * fixture-proven constants, so the oracled entries' hashes are
+    * unchanged unless a session overrides them. */
+  private[graft] def dedupDfCutoff(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.dedup.dfCutoff").map(_.toInt)
+      .getOrElse(DfCutoff)
+
+  private[graft] def cascadeTau(s: SparkSession): Double =
+    s.conf.getOption("spark.graft.dedup.tau").map(_.toDouble)
+      .getOrElse(DefaultTau)
 
   /** Candidate pairs sharing at least one shingle with document
     * frequency ≤ cutoff. The self-join key is bounded-fan-out by
@@ -213,7 +245,7 @@ object LlmOps {
     // exact dups and jaccard floor on emitted pairs.
     "j_dedup_near_minhash" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      minhashCandidates(Par.spread(Tables.documents(s, d)))
+      minhashCandidates(dedupDocs(s, d))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -226,7 +258,7 @@ object LlmOps {
     // the unblocked formulation).
     "j_jaccard_shingle_pairs" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      blockedPairStats(shingleEx(s, d), DfCutoff)
+      blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
         .filter(col("jac") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("n_common"), Det.r4(col("jac")).as("jac"))
         .orderBy("doc_a", "doc_b")
@@ -241,7 +273,8 @@ object LlmOps {
     // pairs only.
     "j_dedup_cascade" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      dedupCascadeBlocked(shingleEx(s, d), DfCutoff, tau = 0.6)
+      dedupCascadeBlocked(shingleEx(s, d), dedupDfCutoff(s),
+        tau = cascadeTau(s))
         .orderBy("doc_id")
     },
 
@@ -253,8 +286,8 @@ object LlmOps {
     // dups are found and routed to smaller partners (recall).
     "j_dedup_cascade_lsh" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val docs = Par.spread(Tables.documents(s, d))
-      dedupCascade(shingleEx(s, d), minhashCandidates(docs), tau = 0.6)
+      dedupCascade(shingleEx(s, d), minhashCandidates(dedupDocs(s, d)),
+        tau = cascadeTau(s))
         .orderBy("doc_id")
     },
 

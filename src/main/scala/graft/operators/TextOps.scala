@@ -238,10 +238,39 @@ object TextOps {
           Det.r4(sqrt(col("n_docs").cast("double") / col("n_total"))))
         .select("source", "n_docs", "keep_rate_bp", "mix_weight")
         .orderBy("source")
+    },
+
+    // Text canonicalization — the pre-dedup step (graft_normtext:
+    // NFC → casefold → digit-mask → punct/whitespace collapse as ONE
+    // codegen'd pass; the oracle is the equivalent DuckDB
+    // nfc_normalize/lower/regexp_replace chain). Narrow projection, no
+    // shuffle; at 100 TB this runs map-side inside the scan stage.
+    // The dedup family consumes it via spark.graft.text.normalize=true
+    // (LlmOps.dedupDocs); TextNormSpec plants a mixed-case/punctuation
+    // near-dup that raw shingling misses and normalized catches.
+    "j_text_normalize" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          expr("graft_normtext(text)").as("norm_text"))
+        .select(col("doc_id"), col("norm_text"),
+          length(col("norm_text")).cast(LongType).as("norm_len"),
+          (col("norm_text") =!= col("text")).as("changed"))
+        .orderBy("doc_id")
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "j_text_normalize" ->
+      """SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS BIGINT) AS norm_len,
+        |  (norm_text <> text) AS changed
+        |FROM (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)),
+        |      '\p{Nd}', '0', 'g'), '[^\p{L}\p{Nd}]+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "j_text_contamination" ->
       s"""WITH sh AS (SELECT doc_id, ${LlmOps.shSql} AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
