@@ -199,6 +199,83 @@ object LlmOps {
                           tau: Double): DataFrame =
     dupDecision(blockedPairStats(ex, cutoff), tau)
 
+  /** The standing-corpus artifacts incremental dedup consumes:
+    * exploded postings (doc_id, shingle), per-doc shingle-set sizes
+    * (doc_id, n_sh), and per-shingle document frequency (shingle, df).
+    * At 100 TB these live as bucketed tables (`Layout.writeBucketed`
+    * on `shingle`) so the delta join below co-locates without an
+    * exchange on the base side; crucially the artifacts carry NO text
+    * column — base documents can never be re-shingled from them. */
+  def baseArtifacts(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val post = docs
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = post.groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_sh"))
+    val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))
+    (post, sizes, dfreq)
+  }
+
+  /** Incremental dedup: dedup a DELTA batch (today's crawl) against a
+    * standing BASE corpus represented only by its [[baseArtifacts]] —
+    * the dominant 100 TB operation, where re-shingling the corpus per
+    * batch is the thing you cannot afford. Only the delta is shingled;
+    * the base side is scanned from its stored postings.
+    *
+    * Semantics: "rare" is decided by the COMBINED document frequency
+    * (base df + delta df), exactly as the batch cascade would see it
+    * over base∪delta. Candidates are delta-vs-base pairs sharing any
+    * rare shingle plus delta-vs-delta pairs (lower delta id wins);
+    * verification counts the full shingle intersection for candidate
+    * pairs only. A delta doc's `dup_of` is its smallest verified
+    * partner — any base doc (the standing corpus always wins) or an
+    * earlier delta doc. Base docs are never re-judged.
+    * Returns (doc_id, dup_of) for duplicate delta docs. */
+  def incrementalDedup(basePost: DataFrame, baseSizes: DataFrame,
+                       baseDf: DataFrame, deltaDocs: DataFrame,
+                       cutoff: Int, tau: Double): DataFrame = {
+    // the only shingling in the whole operator — delta side
+    val deltaPost = deltaDocs
+      .select(col("doc_id"), shingles.as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .persist()
+    val deltaDf = deltaPost.groupBy("shingle").agg(count(lit(1)).as("ddf"))
+    val combDf = baseDf.toDF("shingle", "bdf")
+      .join(deltaDf, Seq("shingle"), "full")
+      .select(col("shingle"),
+        (coalesce(col("bdf"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
+          .as("df"))
+    val rareSh = combDf.filter(col("df") <= cutoff).select("shingle")
+    val rareDelta = deltaPost.join(rareSh, "shingle")
+    val rareBase = basePost.join(rareSh, "shingle")
+    val candBase = rareDelta.as("d").join(rareBase.as("b"), "shingle")
+      .select(col("d.doc_id").as("doc"), col("b.doc_id").as("partner"))
+      .distinct()
+    val candDelta = rareDelta.as("x").join(rareDelta.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .select(col("x.doc_id").as("doc"), col("y.doc_id").as("partner"))
+      .distinct()
+    val cand = candBase.unionByName(candDelta).distinct()
+    // exact verification on candidates only; partner postings come from
+    // stored base postings ∪ delta postings (a scan, never a re-shingle)
+    val posts = basePost.unionByName(deltaPost)
+    val pa = deltaPost.select(col("doc_id").as("doc"), col("shingle").as("sh"))
+    val pb = posts.select(col("doc_id").as("partner"), col("shingle").as("sh"))
+    val inter = cand.join(pa, "doc").join(pb, Seq("partner", "sh"))
+      .groupBy("doc", "partner").agg(count(lit(1)).as("n_common"))
+    val deltaSizes = deltaPost.groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_sh"))
+    val sizes = baseSizes.unionByName(deltaSizes)
+    inter
+      .join(deltaSizes.toDF("doc", "sh_a"), "doc")
+      .join(sizes.toDF("partner", "sh_b"), "partner")
+      .withColumn("jac", col("n_common").cast(DoubleType) /
+        (col("sh_a") + col("sh_b") - col("n_common")))
+      .filter(col("jac") >= tau)
+      .groupBy("doc").agg(min("partner").as("dup_of"))
+      .select(col("doc").as("doc_id"), col("dup_of"))
+  }
+
   /** MinHash banding candidates (k=12 hashes, 4 bands × 3 rows) — the
     * sub-quadratic blocking stage behind j_dedup_near_minhash and the
     * LSH-driven cascade variant. */
@@ -288,6 +365,23 @@ object LlmOps {
       graft.functions.VectorExprs.register(s)
       dedupCascade(shingleEx(s, d), minhashCandidates(dedupDocs(s, d)),
         tau = cascadeTau(s))
+        .orderBy("doc_id")
+    },
+
+    // Incremental new-vs-corpus dedup (VERDICT r3 "What's missing" #2):
+    // the standing corpus is the deterministic 80% id-bucket split of
+    // `documents`, represented ONLY by its artifacts (postings/sizes/
+    // df — in production, bucketed tables via Layout.writeBucketed);
+    // the delta is the other 20%. Only the delta is shingled. The
+    // oracle twins the whole pipeline (combined-df rare blocking →
+    // candidate pairs → exact verify → min-partner decision) in SQL.
+    "j_dedup_incremental" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val docs = dedupDocs(s, d)
+      val isBase = TextOps.splitBucket(col("doc_id")) < 80
+      val (bp, bs, bd) = baseArtifacts(docs.filter(isBase))
+      incrementalDedup(bp, bs, bd, docs.filter(!isBase),
+        dedupDfCutoff(s), cascadeTau(s))
         .orderBy("doc_id")
     },
 
@@ -461,6 +555,39 @@ object LlmOps {
          |        >= 0.6)
          |SELECT doc_b AS doc_id, min(doc_a) AS dup_of
          |FROM ver GROUP BY doc_b ORDER BY doc_id""".stripMargin,
+    "j_dedup_incremental" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |delta_ids AS (SELECT doc_id FROM sh
+         |  WHERE ${TextOps.splitBucketSql("doc_id")} >= 80),
+         |rd AS (SELECT ex.* FROM ex JOIN delta_ids USING (doc_id)),
+         |rb AS (SELECT ex.* FROM ex
+         |  WHERE ${TextOps.splitBucketSql("doc_id")} < 80),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (SELECT shingle FROM dfreq WHERE df <= ${DfCutoff}),
+         |rdr AS (SELECT rd.* FROM rd JOIN rare USING (shingle)),
+         |rbr AS (SELECT rb.* FROM rb JOIN rare USING (shingle)),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS doc, b.doc_id AS partner
+         |  FROM rdr d JOIN rbr b USING (shingle)
+         |  UNION
+         |  SELECT DISTINCT x.doc_id AS doc, y.doc_id AS partner
+         |  FROM rdr x JOIN rdr y
+         |    ON x.shingle = y.shingle AND y.doc_id < x.doc_id),
+         |inter AS (
+         |  SELECT c.doc, c.partner, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex a ON a.doc_id = c.doc
+         |  JOIN ex b ON b.doc_id = c.partner AND b.shingle = a.shingle
+         |  GROUP BY 1, 2)
+         |SELECT doc AS doc_id, min(partner) AS dup_of
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc
+         |JOIN sizes sb ON sb.doc_id = partner
+         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |      >= 0.6
+         |GROUP BY doc ORDER BY doc_id""".stripMargin,
     "j_sim_cosine_topk" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
