@@ -34,6 +34,44 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** Quality-score numerator (shared by j_text_quality and the corpus
+    * pipeline's quality gate): 4·min(n_chars,500)·n_tok +
+    * 1500·(n_tok−n_stop) + 1500·n_distinct. The exact basis-point
+    * score is `(num * 10000) div (5000 * n_tok)`. */
+  private[operators] def qualityNum: Column = {
+    val nTok = size(toks).cast(LongType)
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast(LongType)
+    val nDist = size(array_distinct(toks)).cast(LongType)
+    lit(4L) * least(col("n_chars"), lit(500L)) * nTok +
+      lit(1500L) * (nTok - nStop) + lit(1500L) * nDist
+  }
+
+  /** Heuristic language-ID predictions for `docs` (profiles learned on
+    * `docs` itself): per-language top-20 token lists, vote, argmax.
+    * Returns (doc_id, lang, pred_lang, votes); docs with no profile
+    * token at all have no prediction. The profile side is tiny
+    * (5 langs × 20 tokens) → broadcast; cost is one explode + one
+    * broadcast join + two bounded windows at any corpus size. */
+  private[operators] def langPredictions(docs: DataFrame): DataFrame = {
+    val tokens = docs.select(col("doc_id"), col("lang"),
+      explode(toks).as("token"))
+    val profile = tokens.groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("cnt"), asc("token"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang").as("p_lang"), col("token"))
+    tokens.select(col("doc_id"), col("lang"), col("token"))
+      .join(broadcast(profile), "token")
+      .groupBy("doc_id", "lang", "p_lang")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("votes"), asc("p_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+        col("votes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SimHash-64 near-dup candidates: ±1 vote per bit per distinct
     // token hash, band join on 4×16-bit chunks, exact hamming filter.
@@ -94,10 +132,7 @@ object TextOps {
     // 4-decimal rounding boundaries).
     "j_text_quality" -> { (s, d) =>
       val nTok = size(toks).cast(LongType)
-      val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast(LongType)
-      val nDist = size(array_distinct(toks)).cast(LongType)
-      val num = lit(4L) * least(col("n_chars"), lit(500L)) * nTok +
-        lit(1500L) * (nTok - nStop) + lit(1500L) * nDist
+      val num = qualityNum
       val score = num.cast(DoubleType) / (lit(5000L) * nTok)
       // quality emitted as an exact basis-point integer (num*10000 div
       // den): Spark's round(double, n) rounds the shortest decimal repr
@@ -116,26 +151,8 @@ object TextOps {
     // Heuristic language ID: vote against per-language top-20 token
     // profiles learned from the corpus itself, then argmax.
     "j_text_langid" -> { (s, d) =>
-      val docs = graft.Par.spread(Tables.documents(s, d))
-      val tokens = docs.select(col("doc_id"), col("lang"),
-        explode(toks).as("token"))
-      val profile = tokens.groupBy("lang", "token")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("lang").orderBy(desc("cnt"), asc("token"))))
-        .filter(col("rk") <= 20)
-        .select(col("lang").as("p_lang"), col("token"))
-      val votes = tokens.select(col("doc_id"), col("lang"), col("token"))
-        .join(broadcast(profile), "token")
-        .groupBy("doc_id", "lang", "p_lang")
-        .agg(count(lit(1)).as("votes"))
-      votes
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(desc("votes"), asc("p_lang"))))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
-          col("votes"),
-          (col("lang") === col("p_lang")).as("correct"))
+      langPredictions(graft.Par.spread(Tables.documents(s, d)))
+        .withColumn("correct", col("lang") === col("pred_lang"))
         .orderBy("doc_id")
     },
 

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusPipeline, LlmOps}
+
+/** The composed corpus-cleaning pipeline must agree with the
+  * standalone §2 operators stage for stage.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs0 = Par.spread(Tables.documents(spark, sfDir))
+  private lazy val stages = CorpusPipeline.stages(spark, docs0)
+  private lazy val audit =
+    SparkEntry.queries("j_pipeline_audit")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect()
+
+  test("audit rows chain: docs_in(k+1) == docs_out(k), drops add up") {
+    assert(audit.map(_._2).toSeq == CorpusPipeline.StageNames)
+    audit.foreach { case (_, _, in, out, dropped) =>
+      assert(dropped == in - out && out <= in)
+    }
+    audit.sliding(2).foreach { case Array(prev, next) =>
+      assert(next._3 == prev._4, s"stage chain broken at ${next._2}")
+    }
+    assert(audit.head._3 == docs0.count())
+  }
+
+  test("quality stage equals the standalone j_text_quality gate") {
+    val standalone = SparkEntry.queries("j_text_quality")(spark, sfDir)
+      .filter(col("tier") =!= "low").count()
+    assert(audit(0)._4 == standalone)
+  }
+
+  test("dedup stage drops exactly the blocked cascade's decisions " +
+    "over the stage input") {
+    val s2 = stages(1)
+    val ex2 = s2.select(col("doc_id"),
+        expr("graft_shingles(text, 3)").as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dups = LlmOps.dedupCascadeBlocked(ex2, 50, 0.6).count()
+    assert(audit(2)._5 == dups)
+  }
+
+  test("decontaminated survivors share no shingle with the benchmark") {
+    val bench = docs0.filter(col("doc_id") < 5)
+      .select(explode(expr("graft_shingles(text, 3)")).as("shingle"))
+      .distinct()
+    val overlap = stages(3)
+      .select(col("doc_id"), explode(expr("graft_shingles(text, 3)"))
+        .as("shingle"))
+      .join(bench, "shingle")
+    assert(overlap.count() == 0)
+  }
+
+  test("mix downsample equalizes every source to the smallest one") {
+    val perSource = stages(4).groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perSource.values.toSet.size == 1,
+      s"sources unbalanced: $perSource")
+    val s4min = stages(3).groupBy("source").count()
+      .agg(min("count")).head().getLong(0)
+    assert(perSource.values.head == s4min)
+  }
+}
