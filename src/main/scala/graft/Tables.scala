@@ -66,6 +66,34 @@ object Tables {
     read(s, d, "events")
       .withColumn("ts_ns", col("ts"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Exact row count of a fixture table from its parquet footer
+    * metadata — a driver-side file read, NO Spark job (the ANN query
+    * builders use it to pick their physical mode; an eager
+    * `df.count()` there submitted a job per query construction).
+    * Cached per path for the session lifetime — fixtures are
+    * immutable; a mutable table would need invalidation. */
+  def rowCount(s: SparkSession, d: String, t: String): Long = {
+    val key = s"$d/$t.parquet"
+    rowCountCache.computeIfAbsent(key, { _ =>
+      val conf = s.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(key)
+      val fs = root.getFileSystem(conf)
+      val files: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toIndexedSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(root)
+      files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    })
+  }
 }
 
 /** Parallelism repair for CPU-bound stages.

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, IntegerType}
 
 /** §2.L `l_expr_native_cosine` — native codegen'd vector expressions.
   *
@@ -68,6 +68,58 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Integer dot product over int8-quantized vectors (`array<tinyint>`) —
+  * the scoring kernel of the PQ/scalar-quantized ANN candidate pass
+  * (`j_ann_ivf_pq`). The candidate exchange carries 1-byte components
+  * instead of 8-byte doubles; this expression keeps the approximate
+  * scoring inside whole-stage codegen (int multiply-accumulate, no
+  * allocation). */
+case class ArrayDotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(ByteType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<tinyint> args, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_dot8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0
+    var i = 0
+    while (i < n) { acc += x.getByte(i) * y.getByte(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $acc = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((int) $a.getByte($i)) * ((int) $b.getByte($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProductInt8 =
     copy(left = newLeft, right = newRight)
 }
 
@@ -203,7 +255,10 @@ object VectorExprs {
         .toAggregateExpression()),
     (FunctionIdentifier("graft_normtext"),
       new ExpressionInfo(classOf[NormalizeText].getName, "graft_normtext"),
-      (args: Seq[Expression]) => NormalizeText(args(0))))
+      (args: Seq[Expression]) => NormalizeText(args(0))),
+    (FunctionIdentifier("graft_dot8"),
+      new ExpressionInfo(classOf[ArrayDotProductInt8].getName, "graft_dot8"),
+      (args: Seq[Expression]) => ArrayDotProductInt8(args(0), args(1))))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't

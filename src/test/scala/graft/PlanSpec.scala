@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
 
 /** Physical-plan regression assertions (SURVEY §4): the properties that
   * make these queries scale — pushdown, pruning, broadcast, partial
@@ -96,6 +97,40 @@ class PlanSpec extends SparkSpec {
     try {
       assert(run("j_ann_ivf_topk") == bIvf)
       assert(run("j_ann_lsh_topk") == bLsh)
+    } finally spark.conf.unset(operators.AnnOps.BroadcastRowLimitKey)
+  }
+
+  test("PQ candidate pass: only the int8 codes cross the pair " +
+    "exchange; the approximate score is the native graft_dot8") {
+    // isolate the candidate-pair subplan (before the exact re-rank,
+    // which legitimately touches the double vectors again)
+    graft.functions.VectorExprs.register(spark)
+    val u = Par.spread(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id"), expr("graft_vdiv(v, nrm)").as("u"))
+    val q = u.select(col("vec_id"),
+      transform(col("u"), x => round(x * lit(127.0)).cast("byte")).as("q"))
+    val asg = u.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell_vec"))  // stand-in cells 0..15
+    val withCell = q.withColumn("cell", pmod(col("vec_id"), lit(16L)))
+    val probes = withCell.select(col("vec_id"), col("cell"),
+      col("q").as("qa"))
+    val cands = withCell.select(col("vec_id").as("nn_id"), col("cell"),
+      col("q").as("qb"))
+    spark.conf.set(operators.AnnOps.BroadcastRowLimitKey, "0")
+    try {
+      val pairs = operators.AnnOps.pqPairs(probes, cands, "cell", 1L << 40)
+      val p = pairs.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      assert(p.contains("graft_dot8"), p)
+      assert(p.contains("hashpartitioning(cell"), p)
+      // the double-vector column u must be pruned before the exchange:
+      // no attribute named u#N survives anywhere in the pair subplan
+      assert(!"""\bu#\d""".r.findFirstIn(p).isDefined,
+        s"double vectors crossed the PQ pair exchange:\n$p")
     } finally spark.conf.unset(operators.AnnOps.BroadcastRowLimitKey)
   }
 
