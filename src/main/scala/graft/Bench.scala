@@ -30,13 +30,30 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+    def time1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val cache = sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "1"
+    // UNCACHED min-of-N passes first (pass 1 doubles as per-query
+    // codegen/JIT warmup, the min is the steady-state cold-scan cost):
+    // the disclosed-cache protocol reports BOTH totals, so the cached
+    // headline number can always be compared against the parquet-scan
+    // cost it hides
+    val uncachedTotal =
+      if (cache)
+        SparkEntry.queries.values
+          .map(fn => (1 to passes).map(_ => time1(fn)).min).sum
+      else 0.0
     // pin the fixture tables in memory once: CacheManager substitutes
     // the InMemoryRelation into every query whose scan plan matches, so
     // 103 queries stop re-decoding the same parquet (the hot-table
     // cache any resident engine keeps; DuckDB gets the same effect from
     // the OS page cache + its buffer pool). Disable with
     // SPARK_GRAFT_CACHE=0.
-    if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") == "1") {
+    if (cache) {
       val tables: Seq[org.apache.spark.sql.DataFrame] = Seq(
         Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
         Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
@@ -50,12 +67,6 @@ object Bench {
     // state): pass 1 absorbs whole-stage-codegen compilation and JIT
     // warmup per query shape, and the min damps same-box noise from
     // unrelated load. Set SPARK_GRAFT_PASSES=1 for single-shot timing.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
-    def time1(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
-    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       name -> (1 to passes).map(_ => time1(fn)).min
     }
@@ -78,7 +89,9 @@ object Bench {
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":$qs,"sf":"$sfDir"}""")
+    val unc = if (cache) uncachedTotal else total
+    println(s"bench_detail uncached_total ${f3(unc)}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"uncached":${f3(unc)},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

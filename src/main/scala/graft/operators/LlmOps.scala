@@ -244,8 +244,12 @@ object LlmOps {
       .select(col("shingle"),
         (coalesce(col("bdf"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
           .as("df"))
+    // rare shingle set feeds both sides; rare delta postings feed the
+    // base join and the delta self-join — persist so each chain of
+    // groupBy+join work runs once
     val rareSh = combDf.filter(col("df") <= cutoff).select("shingle")
-    val rareDelta = deltaPost.join(rareSh, "shingle")
+      .persist()
+    val rareDelta = deltaPost.join(rareSh, "shingle").persist()
     val rareBase = basePost.join(rareSh, "shingle")
     val candBase = rareDelta.as("d").join(rareBase.as("b"), "shingle")
       .select(col("d.doc_id").as("doc"), col("b.doc_id").as("partner"))
@@ -255,10 +259,14 @@ object LlmOps {
           col("y.doc_id") < col("x.doc_id"))
       .select(col("x.doc_id").as("doc"), col("y.doc_id").as("partner"))
       .distinct()
-    val cand = candBase.unionByName(candDelta).distinct()
+    val cand = candBase.unionByName(candDelta).distinct().persist()
     // exact verification on candidates only; partner postings come from
     // stored base postings ∪ delta postings (a scan, never a re-shingle)
+    // — semi-filtered to candidate partners FIRST, so the verify join
+    // shuffles |candidate docs|·|their shingles| rows, never the corpus
+    val partners = cand.select(col("partner").as("doc_id")).distinct()
     val posts = basePost.unionByName(deltaPost)
+      .join(broadcast(partners), Seq("doc_id"), "leftsemi")
     val pa = deltaPost.select(col("doc_id").as("doc"), col("shingle").as("sh"))
     val pb = posts.select(col("doc_id").as("partner"), col("shingle").as("sh"))
     val inter = cand.join(pa, "doc").join(pb, Seq("partner", "sh"))
@@ -379,7 +387,11 @@ object LlmOps {
       graft.functions.VectorExprs.register(s)
       val docs = dedupDocs(s, d)
       val isBase = TextOps.splitBucket(col("doc_id")) < 80
-      val (bp, bs, bd) = baseArtifacts(docs.filter(isBase))
+      val (bp0, bs, bd) = baseArtifacts(docs.filter(isBase))
+      // in production the artifacts are STORED tables; in-flight they
+      // feed three consumers (df, rare join, verify) — persist so the
+      // base explode runs once, like the stored layout it stands in for
+      val bp = bp0.persist()
       incrementalDedup(bp, bs, bd, docs.filter(!isBase),
         dedupDfCutoff(s), cascadeTau(s))
         .orderBy("doc_id")
