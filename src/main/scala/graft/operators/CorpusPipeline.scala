@@ -40,7 +40,7 @@ object CorpusPipeline {
     * given the raw corpus. Each frame keeps the full document schema. */
   def stages(s: SparkSession, docs0: DataFrame): Seq[DataFrame] = {
     graft.functions.VectorExprs.register(s)
-    val d0 = docs0.persist()
+    val d0 = graft.Caches.persisted(docs0)
 
     // 1. quality: keep exact basis-point score ≥ 6000 (tier mid/high —
     //    the same integer arithmetic as j_text_quality)
@@ -49,14 +49,14 @@ object CorpusPipeline {
         expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
       .filter(col("q4") >= 6000)
       .drop("num", "q4")
-      .persist()
+      .transform(graft.Caches.persisted)
 
     // 2. langid: keep docs whose predicted language (profiles learned
     //    on the stage input) confirms the labeled lang
     val keep2 = TextOps.langPredictions(s1)
       .filter(col("pred_lang") === col("lang"))
       .select("doc_id")
-    val s2 = s1.join(keep2, "doc_id").persist()
+    val s2 = graft.Caches.persisted(s1.join(keep2, "doc_id"))
 
     // 3. dedup cascade: drop every doc the blocked cascade decides is
     //    a duplicate (rare-shingle blocking → exact verify → min-
@@ -66,7 +66,7 @@ object CorpusPipeline {
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val dups = LlmOps.dedupCascadeBlocked(ex2, LlmOps.dedupDfCutoff(s),
       LlmOps.cascadeTau(s)).select("doc_id")
-    val s3 = s2.join(dups, Seq("doc_id"), "left_anti").persist()
+    val s3 = graft.Caches.persisted(s2.join(dups, Seq("doc_id"), "left_anti"))
 
     // 4. decontaminate: drop docs sharing ANY shingle with the
     //    benchmark set (docs 0–4 of the ORIGINAL corpus — eval suites
@@ -79,7 +79,7 @@ object CorpusPipeline {
         .as("shingle"))
     val contaminated = ex3.join(broadcast(benchSh), "shingle")
       .select("doc_id").distinct()
-    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti").persist()
+    val s4 = graft.Caches.persisted(s3.join(contaminated, Seq("doc_id"), "left_anti"))
 
     // 5. mix downsample: equalize sources to the smallest one —
     //    deterministic keep-first-n_min-by-doc_id per source (the
@@ -92,7 +92,7 @@ object CorpusPipeline {
       .crossJoin(broadcast(nMin))
       .filter(col("rk") <= col("n_min"))
       .drop("rk", "n_min")
-      .persist()
+      .transform(graft.Caches.persisted)
 
     Seq(s1, s2, s3, s4, s5)
   }

@@ -146,7 +146,7 @@ object LlmOps {
     * is also shared across the jaccard and cascade queries via
     * CacheManager plan matching. */
   private[graft] def blockedPairStats(ex: DataFrame, cutoff: Int): DataFrame = {
-    val exP = ex.persist()
+    val exP = graft.Caches.persisted(ex)
     val dfreq = exP.groupBy("shingle").agg(count(lit(1)).as("df"))
     val posts = exP.join(dfreq, "shingle")
     val rare = posts.filter(col("df") <= cutoff).select("doc_id", "shingle")
@@ -173,8 +173,9 @@ object LlmOps {
         col("sh_a"), col("sh_b"), col("jac"))
       // pair stats feed BOTH the τ=0.2 report and the τ=0.6 cascade —
       // identical subplan, so one persisted computation serves both
-      // queries via CacheManager plan matching
-      .persist()
+      // queries via CacheManager plan matching; released by the
+      // harness's next Caches.release
+      .transform(graft.Caches.persisted)
   }
 
   /** Deterministic keep/dup decision over verified pairs: a document
@@ -234,10 +235,9 @@ object LlmOps {
                        baseDf: DataFrame, deltaDocs: DataFrame,
                        cutoff: Int, tau: Double): DataFrame = {
     // the only shingling in the whole operator — delta side
-    val deltaPost = deltaDocs
+    val deltaPost = graft.Caches.persisted(deltaDocs
       .select(col("doc_id"), shingles.as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .persist()
+      .select(col("doc_id"), explode(col("sh")).as("shingle")))
     val deltaDf = deltaPost.groupBy("shingle").agg(count(lit(1)).as("ddf"))
     val combDf = baseDf.toDF("shingle", "bdf")
       .join(deltaDf, Seq("shingle"), "full")
@@ -247,11 +247,17 @@ object LlmOps {
     // rare shingle set feeds both sides; rare delta postings feed the
     // base join and the delta self-join — persist so each chain of
     // groupBy+join work runs once
-    val rareSh = combDf.filter(col("df") <= cutoff).select("shingle")
-      .persist()
-    val rareDelta = deltaPost.join(rareSh, "shingle").persist()
+    val rareSh = graft.Caches.persisted(
+      combDf.filter(col("df") <= cutoff).select("shingle"))
+    val rareDelta = graft.Caches.persisted(deltaPost.join(rareSh, "shingle"))
     val rareBase = basePost.join(rareSh, "shingle")
-    val candBase = rareDelta.as("d").join(rareBase.as("b"), "shingle")
+    // the id-inequality guards against a delta doc that already exists
+    // in the standing store (a replayed batch / id collision): a (d, d)
+    // self-pair would double-count its intersection to |A|+|B| and
+    // zero the jaccard denominator
+    val candBase = rareDelta.as("d").join(rareBase.as("b"),
+        col("d.shingle") === col("b.shingle") &&
+          col("d.doc_id") =!= col("b.doc_id"))
       .select(col("d.doc_id").as("doc"), col("b.doc_id").as("partner"))
       .distinct()
     val candDelta = rareDelta.as("x").join(rareDelta.as("y"),
@@ -259,7 +265,7 @@ object LlmOps {
           col("y.doc_id") < col("x.doc_id"))
       .select(col("x.doc_id").as("doc"), col("y.doc_id").as("partner"))
       .distinct()
-    val cand = candBase.unionByName(candDelta).distinct().persist()
+    val cand = graft.Caches.persisted(candBase.unionByName(candDelta).distinct())
     // exact verification on candidates only; partner postings come from
     // stored base postings ∪ delta postings (a scan, never a re-shingle)
     // — semi-filtered to candidate partners FIRST, so the verify join
@@ -283,6 +289,29 @@ object LlmOps {
       .groupBy("doc").agg(min("partner").as("dup_of"))
       .select(col("doc").as("doc_id"), col("dup_of"))
   }
+
+  /** Once-per-(session, sfDir) materialization of the standing-corpus
+    * artifact STORE for `j_dedup_incremental_stored`: the 80% id-bucket
+    * base split shingled one time and written as bucketed tables via
+    * [[DedupArtifacts.write]]. This is the amortized corpus-index build
+    * of the production loop — every subsequent delta run reads the
+    * tables and never touches base text again. Memoized so Bench's
+    * repeated passes pay the write once; the normalize conf is read at
+    * first materialization (fixture flows never toggle it
+    * mid-session). */
+  private val storedPrefixes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def storedArtifactPrefix(s: SparkSession, d: String): String =
+    storedPrefixes.computeIfAbsent((s, d), { _ =>
+      val prefix = "graft_inc_" + d.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_")
+      val base = dedupDocs(s, d)
+        .filter(TextOps.splitBucket(col("doc_id")) < 80)
+        .select("doc_id", "text")
+      DedupArtifacts.write(base, prefix, nBuckets = 8)
+      prefix
+    })
 
   /** MinHash banding candidates (k=12 hashes, 4 bands × 3 rows) — the
     * sub-quadratic blocking stage behind j_dedup_near_minhash and the
@@ -310,8 +339,9 @@ object LlmOps {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       // candidates feed both the near-dup report and the LSH cascade —
-      // one persisted computation serves both via plan matching
-      .persist()
+      // one persisted computation serves both via plan matching;
+      // released by the harness's next Caches.release
+      .transform(graft.Caches.persisted)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -391,9 +421,27 @@ object LlmOps {
       // in production the artifacts are STORED tables; in-flight they
       // feed three consumers (df, rare join, verify) — persist so the
       // base explode runs once, like the stored layout it stands in for
-      val bp = bp0.persist()
+      val bp = graft.Caches.persisted(bp0)
       incrementalDedup(bp, bs, bd, docs.filter(!isBase),
         dedupDfCutoff(s), cascadeTau(s))
+        .orderBy("doc_id")
+    },
+
+    // The STORED-artifact twin of j_dedup_incremental (VERDICT r5 ask
+    // #1): the base side reads postings/sizes/df from bucketed catalog
+    // tables written once by DedupArtifacts.write — the query's plan
+    // scans `documents` exactly once (the delta split) and the
+    // shingle-keyed base joins land on the bucket layout with no
+    // Exchange over the standing postings (StoredDedupSpec pins both
+    // properties). Identical algebra to the in-flight entry, so it
+    // shares its oracle formulation.
+    "j_dedup_incremental_stored" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val prefix = storedArtifactPrefix(s, d)
+      val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
+      val delta = dedupDocs(s, d)
+        .filter(TextOps.splitBucket(col("doc_id")) >= 80)
+      incrementalDedup(bp, bs, bd, delta, dedupDfCutoff(s), cascadeTau(s))
         .orderBy("doc_id")
     },
 
@@ -470,9 +518,9 @@ object LlmOps {
       val docs = Par.spread(Tables.documents(s, d))
       // tf feeds three consumers (df, the join, and via df the score);
       // persist so the token explosion+aggregation runs once
-      val tf = docs.select(col("doc_id"), explode(toks).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .persist()
+      val tf = graft.Caches.persisted(
+        docs.select(col("doc_id"), explode(toks).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
@@ -513,6 +561,44 @@ object LlmOps {
       |  list_transform(string_split(text,' '), (t, i) ->
       |    array_to_string(string_split(text,' ')[i:i+2], ' ')),
       |  (x, i) -> i <= len(string_split(text,' ')) - 2))""".stripMargin
+
+  /** DuckDB twin of the incremental dedup chain (combined-df rare
+    * blocking over the 80/20 id-bucket split -> candidate pairs ->
+    * exact verify -> min-partner decision). Shared by the in-flight
+    * and stored-artifact entries: both compute this exact algebra. */
+  private[operators] lazy val incrementalDedupSql: String =
+    s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+       |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+       |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |delta_ids AS (SELECT doc_id FROM sh
+       |  WHERE ${TextOps.splitBucketSql("doc_id")} >= 80),
+       |rd AS (SELECT ex.* FROM ex JOIN delta_ids USING (doc_id)),
+       |rb AS (SELECT ex.* FROM ex
+       |  WHERE ${TextOps.splitBucketSql("doc_id")} < 80),
+       |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+       |rare AS (SELECT shingle FROM dfreq WHERE df <= ${DfCutoff}),
+       |rdr AS (SELECT rd.* FROM rd JOIN rare USING (shingle)),
+       |rbr AS (SELECT rb.* FROM rb JOIN rare USING (shingle)),
+       |cand AS (
+       |  SELECT DISTINCT d.doc_id AS doc, b.doc_id AS partner
+       |  FROM rdr d JOIN rbr b USING (shingle)
+       |  UNION
+       |  SELECT DISTINCT x.doc_id AS doc, y.doc_id AS partner
+       |  FROM rdr x JOIN rdr y
+       |    ON x.shingle = y.shingle AND y.doc_id < x.doc_id),
+       |inter AS (
+       |  SELECT c.doc, c.partner, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN ex a ON a.doc_id = c.doc
+       |  JOIN ex b ON b.doc_id = c.partner AND b.shingle = a.shingle
+       |  GROUP BY 1, 2)
+       |SELECT doc AS doc_id, min(partner) AS dup_of
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc
+       |JOIN sizes sb ON sb.doc_id = partner
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+       |      >= 0.6
+       |GROUP BY doc ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "j_dedup_exact_text" ->
@@ -567,39 +653,10 @@ object LlmOps {
          |        >= 0.6)
          |SELECT doc_b AS doc_id, min(doc_a) AS dup_of
          |FROM ver GROUP BY doc_b ORDER BY doc_id""".stripMargin,
-    "j_dedup_incremental" ->
-      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
-         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
-         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         |delta_ids AS (SELECT doc_id FROM sh
-         |  WHERE ${TextOps.splitBucketSql("doc_id")} >= 80),
-         |rd AS (SELECT ex.* FROM ex JOIN delta_ids USING (doc_id)),
-         |rb AS (SELECT ex.* FROM ex
-         |  WHERE ${TextOps.splitBucketSql("doc_id")} < 80),
-         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
-         |rare AS (SELECT shingle FROM dfreq WHERE df <= ${DfCutoff}),
-         |rdr AS (SELECT rd.* FROM rd JOIN rare USING (shingle)),
-         |rbr AS (SELECT rb.* FROM rb JOIN rare USING (shingle)),
-         |cand AS (
-         |  SELECT DISTINCT d.doc_id AS doc, b.doc_id AS partner
-         |  FROM rdr d JOIN rbr b USING (shingle)
-         |  UNION
-         |  SELECT DISTINCT x.doc_id AS doc, y.doc_id AS partner
-         |  FROM rdr x JOIN rdr y
-         |    ON x.shingle = y.shingle AND y.doc_id < x.doc_id),
-         |inter AS (
-         |  SELECT c.doc, c.partner, count(*) AS n_common
-         |  FROM cand c
-         |  JOIN ex a ON a.doc_id = c.doc
-         |  JOIN ex b ON b.doc_id = c.partner AND b.shingle = a.shingle
-         |  GROUP BY 1, 2)
-         |SELECT doc AS doc_id, min(partner) AS dup_of
-         |FROM inter
-         |JOIN sizes sa ON sa.doc_id = doc
-         |JOIN sizes sb ON sb.doc_id = partner
-         |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
-         |      >= 0.6
-         |GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "j_dedup_incremental" -> incrementalDedupSql,
+    // the stored-artifact run computes the identical algebra over the
+    // identical base/delta split — one oracle serves both entries
+    "j_dedup_incremental_stored" -> incrementalDedupSql,
     "j_sim_cosine_topk" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),

@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupArtifacts, LlmOps}
+
+/** The stored-artifact incremental-dedup path (VERDICT r5 asks #1/#2):
+  * `j_dedup_incremental_stored` reads the standing corpus from bucketed
+  * catalog tables — the query scans `documents` exactly once (the delta
+  * split), never re-shingles base text, and the shingle-keyed base
+  * joins ride the bucket layout with no Exchange directly over the
+  * stored postings. Plus the append loop: two consecutive delta batches
+  * where batch 2 catches a dup against a batch-1 survivor without
+  * batch-1 appearing anywhere in its lineage.
+  */
+class StoredDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docScans(df: DataFrame): Seq[LogicalRelation] =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation if (lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+        case _ => false
+      }) => lr
+    }
+
+  test("stored-artifact entry matches the in-flight entry; documents " +
+    "is scanned once; no Exchange directly over the bucketed postings") {
+    graft.functions.VectorExprs.register(spark)
+    val inFlight = SparkEntry.queries("j_dedup_incremental")(spark, sfDir)
+      .collect().toSeq
+    Caches.release(spark)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val stored =
+        SparkEntry.queries("j_dedup_incremental_stored")(spark, sfDir)
+      assert(stored.collect().toSeq == inFlight)
+
+      // (a) base text can never be re-shingled: every documents access
+      // in the whole plan is the delta split (`bucket >= 80`) — the
+      // base split's `< 80` predicate appears nowhere (contrast the
+      // in-flight entry, which carries both), so the base side enters
+      // ONLY through the stored tables (which carry no text column)
+      assert(docScans(stored).nonEmpty)
+      // the analyzed plan is inspected (not optimizedPlan): the delta
+      // postings are persisted at build time, so cache substitution
+      // would hide the filter inside an InMemoryRelation
+      def conds(df: DataFrame): Seq[String] =
+        df.queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.toString
+        }
+      val filterConds = conds(stored)
+      assert(filterConds.exists(_.contains(">= cast(80")), filterConds.toString)
+      assert(!filterConds.exists(_.contains("< cast(80")),
+        s"base-split scan present:\n${filterConds.mkString("\n")}")
+      val inFlightConds =
+        conds(SparkEntry.queries("j_dedup_incremental")(spark, sfDir))
+      assert(inFlightConds.exists(_.contains("< cast(80")),
+        "discriminator lost its teeth: the in-flight entry no longer " +
+          "shows a base-split filter, update this spec")
+      val postTable = DedupArtifacts.postTable(
+        LlmOps.storedArtifactPrefix(spark, sfDir))
+      assert(spark.table(postTable).columns.toSeq ==
+        Seq("doc_id", "shingle"))
+      val analyzedStr = stored.queryExecution.analyzed.toString
+      assert(analyzedStr.contains(postTable), analyzedStr)
+
+      // (b) no shuffle whose entire subtree is just the stored
+      // postings scan: the standing corpus joins on its write-time
+      // bucket layout (the verify-stage exchange over the semi-
+      // filtered candidate union is allowed — it carries candidates'
+      // postings, never the corpus)
+      val exec = stored.queryExecution.executedPlan
+      val badExchanges = exec.collect {
+        case e: ShuffleExchangeExec
+          if e.collectLeaves().nonEmpty && e.collectLeaves().forall {
+            case f: FileSourceScanExec =>
+              f.tableIdentifier.exists(_.table.endsWith("_post"))
+            case _ => false
+          } => e
+      }
+      assert(badExchanges.isEmpty,
+        s"standing postings crossed an Exchange:\n$exec")
+      // and the postings scan itself uses the bucket layout
+      val postScans = exec.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.endsWith("_post")) => f
+      }
+      assert(postScans.nonEmpty, exec.toString)
+      assert(postScans.exists(_.bucketedScan),
+        s"stored postings read without the bucket layout:\n$exec")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Caches.release(spark)
+    }
+  }
+
+  // 12-token sentences (IncrementalDedupSpec's construction): editing
+  // the last token leaves 9 of 10 shingles shared → jaccard ≈ 0.818.
+  private val s1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+  private val s1c = s1.replaceAll("lima$", "november")
+  private val u1 = "one two three four five six seven eight nine ten eleven twelve"
+  private val u1b = u1.replaceAll("twelve$", "thirteen")
+  private val u2 = "red orange yellow green blue indigo violet cyan magenta umber teal maroon"
+
+  test("consecutive delta batches compose: batch 2 catches a dup " +
+    "against a batch-1 survivor without re-shingling batch 1") {
+    graft.functions.VectorExprs.register(spark)
+    val prefix = "graft_inc_append_t"
+    Seq(DedupArtifacts.postTable(prefix), DedupArtifacts.sizesTable(prefix),
+      DedupArtifacts.dfTable(prefix))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val baseDocs = Seq((1L, s1), (2L, u2)).toDF("doc_id", "text")
+    DedupArtifacts.write(baseDocs, prefix, nBuckets = 4)
+    try {
+      // batch 1: 100 is brand new, 101 near-dups base doc 1
+      val batch1 = Seq((100L, u1), (101L, s1c)).toDF("doc_id", "text")
+      val (bp1, bs1, bd1) = DedupArtifacts.read(spark, prefix)
+      val dups1 = LlmOps.incrementalDedup(bp1, bs1, bd1, batch1,
+        cutoff = 50, tau = 0.6)
+      assert(dups1.as[(Long, Long)].collect().toMap == Map(101L -> 1L))
+      DedupArtifacts.append(spark, prefix, batch1, dups1)
+
+      // batch 2: 200 near-dups batch-1 SURVIVOR 100 — only the store
+      // knows about 100 now
+      val batch2 = Seq((200L, u1b)).toDF("doc_id", "text")
+      val (bp2, bs2, bd2) = DedupArtifacts.read(spark, prefix)
+      val res2 = LlmOps.incrementalDedup(bp2, bs2, bd2, batch2,
+        cutoff = 50, tau = 0.6)
+      // batch 1's text is nowhere in batch 2's lineage: every leaf is
+      // either a stored-artifact table (no text column — re-shingling
+      // batch 1 from it is structurally impossible) or a LocalRelation
+      // of batch 2 itself (the analyzer re-aliases it per self-join
+      // branch); in particular NO other source appears
+      val leaves = res2.queryExecution.analyzed.collectLeaves()
+      assert(leaves.exists(_.toString.contains(prefix)),
+        leaves.mkString("\n"))
+      assert(leaves.forall(l => l.toString.contains(prefix) ||
+        l.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        leaves.mkString("\n"))
+      assert(res2.as[(Long, Long)].collect().toMap == Map(200L -> 100L))
+
+      // store df equals a from-scratch recompute over base ∪ survivors
+      // (dup 101 was NOT appended; partial rows sum per shingle)
+      val (_, _, dfNow) = DedupArtifacts.read(spark, prefix)
+      val expected = LlmOps.baseArtifacts(
+        baseDocs.unionByName(Seq((100L, u1)).toDF("doc_id", "text")))._3
+      assert(dfNow.orderBy("shingle").collect().toSeq ==
+        expected.orderBy("shingle").collect().toSeq)
+
+      // compaction preserves the aggregated df and the bucket spec
+      DedupArtifacts.compact(spark, prefix)
+      val (_, _, dfCompact) = DedupArtifacts.read(spark, prefix)
+      assert(dfCompact.orderBy("shingle").collect().toSeq ==
+        expected.orderBy("shingle").collect().toSeq)
+      val raw = spark.table(DedupArtifacts.dfTable(prefix))
+      assert(raw.count() == raw.select("shingle").distinct().count())
+    } finally {
+      Seq(DedupArtifacts.postTable(prefix),
+        DedupArtifacts.sizesTable(prefix), DedupArtifacts.dfTable(prefix))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      Caches.release(spark)
+    }
+  }
+}
