@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   */
 object AnnOps {
 
-  private def unit(s: SparkSession, d: String): DataFrame =
+  private[operators] def unit(s: SparkSession, d: String): DataFrame =
     Par.spread(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"),
         col("embedding").cast(ArrayType(DoubleType)).as("v"))
@@ -42,7 +42,7 @@ object AnnOps {
     * pair with rn = 1 for the nearest centroid (ties to lowest cell).
     * rn = 1 is the home-cell assignment; rn ≤ nprobe is the multi-probe
     * set. */
-  private def ivfRank(u: DataFrame, cents: DataFrame): DataFrame = {
+  private[operators] def ivfRank(u: DataFrame, cents: DataFrame): DataFrame = {
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(desc("cdot"), asc("cell_id"))
     u.join(broadcast(cents))
@@ -77,8 +77,13 @@ object AnnOps {
     * deterministic sample instead of ordered-limit); the Lloyd loop
     * stays driver-side — k·dim·|sample| flops is microscopic next to
     * the scan. */
+  /** Counts sample+Lloyd's runs — AnnIndexSpec's direct evidence that a
+    * delta run against the stored index never re-clusters. */
+  private[graft] val lloydRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[graft] def kmeansCentroids(u: DataFrame, k: Int, iters: Int,
                                      maxSample: Int): Array[(Int, Array[Double])] = {
+    lloydRuns.incrementAndGet()
     val sample: Array[Array[Double]] = u.select(col("vec_id"), col("u"))
       .orderBy("vec_id").limit(maxSample).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -203,7 +208,54 @@ object AnnOps {
       .orderBy("vec_id", "rk")
   }
 
+  /** Once-per-(session, sfDir) materialization of the STORED IVF index
+    * for `j_ann_incremental`: the 80% id-bucket base split of
+    * `embeddings` clustered one time (sampled Lloyd's) and written as
+    * catalog tables via [[AnnIndex.write]]. Every subsequent delta run
+    * reads the tables — no sample, no Lloyd job, no base-vector scan.
+    * Memoized so Bench's repeated passes pay the build once (the same
+    * amortization [[LlmOps.storedArtifactPrefix]] applies to dedup). */
+  private val indexPrefixes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def storedIndexPrefix(s: SparkSession, d: String): String =
+    indexPrefixes.computeIfAbsent((s, d), { _ =>
+      val prefix = "graft_ivf_" + d.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_")
+      val base = unit(s, d).drop("label")
+        .filter(TextOps.splitBucket(col("vec_id")) < 80)
+      AnnIndex.write(base, prefix, k = 16, iters = 5, maxSample = 256,
+        nBuckets = 8)
+      prefix
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Incremental ANN — delta vs standing index (VERDICT r5 ask #3):
+    // the 20% id-bucket delta split is assigned to the STANDING
+    // k-means centroids (broadcast of 16 stored rows — no re-cluster;
+    // AnnIndexSpec pins lloydRuns unchanged and no base-embedding scan
+    // in the plan) and searched against the merged inverted lists
+    // (stored cells ∪ the delta's own home assignments) with
+    // multi-probe 8/16, for the delta probes only. Declared no-oracle
+    // like the other k-means entries; AnnIndexSpec gates recall@3 vs
+    // brute force over base∪delta ≥ 0.8 plus the two-batch append
+    // composition.
+    "j_ann_incremental" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val prefix = storedIndexPrefix(s, d)
+      val (cents, cells) = AnnIndex.read(s, prefix)
+      val delta = unit(s, d).drop("label")
+        .filter(TextOps.splitBucket(col("vec_id")) >= 80)
+      val ranked = ivfRank(delta, cents)
+      val probes = ranked.filter(col("rn") <= 8)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+      val deltaHome = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+      val cands = cells.unionByName(deltaHome)
+      top3(pairAcrossBuckets(probes, cands, "cell",
+        Tables.rowCount(s, d, "embeddings")))
+    },
+
     // IVF-bucketed ANN: assign every vector to its nearest of 16 seed
     // centroids (vec_id < 16 — deterministic stand-in for k-means),
     // then search top-3 cosine neighbors WITHIN the cell only.

@@ -59,7 +59,7 @@ object DedupArtifacts {
   }
 
   /** Drop `table` and delete leftover files at its default location. */
-  private def reset(s: SparkSession, table: String): Unit = {
+  private[operators] def reset(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     val loc = s.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -136,8 +136,9 @@ object DedupArtifacts {
 
   /** Append into an existing bucketed table, re-reading the bucket spec
     * from the catalog so every insert lands on the write-time layout. */
-  private def appendBucketed(s: SparkSession, df: DataFrame, table: String,
-                             bucketCol: String): Unit =
+  private[operators] def appendBucketed(s: SparkSession, df: DataFrame,
+                                        table: String,
+                                        bucketCol: String): Unit =
     df.write.mode(SaveMode.Append).format("parquet")
       .bucketBy(bucketCount(s, table), bucketCol)
       .sortBy(bucketCol)
