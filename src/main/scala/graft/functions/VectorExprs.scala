@@ -258,7 +258,13 @@ object VectorExprs {
       (args: Seq[Expression]) => NormalizeText(args(0))),
     (FunctionIdentifier("graft_dot8"),
       new ExpressionInfo(classOf[ArrayDotProductInt8].getName, "graft_dot8"),
-      (args: Seq[Expression]) => ArrayDotProductInt8(args(0), args(1))))
+      (args: Seq[Expression]) => ArrayDotProductInt8(args(0), args(1))),
+    (FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
+      (args: Seq[Expression]) => BpeTokenCount(args(0), args(1))),
+    (FunctionIdentifier("graft_bpe_tokens"),
+      new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
+      (args: Seq[Expression]) => BpeTokens(args(0), args(1))))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't

@@ -72,7 +72,53 @@ object TextOps {
         col("votes"))
   }
 
+  /** Once-per-(session, sfDir) BPE merge-table training for
+    * `j_text_bpe_tokenize`: one distributed word-frequency aggregation,
+    * then a bounded driver-side merge loop over the top-512 words
+    * ([[graft.functions.Bpe.train]] — the kmeansCentroids shape: the
+    * corpus-sized work is the aggregation; the iteration is driver
+    * flops). Top-V selection is deterministic (freq desc, word asc), so
+    * the learned table is identical across runs and partitionings. */
+  private val bpeMerges =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def trainedBpeMerges(s: SparkSession, d: String): String =
+    bpeMerges.computeIfAbsent((s, d), { _ =>
+      val wordFreq = Tables.documents(s, d)
+        .select(explode(filter(split(lower(col("text")), graft.functions.Bpe.SplitRegex),
+          w => length(w) > 0)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("word")).limit(512)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.functions.Bpe.encodeMerges(
+        graft.functions.Bpe.train(wordFreq, nMerges = 200))
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Real BPE tokenization (VERDICT r5 ask #5, replacing the
+    // ceil(len/4) proxy of j_text_bpe_count): a 200-merge table learned
+    // driver-side from the corpus's aggregated word frequencies, applied
+    // per doc by the native graft_bpe_count expression — one narrow
+    // projection, the merge table riding the plan as a literal. No
+    // oracle (the merge loop won't twin in SQL); BpeSpec gates
+    // determinism across runs/partitionings, the round-trip
+    // detokenization identity (concat(tokens) == lowercased text with
+    // non-alphanumerics stripped), and real compression
+    // (n_tokens < n_chars_an, n_tokens ≥ n_words).
+    "j_text_bpe_tokenize" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val mstr = trainedBpeMerges(s, d)
+      val words = filter(split(lower(col("text")), graft.functions.Bpe.SplitRegex),
+        w => length(w) > 0)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(words).as("n_words"),
+          length(regexp_replace(lower(col("text")),
+            graft.functions.Bpe.SplitRegex, "")).cast(LongType).as("n_chars_an"),
+          expr(s"graft_bpe_count(text, '$mstr')").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // SimHash-64 near-dup candidates: ±1 vote per bit per distinct
     // token hash, band join on 4×16-bit chunks, exact hamming filter.
     // No oracle (xxhash64 has no DuckDB twin); TextOpsSpec plants dups.

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Bpe
+
+/** Real BPE train/apply (VERDICT r5 ask #5): deterministic merge-table
+  * learning, round-trip detokenization, and actual compression on the
+  * fixture corpus.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("train learns the expected merges on a hand-checkable corpus") {
+    // "aaab"×3: pairs (a,a) weighted 6 > (a,b) 3 → merge 1 = (a,a);
+    // then ["aa","a","b"] has (aa,a) 3 and (a,b) 3 — tie breaks to the
+    // lexicographically smaller pair (a,b)
+    val merges = Bpe.train(Seq(("aaab", 3L)), nMerges = 2)
+    assert(merges == Seq(("a", "a"), ("a", "b")))
+    assert(Bpe.tokenize("aaab", merges).toSeq == Seq("aa", "ab"))
+    // unseen word still tokenizes with the same table
+    assert(Bpe.tokenize("baa", merges).toSeq == Seq("b", "aa"))
+    // merge-all-occurrences is left-to-right non-overlapping
+    assert(Bpe.tokenize("aaaaa", merges.take(1)).toSeq ==
+      Seq("aa", "aa", "a"))
+  }
+
+  test("training is deterministic under input order and stops when no " +
+    "pair repeats") {
+    val wf = Seq(("hello", 7L), ("help", 3L), ("world", 5L), ("word", 2L))
+    val a = Bpe.train(wf, nMerges = 50)
+    val b = Bpe.train(scala.util.Random.shuffle(wf), nMerges = 50)
+    assert(a == b, "merge table depends on word order")
+    // a one-occurrence corpus has no pair with weighted count >= 2
+    assert(Bpe.train(Seq(("abcdef", 1L)), nMerges = 10).isEmpty)
+  }
+
+  test("encode/decode round-trips the merge table") {
+    val m = Seq(("a", "b"), ("ab", "c"), ("x1", "y2"))
+    assert(Bpe.decodeMerges(Bpe.encodeMerges(m)) == m)
+    assert(Bpe.decodeMerges(Bpe.encodeMerges(Nil)) == Nil)
+  }
+
+  test("j_text_bpe_tokenize: round-trip detokenization — concatenated " +
+    "tokens reproduce the stripped lowercased text on every doc") {
+    graft.functions.VectorExprs.register(spark)
+    val mstr = operators.TextOps.trainedBpeMerges(spark, sfDir)
+    val bad = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat_ws("", expr(s"graft_bpe_tokens(text, '$mstr')")).as("detok"),
+        regexp_replace(lower(col("text")), Bpe.SplitRegex, "").as("expect"))
+      .filter(col("detok") =!= col("expect"))
+    assert(bad.count() == 0, bad.head(3).mkString("\n"))
+  }
+
+  test("j_text_bpe_tokenize: deterministic, compressive, and " +
+    "word-count-bounded on the fixture corpus") {
+    graft.functions.VectorExprs.register(spark)
+    val q = SparkEntry.queries("j_text_bpe_tokenize")
+    val a = q(spark, sfDir).collect()
+    val b = q(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty)
+    var chars = 0L; var toks = 0L
+    a.foreach { r =>
+      val (nWords, nChars, nTokens) =
+        (r.getInt(1).toLong, r.getLong(2), r.getLong(3))
+      assert(nTokens >= nWords, s"doc ${r.getLong(0)}: fewer tokens than words")
+      assert(nTokens <= nChars, s"doc ${r.getLong(0)}: tokens exceed chars")
+      chars += nChars; toks += nTokens
+    }
+    info(f"corpus compression: $toks tokens / $chars alnum chars = " +
+      f"${toks.toDouble / chars}%.3f")
+    // 200 learned merges must actually compress (not the identity)
+    assert(toks < chars * 0.8,
+      s"merge table barely compresses: $toks tokens vs $chars chars")
+  }
+
+  test("the trained merge table is identical across sessions' repeated " +
+    "aggregations (top-V selection is fully ordered)") {
+    graft.functions.VectorExprs.register(spark)
+    // re-run the training pipeline directly with a different input
+    // partitioning; must reproduce the memoized table byte-for-byte
+    val wordFreq = Tables.documents(spark, sfDir).repartition(7)
+      .select(explode(filter(split(lower(col("text")), Bpe.SplitRegex),
+        w => length(w) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("word")).limit(512)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val retrained = Bpe.encodeMerges(Bpe.train(wordFreq, nMerges = 200))
+    assert(retrained == operators.TextOps.trainedBpeMerges(spark, sfDir),
+      "merge table changed under repartitioning")
+  }
+}
