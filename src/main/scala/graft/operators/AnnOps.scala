@@ -246,11 +246,17 @@ object AnnOps {
       val (cents, cells) = AnnIndex.read(s, prefix)
       val delta = unit(s, d).drop("label")
         .filter(TextOps.splitBucket(col("vec_id")) >= 80)
-      val ranked = ivfRank(delta, cents)
-      val probes = ranked.filter(col("rn") <= 8)
-        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
-      val deltaHome = ranked.filter(col("rn") === 1)
-        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+      // the delta is small by definition (that's the point of the
+      // incremental path), so the ranked frame persists: one delta
+      // scan + centroid broadcast + window feeds both the probe set
+      // and the home assignments (the plan showed the whole chain
+      // doubled otherwise)
+      val ranked = graft.Caches.persisted(ivfRank(delta, cents)
+        .filter(col("rn") <= 8)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"),
+          col("rn")))
+      val probes = ranked.drop("rn")
+      val deltaHome = ranked.filter(col("rn") === 1).drop("rn")
       val cands = cells.unionByName(deltaHome)
       top3(pairAcrossBuckets(probes, cands, "cell",
         Tables.rowCount(s, d, "embeddings")))

@@ -113,9 +113,100 @@ object CorpusPipeline {
     rows.reduce(_.unionByName(_)).orderBy("stage")
   }
 
+  /** Once-per-(session, sfDir) build of the incremental pipeline's
+    * standing artifacts: the dedup store ([[LlmOps.storedArtifactPrefix]]
+    * — postings/sizes/df of the 80% base split) plus the two tiny
+    * stage tables a delta run needs so it never scans base text —
+    * `<prefix>_langprof` (the standing corpus's per-language token
+    * profile) and `<prefix>_benchsh` (the fixed benchmark-shingle
+    * registry, docs 0–4). PipelineIncSpec pins the resulting plan
+    * property: every `documents` access in the delta run is the delta
+    * split. */
+  private val incPrefixes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def incrementalPrefix(s: SparkSession, d: String): String =
+    incPrefixes.computeIfAbsent((s, d), { _ =>
+      graft.functions.VectorExprs.register(s)
+      val prefix = LlmOps.storedArtifactPrefix(s, d)
+      val docs = LlmOps.dedupDocs(s, d)
+      val base = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
+      DedupArtifacts.reset(s, s"${prefix}_langprof")
+      TextOps.langProfile(base)
+        .write.format("parquet").saveAsTable(s"${prefix}_langprof")
+      DedupArtifacts.reset(s, s"${prefix}_benchsh")
+      docs.filter(col("doc_id") < 5)
+        .select(explode(expr("graft_shingles(text, 3)")).as("shingle"))
+        .distinct()
+        .write.format("parquet").saveAsTable(s"${prefix}_benchsh")
+      prefix
+    })
+
+  /** Stage names of the incremental (delta-vs-standing-corpus) run. */
+  val IncStageNames: Seq[String] =
+    Seq("quality", "langid", "dedup_incremental", "decontaminate")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j_pipeline_audit" -> { (s, d) =>
       audit(s, Par.spread(Tables.documents(s, d)))
+    },
+
+    // The incremental production loop as ONE operator: clean a DELTA
+    // batch (the 20% id-bucket split) against the standing corpus
+    // without touching base text — quality gate (stateless), langid
+    // confirm against the STORED standing profile, incremental dedup
+    // against the STORED postings/sizes/df artifacts (only the delta
+    // is shingled), benchmark decontamination against the STORED
+    // shingle registry — emitting the same per-stage audit ledger as
+    // j_pipeline_audit. Mix downsampling is deliberately absent: source
+    // rebalancing is a corpus-wide periodic operation, not a per-batch
+    // one. The DuckDB oracle twins all four stages in SQL.
+    "j_pipeline_incremental" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val prefix = incrementalPrefix(s, d)
+      val d0 = graft.Caches.persisted(LlmOps.dedupDocs(s, d)
+        .filter(TextOps.splitBucket(col("doc_id")) >= 80))
+
+      // 1. quality: identical gate to the batch pipeline
+      val s1 = d0.withColumn("num", TextOps.qualityNum)
+        .withColumn("q4",
+          expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
+        .filter(col("q4") >= 6000)
+        .drop("num", "q4")
+        .transform(graft.Caches.persisted)
+
+      // 2. langid: vote against the standing profile table
+      val keep2 = TextOps.votesAgainst(s.table(s"${prefix}_langprof"), s1)
+        .filter(col("pred_lang") === col("lang"))
+        .select("doc_id")
+      val s2 = graft.Caches.persisted(s1.join(keep2, "doc_id"))
+
+      // 3. incremental dedup vs the stored artifacts (survivors only —
+      //    combined-df blocking sees base + the gated delta, exactly
+      //    what reaches the corpus)
+      val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
+      val dups = LlmOps.incrementalDedup(bp, bs, bd, s2,
+        LlmOps.dedupDfCutoff(s), LlmOps.cascadeTau(s)).select("doc_id")
+      val s3 = graft.Caches.persisted(s2.join(dups, Seq("doc_id"), "left_anti"))
+
+      // 4. decontaminate vs the stored benchmark registry
+      val contaminated = s3
+        .select(col("doc_id"), explode(expr("graft_shingles(text, 3)"))
+          .as("shingle"))
+        .join(broadcast(s.table(s"${prefix}_benchsh")), "shingle")
+        .select("doc_id").distinct()
+      val s4 = graft.Caches.persisted(
+        s3.join(contaminated, Seq("doc_id"), "left_anti"))
+
+      val chain = Seq(d0, s1, s2, s3, s4)
+      IncStageNames.zipWithIndex.map { case (name, i) =>
+        chain(i).agg(count(lit(1)).as("docs_in"))
+          .crossJoin(chain(i + 1).agg(count(lit(1)).as("docs_out")))
+          .select(lit((i + 1).toLong).as("stage"),
+            lit(name).as("stage_name"),
+            col("docs_in"), col("docs_out"),
+            (col("docs_in") - col("docs_out")).as("docs_dropped"))
+      }.reduce(_.unionByName(_)).orderBy("stage")
     }
   )
 
@@ -220,6 +311,119 @@ object CorpusPipeline {
          |  UNION ALL SELECT 5, 'mix_downsample', (SELECT count(*) FROM s4),
          |    (SELECT count(*) FROM s5),
          |    (SELECT count(*) FROM s4) - (SELECT count(*) FROM s5))
+         |ORDER BY stage""".stripMargin,
+
+    // Stage-for-stage SQL twin of the incremental run: quality gate on
+    // the delta split, langid votes against profiles learned on the
+    // BASE split, incremental dedup with combined-df blocking (full
+    // base df + gated-delta df — the exact frequencies the stored
+    // artifacts supply), decontamination against docs 0–4 of the full
+    // corpus.
+    "j_pipeline_incremental" ->
+      s"""WITH d0 AS (SELECT * FROM documents
+         |  WHERE ${TextOps.splitBucketSql("doc_id")} >= 80),
+         |base AS (SELECT * FROM documents
+         |  WHERE ${TextOps.splitBucketSql("doc_id")} < 80),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS nstop,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndist,
+         |    n_chars
+         |  FROM d0),
+         |q AS (
+         |  SELECT doc_id,
+         |    (4 * least(n_chars, 500) * ntok + 1500 * (ntok - nstop)
+         |     + 1500 * ndist) * 10000 // (5000 * ntok) AS q4
+         |  FROM c),
+         |s1 AS (SELECT d0.* FROM d0 JOIN q USING (doc_id) WHERE q4 >= 6000),
+         |btok AS (
+         |  SELECT lang, unnest(string_split(text,' ')) AS token FROM base),
+         |prof AS (
+         |  SELECT lang AS p_lang, token FROM (
+         |    SELECT lang, token, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY lang
+         |        ORDER BY count(*) DESC, token ASC) AS rk
+         |    FROM btok GROUP BY lang, token)
+         |  WHERE rk <= 20),
+         |tok1 AS (
+         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+         |  FROM s1),
+         |votes1 AS (
+         |  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS votes
+         |  FROM tok1 t JOIN prof p ON t.token = p.token
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT doc_id, lang, p_lang FROM votes1
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY votes DESC, p_lang ASC) = 1),
+         |s2 AS (
+         |  SELECT s1.* FROM s1
+         |  JOIN (SELECT doc_id FROM pred WHERE lang = p_lang) k
+         |    USING (doc_id)),
+         |shb AS (SELECT doc_id, $shSql AS s FROM base),
+         |sizesb AS (SELECT doc_id, len(s) AS n_sh FROM shb),
+         |exb AS (SELECT doc_id, unnest(s) AS shingle FROM shb),
+         |shd AS (SELECT doc_id, $shSql AS s FROM s2),
+         |sizesd AS (SELECT doc_id, len(s) AS n_sh FROM shd),
+         |exd AS (SELECT doc_id, unnest(s) AS shingle FROM shd),
+         |dfc AS (
+         |  SELECT shingle, count(*) AS df FROM (
+         |    SELECT * FROM exb UNION ALL SELECT * FROM exd)
+         |  GROUP BY shingle),
+         |rare AS (SELECT shingle FROM dfc WHERE df <= ${LlmOps.DfCutoff}),
+         |rdr AS (SELECT exd.* FROM exd JOIN rare USING (shingle)),
+         |rbr AS (SELECT exb.* FROM exb JOIN rare USING (shingle)),
+         |cand AS (
+         |  SELECT DISTINCT d.doc_id AS doc, b.doc_id AS partner
+         |  FROM rdr d JOIN rbr b USING (shingle)
+         |  UNION
+         |  SELECT DISTINCT x.doc_id AS doc, y.doc_id AS partner
+         |  FROM rdr x JOIN rdr y
+         |    ON x.shingle = y.shingle AND y.doc_id < x.doc_id),
+         |exall AS (SELECT * FROM exb UNION ALL SELECT * FROM exd),
+         |sizesall AS (
+         |  SELECT * FROM sizesb UNION ALL SELECT * FROM sizesd),
+         |inter AS (
+         |  SELECT c.doc, c.partner, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN exd a ON a.doc_id = c.doc
+         |  JOIN exall b ON b.doc_id = c.partner AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT doc AS doc_id FROM inter
+         |  JOIN sizesd sa ON sa.doc_id = doc
+         |  JOIN sizesall sz ON sz.doc_id = partner
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sz.n_sh - n_common)
+         |        >= 0.6),
+         |s3 AS (
+         |  SELECT s2.* FROM s2
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+         |bench AS (
+         |  SELECT DISTINCT shingle FROM (
+         |    SELECT unnest($shSql) AS shingle FROM documents
+         |    WHERE doc_id < 5)),
+         |contam AS (
+         |  SELECT DISTINCT e.doc_id FROM exd e
+         |  JOIN s3 USING (doc_id) JOIN bench USING (shingle)),
+         |s4 AS (
+         |  SELECT s3.* FROM s3
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name,
+         |    (SELECT count(*) FROM d0) AS docs_in,
+         |    (SELECT count(*) FROM s1) AS docs_out,
+         |    (SELECT count(*) FROM d0) - (SELECT count(*) FROM s1) AS docs_dropped
+         |  UNION ALL SELECT 2, 'langid', (SELECT count(*) FROM s1),
+         |    (SELECT count(*) FROM s2),
+         |    (SELECT count(*) FROM s1) - (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 3, 'dedup_incremental', (SELECT count(*) FROM s2),
+         |    (SELECT count(*) FROM s3),
+         |    (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s3),
+         |    (SELECT count(*) FROM s4),
+         |    (SELECT count(*) FROM s3) - (SELECT count(*) FROM s4))
          |ORDER BY stage""".stripMargin
   )
 }

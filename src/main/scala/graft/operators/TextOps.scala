@@ -52,16 +52,28 @@ object TextOps {
     * token at all have no prediction. The profile side is tiny
     * (5 langs × 20 tokens) → broadcast; cost is one explode + one
     * broadcast join + two bounded windows at any corpus size. */
-  private[operators] def langPredictions(docs: DataFrame): DataFrame = {
-    val tokens = docs.select(col("doc_id"), col("lang"),
-      explode(toks).as("token"))
-    val profile = tokens.groupBy("lang", "token")
+  private[operators] def langPredictions(docs: DataFrame): DataFrame =
+    votesAgainst(langProfile(docs), docs)
+
+  /** The per-language top-20 token profile of a corpus — tiny
+    * (langs × 20 rows), broadcastable, and STORABLE: the incremental
+    * pipeline persists the standing corpus's profile once and scores
+    * every delta batch against the table. */
+  private[operators] def langProfile(profileDocs: DataFrame): DataFrame =
+    profileDocs
+      .select(col("lang"), explode(toks).as("token"))
+      .groupBy("lang", "token")
       .agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("lang").orderBy(desc("cnt"), asc("token"))))
       .filter(col("rk") <= 20)
       .select(col("lang").as("p_lang"), col("token"))
-    tokens.select(col("doc_id"), col("lang"), col("token"))
+
+  /** Vote `docs` against an already-built profile and keep the argmax
+    * prediction per doc (docs with no profile token get none). */
+  private[operators] def votesAgainst(profile: DataFrame,
+                                      docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(toks).as("token"))
       .join(broadcast(profile), "token")
       .groupBy("doc_id", "lang", "p_lang")
       .agg(count(lit(1)).as("votes"))
@@ -70,7 +82,6 @@ object TextOps {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
         col("votes"))
-  }
 
   /** Once-per-(session, sfDir) BPE merge-table training for
     * `j_text_bpe_tokenize`: one distributed word-frequency aggregation,

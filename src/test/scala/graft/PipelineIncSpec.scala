@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusPipeline, LlmOps}
+
+/** The incremental corpus pipeline: a delta batch cleaned against the
+  * standing corpus through stored artifacts only — no base text in the
+  * delta run's plan.
+  */
+class PipelineIncSpec extends SparkSpec {
+
+  test("j_pipeline_incremental: ledger chains, and the plan touches " +
+    "documents only through the delta split + stored tables") {
+    graft.functions.VectorExprs.register(spark)
+    val out = SparkEntry.queries("j_pipeline_incremental")(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.map(_.getString(1)).toSeq == CorpusPipeline.IncStageNames)
+    // the ledger chains: stage i's docs_out is stage i+1's docs_in,
+    // drops are non-negative, and something flows end to end
+    rows.sliding(2).foreach {
+      case Array(cur, next) =>
+        assert(cur.getLong(3) == next.getLong(2),
+          s"ledger broken between ${cur.getString(1)} and ${next.getString(1)}")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+      assert(r.getLong(4) >= 0L)
+    }
+    assert(rows.head.getLong(2) > 0L, "empty delta — vacuous")
+    assert(rows.last.getLong(3) > 0L, "nothing survived the pipeline")
+
+    // base text never enters: every documents access is the delta
+    // split; profiles/benchmark/postings come from stored tables
+    val conds = out.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.toString
+    }
+    assert(conds.exists(_.contains(">= cast(80")), conds.toString)
+    assert(!conds.exists(_.contains("< cast(80")),
+      s"base-split scan present:\n${conds.mkString("\n")}")
+    assert(!conds.exists(_.contains("< cast(5")),
+      s"benchmark docs scanned in-flight:\n${conds.mkString("\n")}")
+    val prefix = LlmOps.storedArtifactPrefix(spark, sfDir)
+    val an = out.queryExecution.analyzed.toString
+    Seq(s"${prefix}_langprof", s"${prefix}_benchsh", s"${prefix}_post")
+      .foreach(t => assert(an.contains(t), s"missing stored table $t"))
+    Caches.release(spark)
+  }
+}
