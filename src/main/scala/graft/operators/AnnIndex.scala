@@ -41,15 +41,22 @@ object AnnIndex {
 
   /** Create the index from the standing corpus (the one-time sample +
     * Lloyd's pass). `u` must expose (vec_id, u) with `u` a unit
-    * `array<double>`. Replaces any existing index under `prefix`. */
+    * `array<double>`. Replaces any existing index under `prefix`.
+    *
+    * The cells table stores BOTH representations of each vector: the
+    * exact `u` (for re-ranking) and the int8 code `q` (64 B — what the
+    * candidate pass reads). Parquet's column pruning means the pq
+    * search scans only (vec_id, cell, q) — the 8× byte cut applies to
+    * the stored index exactly as it does to the in-flight exchange. */
   def write(u: DataFrame, prefix: String, k: Int, iters: Int,
             maxSample: Int, nBuckets: Int): Unit = {
     val s = u.sparkSession
     import s.implicits._
     val cents = AnnOps.kmeansCentroids(u, k, iters, maxSample)
       .toSeq.toDF("cell_id", "cu")
-    val asg = AnnOps.ivfRank(u, cents).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+    val asg = AnnOps.quantized(
+      AnnOps.ivfRank(u, cents).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u")))
     DedupArtifacts.reset(s, centTable(prefix))
     DedupArtifacts.reset(s, cellsTable(prefix))
     cents.write.format("parquet").saveAsTable(centTable(prefix))
@@ -65,9 +72,10 @@ object AnnIndex {
     * centroids — the whole point: a broadcast of k centroid rows
     * against the delta, never a sample or Lloyd job. */
   def assign(s: SparkSession, prefix: String, deltaU: DataFrame): DataFrame =
-    AnnOps.ivfRank(deltaU, s.table(centTable(prefix)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+    AnnOps.quantized(
+      AnnOps.ivfRank(deltaU, s.table(centTable(prefix)))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u")))
 
   /** Append a delta batch's assignments to the stored inverted lists so
     * the next batch searches them. Unlike [[DedupArtifacts.append]], no
@@ -77,4 +85,22 @@ object AnnIndex {
     * written. */
   def append(s: SparkSession, prefix: String, deltaAsg: DataFrame): Unit =
     DedupArtifacts.appendBucketed(s, deltaAsg, cellsTable(prefix), "cell")
+
+  /** Rewrite the cells table in place (same bucket spec) — the
+    * small-file management pass after many streamed appends, the cells
+    * analogue of [[DedupArtifacts.compact]]: each append lands one file
+    * per bucket, so a long-running [[graft.streaming.AnnStream]]
+    * accumulates files until scan open-cost dominates. Values are
+    * unchanged; only the layout consolidates. */
+  def compact(s: SparkSession, prefix: String): Unit = {
+    val t = cellsTable(prefix)
+    val n = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(sys.error(s"$t is not bucketed"))
+    val tmp = s"${t}_compact"
+    Layout.writeBucketed(s.table(t), tmp, "cell", n)
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $t")
+  }
 }

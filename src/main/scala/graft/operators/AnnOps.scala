@@ -174,7 +174,7 @@ object AnnOps {
     * VERDICT r3 asked for). Approximate dot products over the codes
     * (graft_dot8, codegen'd int MAC) rank candidates; survivors are
     * re-ranked with the exact double vectors. */
-  private def quantized(u: DataFrame): DataFrame =
+  private[operators] def quantized(u: DataFrame): DataFrame =
     u.withColumn("q",
       transform(col("u"), x => round(x * lit(127.0)).cast(ByteType)))
 
@@ -257,9 +257,50 @@ object AnnOps {
           col("rn")))
       val probes = ranked.drop("rn")
       val deltaHome = ranked.filter(col("rn") === 1).drop("rn")
-      val cands = cells.unionByName(deltaHome)
+      val cands = cells.select("vec_id", "cell", "u").unionByName(deltaHome)
       top3(pairAcrossBuckets(probes, cands, "cell",
         Tables.rowCount(s, d, "embeddings")))
+    },
+
+    // The byte-lean variant of j_ann_incremental — what the stored
+    // index actually ships at 100 TB: the candidate pass reads ONLY
+    // (vec_id, cell, q) from the cells table (parquet column pruning;
+    // 64 B int8 codes instead of 512 B doubles — AnnIndexSpec pins the
+    // u-free candidate scan), scores with the codegen'd graft_dot8
+    // MAC, and only the top-32 survivors per probe touch the exact
+    // vectors again for the double re-rank. Same standing centroids,
+    // zero Lloyd jobs; recall gated like the other pq/k-means entries.
+    "j_ann_incremental_pq" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val prefix = storedIndexPrefix(s, d)
+      val (cents, cells) = AnnIndex.read(s, prefix)
+      val delta = unit(s, d).drop("label")
+        .filter(TextOps.splitBucket(col("vec_id")) >= 80)
+      val ranked = graft.Caches.persisted(quantized(ivfRank(delta, cents)
+        .filter(col("rn") <= 8)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"),
+          col("rn"))))
+      val probes = ranked.select(col("vec_id"), col("cell"),
+        col("q").as("qa"))
+      val deltaHome = ranked.filter(col("rn") === 1)
+      val candQ = cells.select(col("vec_id").as("nn_id"), col("cell"),
+          col("q").as("qb"))
+        .unionByName(deltaHome.select(col("vec_id").as("nn_id"),
+          col("cell"), col("q").as("qb")))
+      val survivors = pqPairs(probes, candQ, "cell",
+        Tables.rowCount(s, d, "embeddings"))
+        .withColumn("ck", row_number().over(Window.partitionBy("vec_id")
+          .orderBy(desc("approx"), asc("nn_id"))))
+        .filter(col("ck") <= 32)
+        .select("vec_id", "nn_id")
+      val ua = deltaHome.select(col("vec_id"), col("u").as("ua"))
+      val ub = cells.select(col("vec_id").as("nn_id"), col("u").as("ub"))
+        .unionByName(deltaHome.select(col("vec_id").as("nn_id"),
+          col("u").as("ub")))
+      val exact = survivors.join(ua, "vec_id").join(ub, "nn_id")
+        .withColumn("cos", expr("graft_dot(ua, ub)"))
+        .select("vec_id", "nn_id", "cos")
+      top3(exact)
     },
 
     // IVF-bucketed ANN: assign every vector to its nearest of 16 seed

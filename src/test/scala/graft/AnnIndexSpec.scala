@@ -80,6 +80,68 @@ class AnnIndexSpec extends SparkSpec {
     Caches.release(spark)
   }
 
+  test("j_ann_incremental_pq: recall@3 >= 0.8 on sf0.01, near-total " +
+    "agreement with the unquantized entry, and the candidate pass " +
+    "reads the cells table WITHOUT the exact vectors") {
+    graft.functions.VectorExprs.register(spark)
+    val d = "/root/testdata/sf0.01"
+    def sets(name: String) = SparkEntry.queries(name)(spark, d)
+      .select("vec_id", "nn_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = sets("j_ann_incremental_pq")
+    val un = sets("j_ann_incremental")
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val units = emb.map { case (id, v) => id -> unit(v) }
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val exact = units.filter(p => bucketOf(p._1) >= 80L).map { case (id, ua) =>
+      id -> units.filter(_._1 != id)
+        .map { case (bid, ub) => (dot(ua, ub), bid) }
+        .sortBy { case (c, bid) => (-c, bid) }.take(3).map(_._2).toSet
+    }.toMap
+    val recalls = exact.toSeq.map { case (id, ex) =>
+      pq.getOrElse(id, Set.empty).intersect(ex).size.toDouble / ex.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"incremental pq mean recall@3 = $mean%.3f")
+    assert(mean >= 0.8, f"recall@3 $mean%.3f below 0.8")
+    val agree = un.toSeq.map { case (id, ks) =>
+      pq.getOrElse(id, Set.empty).intersect(ks).size.toDouble /
+        math.max(ks.size, 1)
+    }
+    val meanAgree = agree.sum / agree.size
+    info(f"pq vs unquantized agreement = $meanAgree%.3f")
+    assert(meanAgree >= 0.95, f"quantization lost too much: $meanAgree%.3f")
+    Caches.release(spark)
+
+    // the candidate side scans (vec_id, cell, q) only — the exact
+    // vectors stay out of the pq pass (plan inspected with AQE off)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = SparkEntry.queries("j_ann_incremental_pq")(spark, sfDir)
+        .queryExecution.executedPlan
+      val cellScans = exec.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.endsWith("_cells")) =>
+          f.output.map(_.name).toSet
+      }
+      assert(cellScans.nonEmpty, exec.toString)
+      assert(cellScans.exists(cols => cols.contains("q") && !cols.contains("u")),
+        s"no u-free candidate scan of the cells table: $cellScans")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Caches.release(spark)
+    }
+  }
+
   test("index append composes: a batch-2 probe finds a batch-1 vector " +
     "from the stored lists, with no re-clustering") {
     graft.functions.VectorExprs.register(spark)
@@ -117,6 +179,16 @@ class AnnIndexSpec extends SparkSpec {
       assert(nn == 100L, s"batch-2 probe found $nn, expected batch-1's 100")
       assert(AnnOps.lloydRuns.get() == before,
         "append/search path re-clustered")
+      // compaction consolidates the appended files, changing nothing
+      val pre = spark.table(AnnIndex.cellsTable(prefix))
+        .select("vec_id", "cell").collect().map(_.toSeq).toSet
+      AnnIndex.compact(spark, prefix)
+      val post = spark.table(AnnIndex.cellsTable(prefix))
+      assert(post.select("vec_id", "cell").collect().map(_.toSeq).toSet == pre)
+      assert(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          AnnIndex.cellsTable(prefix))).bucketSpec.exists(_.numBuckets == 2),
+        "compaction lost the bucket spec")
     } finally {
       Seq(AnnIndex.centTable(prefix), AnnIndex.cellsTable(prefix))
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
