@@ -146,10 +146,15 @@ object AnnOps {
   /** Probe/candidate form of the bucketed pairing (multi-probe IVF:
     * the probe side carries one row per probed cell, the candidate side
     * one row per home cell). Same size-driven broadcast/co-partition
-    * choice. */
+    * choice. When the candidate side is a STORED bucketed table, pass
+    * its bucket count as `candBuckets`: the co-partition branch then
+    * repartitions only the probe side — to exactly the write-time
+    * bucket count, so the candidate side rides its layout and the
+    * standing index never crosses an Exchange (AnnIndexSpec pins it). */
   private[graft] def pairAcrossBuckets(probe: DataFrame, cand: DataFrame,
                                        key: String, nRows: Long,
-                                       candExtra: Seq[String] = Nil): DataFrame = {
+                                       candExtra: Seq[String] = Nil,
+                                       candBuckets: Option[Int] = None): DataFrame = {
     val a = probe.select(col("vec_id"), col(key), col("u").as("ua"))
     val b = cand.select(Seq(col("vec_id").as("nn_id"), col(key),
       col("u").as("ub")) ++ candExtra.map(col): _*)
@@ -157,8 +162,11 @@ object AnnOps {
       .get(BroadcastRowLimitKey, "1000000").toLong
     val (pa, pb) =
       if (nRows <= limit) (a, broadcast(b))
-      else (a.repartition(col(key)).hint("merge"),
-            b.repartition(col(key)))
+      else candBuckets match {
+        case Some(n) => (a.repartition(n, col(key)).hint("merge"), b)
+        case None => (a.repartition(col(key)).hint("merge"),
+                      b.repartition(col(key)))
+      }
     pa.join(pb, Seq(key))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("cos", expr("graft_dot(ua, ub)"))
@@ -183,13 +191,17 @@ object AnnOps {
     * crossing the exchange carry ONLY (id, key, int8 code). Output:
     * (vec_id, nn_id, approx). */
   private[graft] def pqPairs(probes: DataFrame, cands: DataFrame,
-                             key: String, nRows: Long): DataFrame = {
+                             key: String, nRows: Long,
+                             candBuckets: Option[Int] = None): DataFrame = {
     val limit = probes.sparkSession.conf
       .get(BroadcastRowLimitKey, "1000000").toLong
     val (pa, pb) =
       if (nRows <= limit) (probes, broadcast(cands))
-      else (probes.repartition(col(key)).hint("merge"),
-            cands.repartition(col(key)))
+      else candBuckets match {
+        case Some(n) => (probes.repartition(n, col(key)).hint("merge"), cands)
+        case None => (probes.repartition(col(key)).hint("merge"),
+                      cands.repartition(col(key)))
+      }
     pa.join(pb, Seq(key))
       .filter(col("vec_id") =!= col("nn_id"))
       .withColumn("approx", expr("graft_dot8(qa, qb)"))
@@ -257,9 +269,15 @@ object AnnOps {
           col("rn")))
       val probes = ranked.drop("rn")
       val deltaHome = ranked.filter(col("rn") === 1).drop("rn")
-      val cands = cells.select("vec_id", "cell", "u").unionByName(deltaHome)
-      top3(pairAcrossBuckets(probes, cands, "cell",
-        Tables.rowCount(s, d, "embeddings")))
+      // searched as two joins so the STORED side keeps its bucket
+      // layout in the co-partition regime (probes pre-partition to the
+      // write-time bucket count; delta-vs-delta is a separate tiny
+      // join) — identical pairs to joining the union
+      val nRows = Tables.rowCount(s, d, "embeddings")
+      val nb = DedupArtifacts.bucketCount(s, AnnIndex.cellsTable(prefix))
+      top3(pairAcrossBuckets(probes, cells.select("vec_id", "cell", "u"),
+          "cell", nRows, candBuckets = Some(nb))
+        .unionByName(pairAcrossBuckets(probes, deltaHome, "cell", nRows)))
     },
 
     // The byte-lean variant of j_ann_incremental — what the stored
@@ -283,12 +301,17 @@ object AnnOps {
       val probes = ranked.select(col("vec_id"), col("cell"),
         col("q").as("qa"))
       val deltaHome = ranked.filter(col("rn") === 1)
-      val candQ = cells.select(col("vec_id").as("nn_id"), col("cell"),
-          col("q").as("qb"))
-        .unionByName(deltaHome.select(col("vec_id").as("nn_id"),
-          col("cell"), col("q").as("qb")))
-      val survivors = pqPairs(probes, candQ, "cell",
-        Tables.rowCount(s, d, "embeddings"))
+      val nRows = Tables.rowCount(s, d, "embeddings")
+      val nb = DedupArtifacts.bucketCount(s, AnnIndex.cellsTable(prefix))
+      // stored codes keep their bucket layout; delta-vs-delta is a
+      // separate tiny join (same pairs as joining the union)
+      val survivors = pqPairs(probes,
+          cells.select(col("vec_id").as("nn_id"), col("cell"),
+            col("q").as("qb")),
+          "cell", nRows, candBuckets = Some(nb))
+        .unionByName(pqPairs(probes,
+          deltaHome.select(col("vec_id").as("nn_id"), col("cell"),
+            col("q").as("qb")), "cell", nRows))
         .withColumn("ck", row_number().over(Window.partitionBy("vec_id")
           .orderBy(desc("approx"), asc("nn_id"))))
         .filter(col("ck") <= 32)

@@ -127,7 +127,7 @@ object DedupArtifacts {
     s.sql(s"ALTER TABLE $tmp RENAME TO $t")
   }
 
-  private def bucketCount(s: SparkSession, table: String): Int =
+  private[operators] def bucketCount(s: SparkSession, table: String): Int =
     s.sessionState.catalog
       .getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))

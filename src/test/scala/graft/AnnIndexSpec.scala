@@ -142,6 +142,51 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("co-partition regime: the stored cells table never crosses an " +
+    "Exchange (probes pre-partition to the write-time bucket count), " +
+    "and results are identical to the broadcast regime") {
+    graft.functions.VectorExprs.register(spark)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    AnnOps.storedIndexPrefix(spark, sfDir)
+    val broadcastRes = Seq("j_ann_incremental", "j_ann_incremental_pq")
+      .map(n => n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq)
+      .toMap
+    Caches.release(spark)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set(AnnOps.BroadcastRowLimitKey, "0") // force co-partition
+    try {
+      Seq("j_ann_incremental", "j_ann_incremental_pq").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val exec = df.queryExecution.executedPlan
+        val badExchanges = exec.collect {
+          case e: ShuffleExchangeExec
+            if e.collectLeaves().nonEmpty && e.collectLeaves().forall {
+              case f: FileSourceScanExec =>
+                f.tableIdentifier.exists(_.table.endsWith("_cells"))
+              case _ => false
+            } => e
+        }
+        assert(badExchanges.isEmpty,
+          s"$name: stored cells crossed an Exchange:\n$exec")
+        val cellScans = exec.collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.endsWith("_cells")) => f
+        }
+        assert(cellScans.nonEmpty && cellScans.exists(_.bucketedScan),
+          s"$name: cells read without the bucket layout:\n$exec")
+        assert(df.collect().toSeq == broadcastRes(name),
+          s"$name: co-partition result differs from broadcast result")
+        Caches.release(spark)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.unset(AnnOps.BroadcastRowLimitKey)
+      Caches.release(spark)
+    }
+  }
+
   test("index append composes: a batch-2 probe finds a batch-1 vector " +
     "from the stored lists, with no re-clustering") {
     graft.functions.VectorExprs.register(spark)

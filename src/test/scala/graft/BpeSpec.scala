@@ -74,6 +74,21 @@ class BpeSpec extends SparkSpec {
       s"merge table barely compresses: $toks tokens vs $chars chars")
   }
 
+  test("the merge table is a stored artifact: the catalog table holds " +
+    "the ranked merges and a re-read reproduces the literal") {
+    graft.functions.VectorExprs.register(spark)
+    val mstr = operators.TextOps.trainedBpeMerges(spark, sfDir)
+    val table = operators.TextOps.bpeTable(sfDir)
+    assert(spark.catalog.tableExists(table), s"$table not written")
+    val stored = spark.table(table).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(Bpe.encodeMerges(stored) == mstr)
+    assert(stored.nonEmpty)
+    // ranks are dense from 0 — replay order is unambiguous
+    assert(spark.table(table).orderBy("rank").select("rank").collect()
+      .map(_.getInt(0)).toSeq == stored.indices)
+  }
+
   test("the trained merge table is identical across sessions' repeated " +
     "aggregations (top-V selection is fully ordered)") {
     graft.functions.VectorExprs.register(spark)
