@@ -47,4 +47,20 @@ class PipelineIncSpec extends SparkSpec {
       .foreach(t => assert(an.contains(t), s"missing stored table $t"))
     Caches.release(spark)
   }
+
+  test("the quality stage equals the standalone j_text_quality gate " +
+    "restricted to the delta split") {
+    graft.functions.VectorExprs.register(spark)
+    def bucketOf(id: Long): Long =
+      ((id % 2147483647L) * 48271L % 2147483647L) % 100L
+    val expected = SparkEntry.queries("j_text_quality")(spark, sfDir)
+      .collect()
+      .count(r => bucketOf(r.getLong(0)) >= 80L && r.getLong(1) >= 6000L)
+      .toLong
+    val audit = SparkEntry.queries("j_pipeline_incremental")(spark, sfDir)
+      .collect()
+    assert(audit.head.getLong(3) == expected,
+      s"quality stage kept ${audit.head.getLong(3)}, standalone says $expected")
+    Caches.release(spark)
+  }
 }
