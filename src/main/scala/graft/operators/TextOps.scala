@@ -337,6 +337,33 @@ object TextOps {
         .orderBy("source")
     },
 
+    // Repetition scoring (the Gopher-style quality signal): per doc,
+    // the fraction of repeated word 2-grams (basis points, exact
+    // integer arithmetic) and the highest single-2-gram count.
+    // Deliberately SHUFFLE-FREE: repetition is doc-local, so both
+    // numbers come from array HOFs inside the scan projection — no
+    // explode, no (doc, gram) exchange; at 100 TB this rides the same
+    // map-side pass as the other quality signals. Docs need ≥ 2 words
+    // (all fixture docs qualify; the filter keeps the op total).
+    "j_text_repetition" -> { (s, d) =>
+      val words = split(col("text"), " ")
+      val grams = expr(
+        """transform(sequence(1, size(split(text, ' ')) - 1),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
+      Tables.documents(s, d)
+        .filter(size(words) >= 2)
+        .withColumn("g", grams)
+        .withColumn("n2", size(col("g")).cast(LongType))
+        .withColumn("nd", size(array_distinct(col("g"))).cast(LongType))
+        .select(col("doc_id"), col("n2"), col("nd"),
+          expr("((n2 - nd) * 10000) div n2").as("rep_bp"),
+          expr("""array_max(transform(array_distinct(g),
+            |  x -> size(filter(g, y -> y = x))))""".stripMargin)
+            .cast(LongType).as("max_gram_n"))
+        .orderBy("doc_id")
+    },
+
     // Text canonicalization — the pre-dedup step (graft_normtext:
     // NFC → casefold → digit-mask → punct/whitespace collapse as ONE
     // codegen'd pass; the oracle is the equivalent DuckDB
@@ -358,6 +385,23 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "j_text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(string_split(text, ' '))),
+        |      i -> string_split(text, ' ')[i] || ' ' ||
+        |           string_split(text, ' ')[i + 1]) AS grams
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS BIGINT) AS n2,
+        |  CAST(len(list_distinct(grams)) AS BIGINT) AS nd,
+        |  (CAST(len(grams) AS BIGINT) - len(list_distinct(grams)))
+        |    * 10000 // len(grams) AS rep_bp,
+        |  CAST(list_max(list_transform(list_distinct(grams),
+        |    x -> len(list_filter(grams, y -> y = x)))) AS BIGINT)
+        |    AS max_gram_n
+        |FROM g ORDER BY doc_id""".stripMargin,
     "j_text_normalize" ->
       """SELECT doc_id, norm_text,
         |  CAST(length(norm_text) AS BIGINT) AS norm_len,

@@ -78,4 +78,20 @@ class TextOpsSpec extends SparkSpec {
         assert(t == expect, s"q4=$q4 tier=$t")
     }
   }
+
+  test("j_text_repetition: bounds hold, ratios are internally " +
+    "consistent, and the fixture corpus actually repeats") {
+    val rows = SparkEntry.queries("j_text_repetition")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n2, nd, repBp, maxN) =>
+      assert(nd >= 1L && nd <= n2, s"doc $id: nd=$nd out of [1,$n2]")
+      assert(repBp >= 0L && repBp <= 10000L, s"doc $id: rep_bp=$repBp")
+      assert(repBp == (n2 - nd) * 10000L / n2, s"doc $id: ratio mismatch")
+      assert(maxN >= 1L && maxN <= n2 - nd + 1, s"doc $id: max_gram_n=$maxN")
+      if (nd == n2) assert(repBp == 0L && maxN == 1L)
+    }
+    // word-soup fixtures repeat: the signal must fire somewhere
+    assert(rows.exists(_._4 > 0L), "no doc shows any 2-gram repetition")
+  }
 }
