@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -111,6 +110,28 @@ object Bpe {
   private[functions] def splitWords(text: String): Array[String] =
     text.toLowerCase(java.util.Locale.ROOT)
       .split(SplitRegex).filter(_.nonEmpty)
+
+  /** Codegen entry points — static calls the generated code makes so
+    * the BPE expressions stay INSIDE whole-stage codegen (no
+    * CodegenFallback interpreted eval per row). The merge-table parse
+    * amortizes through [[cachedMerges]]; the per-row cost is one map
+    * get on an identical string (String caches its hashCode). */
+  def countTokens(text: UTF8String, merges: UTF8String): Long = {
+    val ms = cachedMerges(merges.toString)
+    var n = 0L
+    splitWords(text.toString).foreach(w => n += tokenize(w, ms).length)
+    n
+  }
+
+  def tokensData(text: UTF8String,
+                 merges: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val ms = cachedMerges(merges.toString)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    splitWords(text.toString).foreach { w =>
+      tokenize(w, ms).foreach(t => out += UTF8String.fromString(t))
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `graft_bpe_count(text, merges)` — total BPE token count over all
@@ -118,7 +139,8 @@ object Bpe {
   * per-doc tokenization cost without exploding words through a
   * shuffle. */
 case class BpeTokenCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -129,14 +151,13 @@ case class BpeTokenCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_bpe_count"
 
-  override def nullSafeEval(text: Any, merges: Any): Any = {
-    val ms = Bpe.cachedMerges(merges.asInstanceOf[UTF8String].toString)
-    var n = 0L
-    Bpe.splitWords(text.asInstanceOf[UTF8String].toString).foreach { w =>
-      n += Bpe.tokenize(w, ms).length
-    }
-    n
-  }
+  override def nullSafeEval(text: Any, merges: Any): Any =
+    Bpe.countTokens(text.asInstanceOf[UTF8String],
+      merges.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m) =>
+      s"${ev.value} = graft.functions.Bpe.countTokens($t, $m);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeTokenCount =
@@ -148,7 +169,8 @@ case class BpeTokenCount(left: Expression, right: Expression)
   * reproduces `text` lowercased with non-alphanumerics stripped —
   * BpeSpec's round-trip detokenization invariant. */
 case class BpeTokens(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType == StringType && right.dataType == StringType)
@@ -159,14 +181,13 @@ case class BpeTokens(left: Expression, right: Expression)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_bpe_tokens"
 
-  override def nullSafeEval(text: Any, merges: Any): Any = {
-    val ms = Bpe.cachedMerges(merges.asInstanceOf[UTF8String].toString)
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    Bpe.splitWords(text.asInstanceOf[UTF8String].toString).foreach { w =>
-      Bpe.tokenize(w, ms).foreach(t => out += UTF8String.fromString(t))
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override def nullSafeEval(text: Any, merges: Any): Any =
+    Bpe.tokensData(text.asInstanceOf[UTF8String],
+      merges.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, m) =>
+      s"${ev.value} = graft.functions.Bpe.tokensData($t, $m);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BpeTokens =

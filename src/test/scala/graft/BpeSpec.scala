@@ -74,6 +74,22 @@ class BpeSpec extends SparkSpec {
       s"merge table barely compresses: $toks tokens vs $chars chars")
   }
 
+  test("BPE expressions stay inside whole-stage codegen (no fallback)") {
+    graft.functions.VectorExprs.register(spark)
+    // with fallback disabled, a codegen compile failure throws instead
+    // of silently degrading to interpreted execution
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = SparkEntry.queries("j_text_bpe_tokenize")(spark, sfDir)
+      assert(out.collect().nonEmpty)
+      val mstr = operators.TextOps.trainedBpeMerges(spark, sfDir)
+      assert(Tables.documents(spark, sfDir)
+        .select(expr(s"size(graft_bpe_tokens(text, '$mstr'))"))
+        .collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("the merge table is a stored artifact: the catalog table holds " +
     "the ranked merges and a re-read reproduces the literal") {
     graft.functions.VectorExprs.register(spark)
