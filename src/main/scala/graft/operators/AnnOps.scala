@@ -237,7 +237,7 @@ object AnnOps {
       val base = unit(s, d).drop("label")
         .filter(TextOps.splitBucket(col("vec_id")) < 80)
       AnnIndex.write(base, prefix, k = 16, iters = 5, maxSample = 256,
-        nBuckets = 8)
+        nBuckets = LlmOps.storeBuckets(s))
       prefix
     })
 

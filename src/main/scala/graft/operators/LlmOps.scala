@@ -302,6 +302,16 @@ object LlmOps {
   private val storedPrefixes =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Bucket count for the stored artifact/index tables — a write-time
+    * LAYOUT decision (`spark.graft.store.buckets`, default 8): bucket-
+    * local stages run one task per bucket, so the count caps the
+    * parallelism of every later read. Size it like any bucket spec —
+    * ≈ table_bytes / 128 MB, at least the executor-core count you want
+    * busy (IncScale measured the 10× corpus going 1.3× SLOWER than
+    * in-flight at 8 buckets on 32 cores, and beating it at 32). */
+  private[graft] def storeBuckets(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.store.buckets").map(_.toInt).getOrElse(8)
+
   private[graft] def storedArtifactPrefix(s: SparkSession, d: String): String =
     storedPrefixes.computeIfAbsent((s, d), { _ =>
       val prefix = "graft_inc_" + d.replaceAll("[^a-zA-Z0-9]+", "_")
@@ -309,7 +319,7 @@ object LlmOps {
       val base = dedupDocs(s, d)
         .filter(TextOps.splitBucket(col("doc_id")) < 80)
         .select("doc_id", "text")
-      DedupArtifacts.write(base, prefix, nBuckets = 8)
+      DedupArtifacts.write(base, prefix, nBuckets = storeBuckets(s))
       prefix
     })
 
