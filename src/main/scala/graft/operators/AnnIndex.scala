@@ -64,9 +64,13 @@ object AnnIndex {
   }
 
   /** The index as (centroids, cells) frames: `cents(cell_id, cu)`,
-    * `cells(vec_id, cell, u)` riding the bucket layout. */
-  def read(s: SparkSession, prefix: String): (DataFrame, DataFrame) =
+    * `cells(vec_id, cell, u, q)` riding the bucket layout. Refreshed
+    * before reading so appends from sibling sessions (foreachBatch's
+    * clone — see [[DedupArtifacts.read]]) are visible. */
+  def read(s: SparkSession, prefix: String): (DataFrame, DataFrame) = {
+    Seq(centTable(prefix), cellsTable(prefix)).foreach(s.catalog.refreshTable)
     (s.table(centTable(prefix)), s.table(cellsTable(prefix)))
+  }
 
   /** Home-cell assignment of delta vectors against the STANDING
     * centroids — the whole point: a broadcast of k centroid rows

@@ -127,20 +127,74 @@ object CorpusPipeline {
 
   private[graft] def incrementalPrefix(s: SparkSession, d: String): String =
     incPrefixes.computeIfAbsent((s, d), { _ =>
-      graft.functions.VectorExprs.register(s)
       val prefix = LlmOps.storedArtifactPrefix(s, d)
       val docs = LlmOps.dedupDocs(s, d)
       val base = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
-      DedupArtifacts.reset(s, s"${prefix}_langprof")
-      TextOps.langProfile(base)
-        .write.format("parquet").saveAsTable(s"${prefix}_langprof")
-      DedupArtifacts.reset(s, s"${prefix}_benchsh")
-      docs.filter(col("doc_id") < 5)
-        .select(explode(expr("graft_shingles(text, 3)")).as("shingle"))
-        .distinct()
-        .write.format("parquet").saveAsTable(s"${prefix}_benchsh")
+      writeAuxTables(s, docs, base, prefix)
       prefix
     })
+
+  /** The two tiny stage tables next to a dedup artifact store:
+    * `<prefix>_langprof` from the standing corpus, `<prefix>_benchsh`
+    * from the fixed benchmark registry (docs 0–4 of `benchDocs`). */
+  private[graft] def writeAuxTables(s: SparkSession, benchDocs: DataFrame,
+                                    baseDocs: DataFrame,
+                                    prefix: String): Unit = {
+    graft.functions.VectorExprs.register(s)
+    DedupArtifacts.reset(s, s"${prefix}_langprof")
+    TextOps.langProfile(baseDocs)
+      .write.format("parquet").saveAsTable(s"${prefix}_langprof")
+    DedupArtifacts.reset(s, s"${prefix}_benchsh")
+    benchDocs.filter(col("doc_id") < 5)
+      .select(explode(expr("graft_shingles(text, 3)")).as("shingle"))
+      .distinct()
+      .write.format("parquet").saveAsTable(s"${prefix}_benchsh")
+  }
+
+  /** The incremental chain over a delta frame `d0in` (full document
+    * schema) against the stored stage tables under `prefix`: returns
+    * the [[IncStageNames]]-aligned survivor frames, `d0` first — ONE
+    * code path shared by the `j_pipeline_incremental` entry and the
+    * streaming twin ([[graft.streaming.PipelineStream]]), so batch and
+    * streaming cannot drift. */
+  private[graft] def incStages(s: SparkSession, prefix: String,
+                               d0in: DataFrame): Seq[DataFrame] = {
+    graft.functions.VectorExprs.register(s)
+    val d0 = graft.Caches.persisted(d0in)
+    val s1 = d0.withColumn("num", TextOps.qualityNum)
+      .withColumn("q4",
+        expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
+      .filter(col("q4") >= 6000)
+      .drop("num", "q4")
+      .transform(graft.Caches.persisted)
+    val keep2 = TextOps.votesAgainst(s.table(s"${prefix}_langprof"), s1)
+      .filter(col("pred_lang") === col("lang"))
+      .select("doc_id")
+    val s2 = graft.Caches.persisted(s1.join(keep2, "doc_id"))
+    val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
+    val dups = LlmOps.incrementalDedup(bp, bs, bd, s2,
+      LlmOps.dedupDfCutoff(s), LlmOps.cascadeTau(s)).select("doc_id")
+    val s3 = graft.Caches.persisted(s2.join(dups, Seq("doc_id"), "left_anti"))
+    val contaminated = s3
+      .select(col("doc_id"), explode(expr("graft_shingles(text, 3)"))
+        .as("shingle"))
+      .join(broadcast(s.table(s"${prefix}_benchsh")), "shingle")
+      .select("doc_id").distinct()
+    val s4 = graft.Caches.persisted(
+      s3.join(contaminated, Seq("doc_id"), "left_anti"))
+    Seq(d0, s1, s2, s3, s4)
+  }
+
+  /** The audit ledger rows for a stage chain. */
+  private[graft] def incAudit(chain: Seq[DataFrame]): DataFrame =
+    IncStageNames.zipWithIndex.map { case (name, i) =>
+      chain(i).agg(count(lit(1)).as("docs_in"))
+        .crossJoin(chain(i + 1).agg(count(lit(1)).as("docs_out")))
+        .select(lit((i + 1).toLong).as("stage"),
+          lit(name).as("stage_name"),
+          col("docs_in"), col("docs_out"),
+          (col("docs_in") - col("docs_out")).as("docs_dropped"))
+    }.reduce(_.unionByName(_)).orderBy("stage")
 
   /** Stage names of the incremental (delta-vs-standing-corpus) run. */
   val IncStageNames: Seq[String] =
@@ -164,49 +218,8 @@ object CorpusPipeline {
     "j_pipeline_incremental" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val prefix = incrementalPrefix(s, d)
-      val d0 = graft.Caches.persisted(LlmOps.dedupDocs(s, d)
-        .filter(TextOps.splitBucket(col("doc_id")) >= 80))
-
-      // 1. quality: identical gate to the batch pipeline
-      val s1 = d0.withColumn("num", TextOps.qualityNum)
-        .withColumn("q4",
-          expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
-        .filter(col("q4") >= 6000)
-        .drop("num", "q4")
-        .transform(graft.Caches.persisted)
-
-      // 2. langid: vote against the standing profile table
-      val keep2 = TextOps.votesAgainst(s.table(s"${prefix}_langprof"), s1)
-        .filter(col("pred_lang") === col("lang"))
-        .select("doc_id")
-      val s2 = graft.Caches.persisted(s1.join(keep2, "doc_id"))
-
-      // 3. incremental dedup vs the stored artifacts (survivors only —
-      //    combined-df blocking sees base + the gated delta, exactly
-      //    what reaches the corpus)
-      val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
-      val dups = LlmOps.incrementalDedup(bp, bs, bd, s2,
-        LlmOps.dedupDfCutoff(s), LlmOps.cascadeTau(s)).select("doc_id")
-      val s3 = graft.Caches.persisted(s2.join(dups, Seq("doc_id"), "left_anti"))
-
-      // 4. decontaminate vs the stored benchmark registry
-      val contaminated = s3
-        .select(col("doc_id"), explode(expr("graft_shingles(text, 3)"))
-          .as("shingle"))
-        .join(broadcast(s.table(s"${prefix}_benchsh")), "shingle")
-        .select("doc_id").distinct()
-      val s4 = graft.Caches.persisted(
-        s3.join(contaminated, Seq("doc_id"), "left_anti"))
-
-      val chain = Seq(d0, s1, s2, s3, s4)
-      IncStageNames.zipWithIndex.map { case (name, i) =>
-        chain(i).agg(count(lit(1)).as("docs_in"))
-          .crossJoin(chain(i + 1).agg(count(lit(1)).as("docs_out")))
-          .select(lit((i + 1).toLong).as("stage"),
-            lit(name).as("stage_name"),
-            col("docs_in"), col("docs_out"),
-            (col("docs_in") - col("docs_out")).as("docs_dropped"))
-      }.reduce(_.unionByName(_)).orderBy("stage")
+      incAudit(incStages(s, prefix, LlmOps.dedupDocs(s, d)
+        .filter(TextOps.splitBucket(col("doc_id")) >= 80)))
     }
   )
 

@@ -71,8 +71,19 @@ object DedupArtifacts {
   /** The store as (postings, sizes, df) frames in the exact shape
     * [[LlmOps.incrementalDedup]] consumes. df sums the appended
     * partials per shingle — bucketed on `shingle`, so the aggregation
-    * needs no Exchange. */
+    * needs no Exchange.
+    *
+    * Tables are REFRESHED before reading: appends from another
+    * session — most commonly the CLONED session Structured Streaming
+    * hands foreachBatch — invalidate only the writer's relation cache,
+    * so a reader that ever scanned the pristine table would silently
+    * keep its stale file listing (found the hard way: the streamed
+    * pipeline's appends were invisible to the main session, which had
+    * cached the store while computing the batch twin). The refresh
+    * costs a re-listing, the price of read-your-sibling's-writes. */
   def read(s: SparkSession, prefix: String): (DataFrame, DataFrame, DataFrame) = {
+    Seq(postTable(prefix), sizesTable(prefix), dfTable(prefix))
+      .foreach(s.catalog.refreshTable)
     val post = s.table(postTable(prefix))
     val sizes = s.table(sizesTable(prefix))
     val dfreq = s.table(dfTable(prefix))
