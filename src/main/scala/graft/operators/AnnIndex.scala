@@ -95,7 +95,13 @@ object AnnIndex {
     * analogue of [[DedupArtifacts.compact]]: each append lands one file
     * per bucket, so a long-running [[graft.streaming.AnnStream]]
     * accumulates files until scan open-cost dominates. Values are
-    * unchanged; only the layout consolidates. */
+    * unchanged; only the layout consolidates.
+    *
+    * NOT atomic (same pattern and recovery path as
+    * [[DedupArtifacts.compact]]): a crash between the DROP and the
+    * RENAME leaves the data only under `<cells>_compact` — recover with
+    * `ALTER TABLE <cells>_compact RENAME TO <cells>`; metastore-backed
+    * deployments should use a transactional swap. */
   def compact(s: SparkSession, prefix: String): Unit = {
     val t = cellsTable(prefix)
     val n = s.sessionState.catalog

@@ -126,6 +126,11 @@ object AnnOps {
     * either physical shape. */
   val BroadcastRowLimitKey = "spark.graft.ann.broadcastRowLimit"
 
+  /** Whether Spark will honor stored bucket layouts this session — the
+    * precondition of the probe-only-repartition fast path below. */
+  private def bucketedScansOn(s: SparkSession): Boolean =
+    s.conf.get("spark.sql.sources.bucketing.enabled", "true").toBoolean
+
   /** Candidate pairing within a bucket, with a size-driven physical
     * choice: below the row limit the candidate side is broadcast
     * (BroadcastHashJoin on the bucket key — no probe-side shuffle);
@@ -150,7 +155,17 @@ object AnnOps {
     * its bucket count as `candBuckets`: the co-partition branch then
     * repartitions only the probe side — to exactly the write-time
     * bucket count, so the candidate side rides its layout and the
-    * standing index never crosses an Exchange (AnnIndexSpec pins it). */
+    * standing index never crosses an Exchange (AnnIndexSpec pins it).
+    *
+    * The single-sided shape depends on Spark honoring the table's
+    * bucket layout: with `spark.sql.sources.bucketing.enabled=false`
+    * (or a reader that drops the bucketedScan, e.g. too many unsorted
+    * files) Spark would silently shuffle the stored side anyway, and
+    * the probe-only repartition would co-partition against nothing. So
+    * the `candBuckets` fast path is taken only while bucketing is
+    * enabled; otherwise both sides repartition explicitly — same
+    * values, honest plan. AnnIndexSpec pins the Exchange-free shape
+    * under the enabled (default) setting. */
   private[graft] def pairAcrossBuckets(probe: DataFrame, cand: DataFrame,
                                        key: String, nRows: Long,
                                        candExtra: Seq[String] = Nil,
@@ -162,7 +177,7 @@ object AnnOps {
       .get(BroadcastRowLimitKey, "1000000").toLong
     val (pa, pb) =
       if (nRows <= limit) (a, broadcast(b))
-      else candBuckets match {
+      else candBuckets.filter(_ => bucketedScansOn(probe.sparkSession)) match {
         case Some(n) => (a.repartition(n, col(key)).hint("merge"), b)
         case None => (a.repartition(col(key)).hint("merge"),
                       b.repartition(col(key)))
@@ -197,7 +212,7 @@ object AnnOps {
       .get(BroadcastRowLimitKey, "1000000").toLong
     val (pa, pb) =
       if (nRows <= limit) (probes, broadcast(cands))
-      else candBuckets match {
+      else candBuckets.filter(_ => bucketedScansOn(probes.sparkSession)) match {
         case Some(n) => (probes.repartition(n, col(key)).hint("merge"), cands)
         case None => (probes.repartition(col(key)).hint("merge"),
                       cands.repartition(col(key)))
@@ -226,7 +241,11 @@ object AnnOps {
     * catalog tables via [[AnnIndex.write]]. Every subsequent delta run
     * reads the tables — no sample, no Lloyd job, no base-vector scan.
     * Memoized so Bench's repeated passes pay the build once (the same
-    * amortization [[LlmOps.storedArtifactPrefix]] applies to dedup). */
+    * amortization [[LlmOps.storedArtifactPrefix]] applies to dedup) —
+    * which freezes the write-time knobs (`spark.graft.store.buckets`,
+    * the k/iters/maxSample constants) at first materialization;
+    * retuning mid-session requires a fresh [[AnnIndex.write]] under a
+    * new prefix, exactly as the dedup store's caveat says. */
   private val indexPrefixes =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 

@@ -127,7 +127,17 @@ object DedupArtifacts {
 
   /** Rewrite the df table's accumulated per-batch partials into one row
     * per shingle (same bucket spec — read cost returns to one row per
-    * shingle after many appends). */
+    * shingle after many appends).
+    *
+    * NOT atomic: the swap is DROP TABLE then RENAME, so a crash between
+    * the two leaves no live table — the data survives intact under
+    * `<table>_compact` and recovery is one statement
+    * (`ALTER TABLE <table>_compact RENAME TO <table>`). A deployment
+    * with a transactional metastore (or a table format with atomic
+    * replace) should swap inside its transaction instead; this
+    * file-catalog honesty note is the compile-time sibling of the
+    * replay caveat on [[append]]. [[AnnIndex.compact]] shares the
+    * pattern and the recovery path. */
   def compact(s: SparkSession, prefix: String): Unit = {
     val t = dfTable(prefix)
     val agg = s.table(t).groupBy("shingle").agg(sum("df").as("df"))

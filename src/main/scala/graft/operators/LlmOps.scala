@@ -296,21 +296,28 @@ object LlmOps {
     * [[DedupArtifacts.write]]. This is the amortized corpus-index build
     * of the production loop — every subsequent delta run reads the
     * tables and never touches base text again. Memoized so Bench's
-    * repeated passes pay the write once; the normalize conf is read at
-    * first materialization (fixture flows never toggle it
-    * mid-session). */
+    * repeated passes pay the write once; BOTH layout knobs are read at
+    * first materialization and frozen for the session — the normalize
+    * conf AND `spark.graft.store.buckets` (changing either mid-session
+    * silently reuses the already-written store; fixture flows never
+    * toggle them). A production loop that retunes bucket count rewrites
+    * the store via [[DedupArtifacts.write]] under a new prefix. */
   private val storedPrefixes =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   /** Bucket count for the stored artifact/index tables — a write-time
-    * LAYOUT decision (`spark.graft.store.buckets`, default 8): bucket-
-    * local stages run one task per bucket, so the count caps the
-    * parallelism of every later read. Size it like any bucket spec —
-    * ≈ table_bytes / 128 MB, at least the executor-core count you want
-    * busy (IncScale measured the 10× corpus going 1.3× SLOWER than
-    * in-flight at 8 buckets on 32 cores, and beating it at 32). */
+    * LAYOUT decision (`spark.graft.store.buckets`): bucket-local stages
+    * run one task per bucket, so the count caps the parallelism of
+    * every later read. Size it like any bucket spec — ≈ table_bytes /
+    * 128 MB, at least the executor-core count you want busy (IncScale
+    * measured the 10× corpus going 1.3× SLOWER than in-flight at 8
+    * buckets on 32 cores, and beating it at 32). Default: the session's
+    * defaultParallelism (floor 8), so an untuned run gets one bucket
+    * per core instead of a fixed constant that under-parallelizes
+    * large boxes — exactly the regression IncScale measured. */
   private[graft] def storeBuckets(s: SparkSession): Int =
-    s.conf.getOption("spark.graft.store.buckets").map(_.toInt).getOrElse(8)
+    s.conf.getOption("spark.graft.store.buckets").map(_.toInt)
+      .getOrElse(math.max(8, s.sparkContext.defaultParallelism))
 
   private[graft] def storedArtifactPrefix(s: SparkSession, d: String): String =
     storedPrefixes.computeIfAbsent((s, d), { _ =>

@@ -13,7 +13,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * the LLM layer) — then appends its survivors' postings so the next
   * micro-batch judges against them. DedupStreamSpec pins parity:
   * streamed micro-batches ≡ the one-shot batch result on the same
-  * delta.
+  * delta — FOR ID-ORDERED BATCHES (the same scope PipelineStream
+  * claims for attribution). Parity is order-conditional in two ways:
+  * (a) arrival order decides `dup_of` direction — if a later batch
+  * delivers a smaller-id near-dup of an earlier larger-id survivor,
+  * the smaller id is judged the duplicate, the opposite of the
+  * one-shot min-partner rule over the whole delta; (b) the rare-
+  * shingle blocking cutoff is evaluated against base df + THIS
+  * batch's df, not the whole-delta df, so on skewed data a shingle
+  * can be rare for one batch and hot for the one-shot run, shifting
+  * the candidate (and hence dup) set. In production both are
+  * acceptable — a standing corpus judges arrivals in arrival order —
+  * but they are semantics, not noise: document processing order when
+  * reproducibility across replays matters.
   *
   * Exactly-once caveat (same honesty as [[DedupArtifacts.append]]'s
   * scaladoc): the decision write and the artifact append are two
