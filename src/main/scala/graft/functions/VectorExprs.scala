@@ -264,7 +264,11 @@ object VectorExprs {
       (args: Seq[Expression]) => BpeTokenCount(args(0), args(1))),
     (FunctionIdentifier("graft_bpe_tokens"),
       new ExpressionInfo(classOf[BpeTokens].getName, "graft_bpe_tokens"),
-      (args: Seq[Expression]) => BpeTokens(args(0), args(1))))
+      (args: Seq[Expression]) => BpeTokens(args(0), args(1))),
+    (FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKAgg(args(0), args(1), args(2))
+        .toAggregateExpression()))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't

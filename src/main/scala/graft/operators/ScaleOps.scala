@@ -81,6 +81,24 @@ object ScaleOps {
         .agg(count(lit(1)).as("n_orders"),
           Det.dsum(col("o_totalprice")).as("revenue"))
         .orderBy("c_mktsegment")
+    },
+
+    // Top-k per group as a bounded-heap AGGREGATE (graft_topk, §2.Q):
+    // the scale path for e_window_topk_per_group. The window twin
+    // shuffles every order row and sorts each customer's whole group;
+    // this plan's exchange carries at most k pairs per (map task ×
+    // group) inside ObjectHashAggregate partial buffers, and no sort
+    // exists anywhere. Same rows, same oracle SQL as the window twin —
+    // the hash-match proves the aggregate IS the window semantics.
+    "d_agg_topk_partial" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), (col("pos") + 1).cast("int").as("rn"),
+          col("col.id").as("o_orderkey"), col("col.v").as("o_totalprice"))
+        .orderBy("o_custkey", "rn")
     }
   )
 
@@ -97,7 +115,16 @@ object ScaleOps {
          |  ${Det.dsumSql("o_totalprice")} AS revenue
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment""".stripMargin
+         |ORDER BY c_mktsegment""".stripMargin,
+    // identical SQL to e_window_topk_per_group — the aggregate must
+    // reproduce the window formulation row for row
+    "d_agg_topk_partial" ->
+      """SELECT o_custkey, CAST(rn AS INT) AS rn, o_orderkey, o_totalprice
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
   )
 
   /** Broadcast-salt join for a skewed fact⋈dim with hot fact keys:

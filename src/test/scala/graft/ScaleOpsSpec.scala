@@ -33,6 +33,55 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("graft_topk aggregate equals the window top-k row for row") {
+    val agg = ScaleOps.queries("d_agg_topk_partial")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val win = operators.Windows.queries("e_window_topk_per_group")(spark, sfDir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(agg.nonEmpty && agg == win)
+  }
+
+  test("graft_topk equals the window formulation on adversarial data " +
+       "(hot group, ties, many partitions)") {
+    graft.functions.VectorExprs.register(spark)
+    // 20k rows over 50 partitions; group 0 holds half the rows; values
+    // collide heavily so the id tiebreak is load-bearing
+    val df = spark.range(0, 20000, 1, 50)
+      .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 37)
+          .as("g"),
+        (col("id") % 97).cast("double").as("v"), col("id").as("rid"))
+    val viaAgg = df.groupBy("g")
+      .agg(expr("graft_topk(v, rid, 5)").as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rn"), col("col.id").as("rid"),
+        col("col.v").as("v"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(desc("v"), asc("rid"))
+    val viaWin = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5).select("g", "rn", "rid", "v")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(viaAgg == viaWin)
+  }
+
+  test("graft_topk plans as partial+final ObjectHashAggregate with no sort") {
+    graft.functions.VectorExprs.register(spark)
+    // the entry minus its terminal presentation orderBy — so any Sort
+    // found in the plan would be the per-group sort this aggregate
+    // exists to eliminate
+    val noOrder = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+    val str = noOrder.queryExecution.executedPlan.toString
+    // partial aggregation before the exchange: the shuffle carries
+    // bounded buffers, not order rows
+    assert(str.contains("ObjectHashAggregate"), str)
+    assert(str.contains("partial_graft_topk"), str)
+    assert(!str.contains("Sort "), str)
+    assert(!str.contains("Window"), str)
+  }
+
   test("date-partitioned layout prunes partitions under a day filter") {
     val dir = "/tmp/graft-events-partitioned"
     Tables.eventsWithNanos(spark, sfDir)
