@@ -381,6 +381,40 @@ object TextOps {
           length(col("norm_text")).cast(LongType).as("norm_len"),
           (col("norm_text") =!= col("text")).as("changed"))
         .orderBy("doc_id")
+    },
+
+    // Training-sequence packing (§2.Q): assemble documents into
+    // fixed-token-budget training sequences — the step between "clean
+    // corpus" and "batches a trainer can read". Deterministic
+    // contiguous packing: within each source, docs in doc_id order;
+    // a doc's sequence is its starting token offset div the budget
+    // (docs may straddle a boundary — the standard distributed
+    // approximation of greedy first-fit, which is inherently
+    // sequential). Output is one row per packed sequence with its fill
+    // accounting; all-integer arithmetic, so the DuckDB window-cumsum
+    // twin hash-matches exactly.
+    //
+    // At 100 TB the window cumsum is the only shuffle and it
+    // partitions by source — a skewed source pins one reducer. The
+    // production variant packs per (source, shard) with
+    // shard = splitBucket(doc_id) mod S: packing is shard-local, so
+    // partitions stay bounded at corpus_size/S and every shard packs
+    // independently (sequence ids become (shard, seq_id) — same
+    // accounting, embarrassingly parallel). The single-key form here
+    // keeps the oracle portable.
+    "j_pack_sequences" -> { (s, d) =>
+      val budget = 512
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("seq_id", expr(s"(cum - n_tok) div $budget"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "seq_id")
     }
   )
 
@@ -522,6 +556,23 @@ object TextOps {
         |    list_filter(regexp_split_to_array(text, '[^a-z0-9]+'),
         |      w -> len(w) > 0),
         |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same contiguous-packing algebra as the Spark entry: running
+    // token offset per source, sequence = offset // budget
+    "j_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST((cum - n_tok) // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, CAST((cum - n_tok) // 512 AS BIGINT)
+        |ORDER BY source, seq_id""".stripMargin
   )
 }

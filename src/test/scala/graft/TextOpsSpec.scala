@@ -94,4 +94,32 @@ class TextOpsSpec extends SparkSpec {
     // word-soup fixtures repeat: the signal must fire somewhere
     assert(rows.exists(_._4 > 0L), "no doc shows any 2-gram repetition")
   }
+
+  test("j_pack_sequences equals a driver-side packing simulation and " +
+    "conserves docs and tokens") {
+    val budget = 512L
+    val got = SparkEntry.queries("j_pack_sequences")(spark, sfDir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // independent sequential simulation of the same contract
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val expect = docs.flatMap { case (src, rows) =>
+      var off = 0L
+      rows.sortBy(_._2).map { case (_, id, nTok) =>
+        val seq = off / budget; off += nTok; (src, seq, id, nTok)
+      }.groupBy(_._2).toSeq.map { case (seq, members) =>
+        (src, seq, members.size.toLong, members.map(_._4).sum,
+          members.map(_._3).min, members.map(_._3).max)
+      }
+    }.sortBy(r => (r._1, r._2))
+    assert(got.nonEmpty && got == expect)
+    // conservation: every doc lands in exactly one sequence
+    val totalDocs = docs.map(_._2.size).sum
+    assert(got.map(_._3).sum == totalDocs.toLong)
+    // multi-doc packing actually happens (budget isn't degenerate)
+    assert(got.exists(_._3 > 1L))
+  }
 }
