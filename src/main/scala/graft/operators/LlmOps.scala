@@ -186,6 +186,69 @@ object LlmOps {
       .groupBy(col("doc_b")).agg(min(col("doc_a")).as("dup_of"))
       .select(col("doc_b").as("doc_id"), col("dup_of"))
 
+  /** Connected components over an undirected edge set (a, b) —
+    * min-label propagation with pointer jumping. Returns (node, lbl)
+    * where lbl is the smallest node id in the component: the canonical
+    * representative every member deduplicates to.
+    *
+    * Why it exists: the pairwise min-partner decision
+    * ([[dupDecision]]) is NOT transitive — a chain A~B, B~C where A~C
+    * itself scores below τ leaves B→A and C→B, and a consumer that
+    * drops "docs with a dup_of" keeps only A, but one that drops
+    * "dup_of targets seen before" can disagree batch to batch.
+    * Clustering closes the relation: every chain member maps to ONE
+    * canonical id, which is what production dedup actually ships
+    * (keep one doc per cluster).
+    *
+    * Scale shape: every iteration is two bounded joins over the EDGE
+    * set — near-dup pairs, orders of magnitude smaller than the corpus
+    * — never the documents. Neighbor-min alone needs diameter
+    * iterations; the pointer-jumping step (label := label's label)
+    * roughly doubles resolved depth per round, giving O(log n)
+    * convergence on chains (the star algorithms' bound, in two
+    * dataframe joins). Labels only decrease, so the decimal label sum
+    * is a monotone convergence witness — one scalar action per
+    * iteration. Lineage is truncated per iteration (eager
+    * localCheckpoint) or the plan doubles every round; a cluster
+    * deployment would use a checkpoint dir and clean old block files.
+    */
+  private[graft] def connectedComponents(edges: DataFrame,
+                                         maxIters: Int = 25): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true) // reused every iteration
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    def lblSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).first()
+      if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
+    }
+    var prevSum = lblSum(labels)
+    var iter = 0
+    var done = false // empty edge set converges on the first pass
+    while (!done && iter < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("node").as("b"), col("lbl")), "b")
+        .groupBy(col("a").as("node")).agg(min("lbl").as("lbl"))
+      val combined = labels.unionByName(nbrMin)
+        .groupBy("node").agg(min("lbl").as("lbl"))
+      // pointer jump: a label is itself a node — follow it one hop
+      val jumped = combined
+        .join(combined.select(col("node").as("lbl"), col("lbl").as("jlbl")),
+          Seq("lbl"))
+        .select(col("node"), least(col("lbl"), col("jlbl")).as("lbl"))
+        .localCheckpoint(true)
+      val s = lblSum(jumped)
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
   /** The dedup cascade (the design the §2.J scaladoc promises):
     * blocking candidates from ANY cheap stage — MinHash-LSH bands,
     * SimHash bands — verified by exact jaccard on candidates only,
@@ -407,6 +470,25 @@ object LlmOps {
       graft.functions.VectorExprs.register(s)
       dedupCascadeBlocked(shingleEx(s, d), dedupDfCutoff(s),
         tau = cascadeTau(s))
+        .orderBy("doc_id")
+    },
+
+    // Duplicate CLUSTERS (§2.Q): the transitive closure the pairwise
+    // cascade deliberately stops short of. Min-partner decisions are
+    // not transitive (A~B, B~C chains where A~C is below τ); this
+    // entry closes the verified-pair relation with connected
+    // components and labels every involved doc with its cluster's
+    // smallest doc_id — the canonical survivor. Shares the cached
+    // blocked pair stats with the jaccard/cascade entries; the
+    // iteration runs over the PAIR set only, never the corpus. The
+    // oracle computes the same closure via a recursive CTE.
+    "j_dedup_clusters" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val pairs = blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
+        .filter(col("jac") >= cascadeTau(s))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     },
 
@@ -670,6 +752,46 @@ object LlmOps {
          |        >= 0.6)
          |SELECT doc_b AS doc_id, min(doc_a) AS dup_of
          |FROM ver GROUP BY doc_b ORDER BY doc_id""".stripMargin,
+    // same verified-pair derivation as the cascade oracle, then the
+    // closure: reach(doc, r) is the transitive reachability relation
+    // over the symmetrized pair edges; a doc's cluster is its minimum
+    // reachable node. Component sizes here are small (near-dup
+    // clusters), so the closure is cheap for the oracle engine; the
+    // Spark side uses log-round label propagation instead.
+    "j_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $shSql AS s FROM documents),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (
+         |  SELECT ex.doc_id, ex.shingle FROM ex
+         |  JOIN dfreq ON dfreq.shingle = ex.shingle
+         |  WHERE dfreq.df <= ${DfCutoff}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |        >= 0.6),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM ver
+         |  UNION ALL SELECT doc_b, doc_a FROM ver),
+         |reach(doc, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r)
+         |SELECT doc AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
     "j_dedup_incremental" -> incrementalDedupSql,
     // the stored-artifact run computes the identical algebra over the
     // identical base/delta split — one oracle serves both entries

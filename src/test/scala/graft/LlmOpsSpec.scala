@@ -146,6 +146,60 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents labels hand-built graphs correctly " +
+    "(chain, cycle, isolates-in-pairs, long path for pointer jumping)") {
+    import spark.implicits._
+    // components: {1,2,3} (chain), {5,6,7} (cycle), {9,10} (pair),
+    // {20..29} (10-node path — needs log-round convergence), {40,41}
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 5L),
+      (9L, 10L), (40L, 41L)) ++ (20L until 29L).map(i => (i, i + 1))
+    val got = operators.LlmOps.connectedComponents(
+        edges.toDF("a", "b")).as[(Long, Long)].collect().toMap
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L, 10L -> 9L,
+      40L -> 40L, 41L -> 40L) ++ (20L to 29L).map(_ -> 20L)
+    assert(got == expect)
+    // determinism under partitioning: same labels from a 1-partition
+    // and a 16-partition edge frame
+    val again = operators.LlmOps.connectedComponents(
+        edges.toDF("a", "b").repartition(16)).as[(Long, Long)]
+      .collect().toMap
+    assert(again == expect)
+  }
+
+  test("j_dedup_clusters closes the cascade's pair relation: every " +
+    "verified pair lands in one cluster, labels are component minima") {
+    val clusters = SparkEntry.queries("j_dedup_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.nonEmpty)
+    // soundness against the pair set the entry consumes
+    graft.functions.VectorExprs.register(spark)
+    val docs = Tables.documents(spark, sfDir)
+    val ex = docs
+      .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = operators.LlmOps.blockedPairStats(ex, 50)
+      .filter(col("jac") >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // every label is the minimum doc_id of its member set
+    clusters.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"cluster $lbl min is ${members.keys.min}")
+    }
+    // consistency with the pairwise cascade: the clustered doc set is
+    // exactly the docs the verified pairs touch, and every cascade dup
+    // is clustered with its dup_of target
+    val cascade = SparkEntry.queries("j_dedup_cascade")(spark, sfDir)
+      .as[(Long, Long)].collect()
+    cascade.foreach { case (docId, dupOf) =>
+      assert(clusters(docId) == clusters(dupOf))
+    }
+    assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
   test("cosine similarity is bounded and symmetric") {
     val top = SparkEntry.queries("j_sim_cosine_topk")(spark, sfDir)
       .select("cos").as[Double].collect()
