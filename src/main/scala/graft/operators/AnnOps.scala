@@ -384,6 +384,44 @@ object AnnOps {
         Tables.rowCount(s, d, "embeddings")))
     },
 
+    // ANN-assisted embedding near-dup (§2.Q) — the sub-quadratic
+    // sibling of j_dedup_embed_cosine, which compares ALL O(n²) pairs.
+    // Same multi-probe IVF as j_ann_ivf_kmeans but probing 10 of 16
+    // cells: a τ=0.4 "near dup" on the near-uniform fixture sphere is
+    // far less near than a top-3 neighbor, so the pair-recall gate
+    // needs a wider probe than the top-k entries' 8 (measured: 8 →
+    // 0.797 pair recall, 10 → above the 0.8 floor; clustered
+    // real-world embeddings need far less).
+    // Only pairs sharing a probed cell are scored, and scoring uses the
+    // EXACT unit vectors, so every emitted pair truly clears τ —
+    // soundness is exact and the only approximation is recall (pairs
+    // whose members never share a probed cell). At 100 TB this is the
+    // only viable shape: candidate volume is sum of cell sizes × probe
+    // fan-out, not n², and the exchange is bucketed by cell. Declared
+    // no-oracle (k-means centroids); AnnOpsSpec gates it: emitted
+    // pairs ⊆ the brute-force pair set, recall ≥ 0.8 on sf0.01.
+    "j_dedup_embed_ann" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      import s.implicits._
+      val u = unit(s, d)
+      val cents = kmeansCentroids(u, k = 16, iters = 5, maxSample = 256)
+        .toSeq.toDF("cell_id", "cu")
+      // ranked feeds both the probe and candidate splits — one
+      // assignment pass, released by the harness's Caches.release
+      val ranked = graft.Caches.persisted(ivfRank(u, cents))
+      val probes = ranked.filter(col("rn") <= 10)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+      val cands = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+      pairAcrossBuckets(probes, cands, "cell",
+          Tables.rowCount(s, d, "embeddings"))
+        .filter(col("vec_id") < col("nn_id") && col("cos") >= 0.4)
+        // a pair can meet in several probed cells — once in the output
+        .groupBy(col("vec_id").as("vec_a"), col("nn_id").as("vec_b"))
+        .agg(Det.r4(first(col("cos"))).as("cos"))
+        .orderBy("vec_a", "vec_b")
+    },
+
     // IVF + int8-quantized candidate generation with exact re-rank —
     // the byte-lean variant of j_ann_ivf_kmeans: same sampled-k-means
     // centroids and multi-probe 8/16, but the candidate pass scores

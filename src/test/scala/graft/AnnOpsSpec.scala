@@ -229,6 +229,26 @@ class AnnOpsSpec extends SparkSpec {
       Tables.documents(spark, sfDir).count())
   }
 
+  test("j_dedup_embed_ann is sound (pairs subset of brute force, same " +
+    "scores) with recall >= 0.8 on sf0.01") {
+    val d = "/root/testdata/sf0.01"
+    val brute = SparkEntry.queries("j_dedup_embed_cosine")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val ann = SparkEntry.queries("j_dedup_embed_ann")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(brute.nonEmpty && ann.nonEmpty)
+    // soundness: every ANN pair is a true τ-pair with the identical
+    // exact (rounded) score — the verify arithmetic is shared
+    ann.foreach { case (a, b, cos) =>
+      assert(brute.contains((a, b)), s"ANN pair ($a,$b) not in brute set")
+      assert(brute((a, b)) == cos, s"score drift on ($a,$b)")
+    }
+    val recall = ann.size.toDouble / brute.size
+    info(f"embed near-dup pair recall = $recall%.3f (${ann.size}/${brute.size})")
+    assert(recall >= 0.8, f"pair recall $recall%.3f below 0.8")
+  }
+
   test("d_agg_approx_percentile stays within rank-error of the exact " +
     "percentile") {
     val approx = SparkEntry.queries("d_agg_approx_percentile")(spark, sfDir)
