@@ -268,6 +268,10 @@ object VectorExprs {
     (FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (args: Seq[Expression]) => TopKAgg(args(0), args(1), args(2))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_mg"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_mg"),
+      (args: Seq[Expression]) => MisraGriesAgg(args(0), args(1))
         .toAggregateExpression()))
 
   /** Idempotent registration against an existing session (the driver

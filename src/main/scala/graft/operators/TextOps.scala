@@ -383,6 +383,61 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Heavy hitters over the token stream (§2.Q) — the two-pass
+    // sketch-then-verify production shape. Pass 1: the native
+    // Misra–Gries aggregate (graft_mg, capacity 255) proposes ≤ 255
+    // candidates; its exchange carries ≤ 255 (token, count) pairs per
+    // map task REGARDLESS of vocabulary size — the full groupBy this
+    // replaces shuffles the whole vocabulary. Pass 2: exact counts for
+    // the candidate tokens only (broadcast semi-join, partial-agg'd),
+    // thresholded at > n div 256. MG's mergeable guarantee (every
+    // token with frequency > n/256 survives the summary) makes the
+    // output deterministic and ORACLED against the plain exact HAVING
+    // query — a hash-match proves no heavy hitter was lost.
+    "j_text_heavy_hitters" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val tok = graft.Caches.persisted(
+        Par.spread(Tables.documents(s, d))
+          .select(explode(split(col("text"), " ")).as("token")))
+      val cand = tok.agg(expr("graft_mg(token, 255)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.token").as("token"))
+      val total = tok.agg(count(lit(1)).as("n"))
+      tok.join(broadcast(cand), "token")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(total)
+        .filter(col("cnt") > expr("n div 256"))
+        .select(col("token"), col("cnt"))
+        .orderBy(desc("cnt"), asc("token"))
+    },
+
+    // Deterministic WEIGHTED sampling (§2.Q) — Efraimidis–Spirakis
+    // A-Res with the randomness replaced by the same Lehmer-hash
+    // uniform the split family uses: u = lehmer(doc_id)/M ∈ [0,1),
+    // key = u^(1/w) with w = n_chars, keep the top-100 keys. Longer
+    // docs get proportionally higher inclusion probability — the
+    // "sample by quality/length weight" pass of a training-data
+    // pipeline — and the whole draw is reproducible and ORACLED
+    // (identical arithmetic in DuckDB). Selection is a distributed
+    // TakeOrderedAndProject (top-k by key), never a global sort; at
+    // 100 TB this is one map pass + a k-row reduce.
+    "j_sample_weighted" -> { (s, d) =>
+      val M = 2147483647L
+      val u = (pmod(pmod(col("doc_id"), lit(M)) * lit(48271L), lit(M)))
+        .cast(DoubleType) / lit(M.toDouble)
+      val sel = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          pow(u, lit(1.0) / col("n_chars").cast(DoubleType)).as("key"))
+        .orderBy(desc("key"), asc("doc_id"))
+        .limit(100)
+      sel
+        .withColumn("rn", row_number().over(
+          Window.orderBy(desc("key"), asc("doc_id"))).cast("int"))
+        .select(col("doc_id"), col("n_chars"), Det.r4(col("key")).as("key"),
+          col("rn"))
+        .orderBy("rn")
+    },
+
     // Training-sequence packing (§2.Q): assemble documents into
     // fixed-token-budget training sequences — the step between "clean
     // corpus" and "batches a trainer can read". Deterministic
@@ -557,6 +612,32 @@ object TextOps {
         |      w -> len(w) > 0),
         |    w -> CAST(ceil(len(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subtokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the exact formulation the sketch-then-verify plan must equal:
+    // every token above the frequency threshold, exact counts
+    "j_text_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS cnt
+        |FROM tok, tot
+        |GROUP BY token, n
+        |HAVING count(*) > n // 256
+        |ORDER BY cnt DESC, token ASC""".stripMargin,
+    // identical Lehmer-uniform + inverse-weight-power key derivation
+    "j_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(((doc_id % 2147483647) * 48271) % 2147483647 AS DOUBLE)
+        |      / 2147483647.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_chars, pow(u, 1.0 / n_chars) AS key FROM t),
+        |ranked AS (
+        |  SELECT doc_id, n_chars, key,
+        |    row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rn
+        |  FROM r)
+        |SELECT doc_id, n_chars, round(key, 4) AS key, CAST(rn AS INT) AS rn
+        |FROM ranked WHERE rn <= 100 ORDER BY rn""".stripMargin,
     // the same contiguous-packing algebra as the Spark entry: running
     // token offset per source, sequence = offset // budget
     "j_pack_sequences" ->

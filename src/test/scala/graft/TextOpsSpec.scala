@@ -95,6 +95,47 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.exists(_._4 > 0L), "no doc shows any 2-gram repetition")
   }
 
+  test("graft_mg: completeness and undercount bounds hold under " +
+    "adversarial partitioning (hot + barely-heavy + unique noise)") {
+    graft.functions.VectorExprs.register(spark)
+    val m = 63
+    val n = 100000L
+    // "hot" = 5% of the stream; "warm" = 2% (just above n/(m+1) =
+    // 1562.5); everything else unique — the worst case for MG since
+    // noise constantly evicts counters; 50 partitions force merges
+    val df = spark.range(0, n, 1, 50).select(
+      when(col("id") % 20 === 0, lit("hot"))
+        .when(col("id") % 50 === 1, lit("warm"))
+        .otherwise(concat(lit("u"), col("id"))).as("token"))
+    val sk = df.agg(expr(s"graft_mg(token, $m)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token"), col("e.cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sk.size <= m)
+    val bound = n / (m + 1) + 1 // n/(m+1) rounded up
+    assert(sk.contains("hot"), s"hot missing from $sk")
+    assert(sk.contains("warm"), s"warm (freq 2000 > n/(m+1)) missing")
+    assert(sk("hot") <= 5000 && sk("hot") >= 5000 - bound, sk("hot").toString)
+    assert(sk("warm") <= 2000 && sk("warm") >= 2000 - bound, sk("warm").toString)
+  }
+
+  test("j_sample_weighted: deterministic, correctly ranked, and " +
+    "actually weighted (sample skews long)") {
+    val a = SparkEntry.queries("j_sample_weighted")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val b = SparkEntry.queries("j_sample_weighted")(spark, "/root/testdata/sf0.01")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._4) == (1 to 100))
+    // the inclusion probability rises with weight: the weighted
+    // sample's mean length must exceed the corpus mean
+    val corpusMean = Tables.documents(spark, "/root/testdata/sf0.01")
+      .agg(avg("n_chars")).first().getDouble(0)
+    val sampleMean = a.map(_._2).sum.toDouble / a.size
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+  }
+
   test("j_pack_sequences equals a driver-side packing simulation and " +
     "conserves docs and tokens") {
     val budget = 512L
