@@ -131,6 +131,29 @@ object Aggregations {
         .orderBy("event_type")
     },
 
+    // Mergeable distinct-count sketches as a STORED artifact (§2.Q):
+    // one Datasketches HLL per (event_type, day), then any window's
+    // distinct-user estimate is a UNION of day sketches — the
+    // incremental-stats production pattern, where the daily ETL
+    // appends kilobyte sketches and dashboards never rescan history.
+    // approx_count_distinct answers one question per scan; the sketch
+    // TABLE answers every date-range question from stored bytes.
+    // Declared no-oracle (DuckDB has no Datasketches HLL);
+    // AggregationsSpec gates it: union-of-daily == one-shot sketch
+    // estimate EXACTLY (merge correctness), and within 5% of exact.
+    "d_agg_sketch_union" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      daily.groupBy("event_type")
+        .agg(expr(
+          "cast(hll_sketch_estimate(hll_union_agg(sk, false)) as bigint)")
+          .as("approx_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    },
+
     // Greenwald–Khanna quantile sketch (percentile_approx) — the
     // mergeable one-pass quantile path for 100 TB (exact percentile
     // needs a full sort per group). No oracle (DuckDB's approx_quantile
