@@ -202,7 +202,11 @@ object LlmOps {
     *
     * Scale shape: every iteration is two bounded joins over the EDGE
     * set — near-dup pairs, orders of magnitude smaller than the corpus
-    * — never the documents. Neighbor-min alone needs diameter
+    * — never the documents. Below `spark.graft.cc.localEdgeLimit`
+    * (default 1M edges) the solve runs driver-side instead (bounded
+    * collect + union-find — identical labels, none of the
+    * per-iteration job overhead; the CosineKnn/k-means bounded-collect
+    * precedent applied to graphs). Neighbor-min alone needs diameter
     * iterations; the pointer-jumping step (label := label's label)
     * roughly doubles resolved depth per round, giving O(log n)
     * convergence on chains (the star algorithms' bound, in two
@@ -212,8 +216,63 @@ object LlmOps {
     * localCheckpoint) or the plan doubles every round; a cluster
     * deployment would use a checkpoint dir and clean old block files.
     */
+  /** Counts component runs — StoredClusterSpec's evidence that the
+    * incremental entry reads standing labels instead of re-clustering
+    * the corpus (the dedup analogue of [[AnnOps.lloydRuns]]). */
+  private[graft] val ccRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Edge count under which [[connectedComponents]] solves on the
+    * driver (bounded collect + union-find) instead of iterating
+    * distributed label propagation — the same size-driven physical
+    * switch the ANN family applies to its broadcast side. Near-dup
+    * edge sets are usually tiny relative to the corpus; below the
+    * limit the driver pass replaces ~4 Spark jobs PER ITERATION with
+    * one collect, and the result is identical (min id per component,
+    * deterministic either way). */
+  val CcLocalEdgeLimitKey = "spark.graft.cc.localEdgeLimit"
+
   private[graft] def connectedComponents(edges: DataFrame,
                                          maxIters: Int = 25): DataFrame = {
+    ccRuns.incrementAndGet()
+    val s = edges.sparkSession
+    val limit = s.conf.get(CcLocalEdgeLimitKey, "1000000").toLong
+    // one execution of the edge plan decides the mode and, below the
+    // limit, already holds the data
+    val head = edges.select(col("a"), col("b")).take((limit + 1).toInt)
+    if (head.length <= limit) return localComponents(s, head)
+    distributedComponents(edges, maxIters)
+  }
+
+  /** Driver union-find (union-by-min root + path compression): the
+    * root of every component is its minimum id by construction. */
+  private def localComponents(s: SparkSession,
+                              rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import s.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    rows.foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); out(i) = (k, find(k)); i += 1 }
+    out.toSeq.toDF("node", "lbl")
+  }
+
+  private def distributedComponents(edges: DataFrame,
+                                    maxIters: Int): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -296,7 +355,19 @@ object LlmOps {
     * Returns (doc_id, dup_of) for duplicate delta docs. */
   def incrementalDedup(basePost: DataFrame, baseSizes: DataFrame,
                        baseDf: DataFrame, deltaDocs: DataFrame,
-                       cutoff: Int, tau: Double): DataFrame = {
+                       cutoff: Int, tau: Double): DataFrame =
+    incrementalPairs(basePost, baseSizes, baseDf, deltaDocs, cutoff, tau)
+      .groupBy("doc").agg(min("partner").as("dup_of"))
+      .select(col("doc").as("doc_id"), col("dup_of"))
+
+  /** The verified delta-incident pair set behind [[incrementalDedup]]
+    * — (doc, partner) with doc a delta document and partner any base
+    * doc or earlier delta doc, exact jaccard ≥ tau. Exposed separately
+    * so the clustering path ([[incrementalClusters]]) can consume the
+    * SAME pairs the dup decision consumes. */
+  private[graft] def incrementalPairs(basePost: DataFrame, baseSizes: DataFrame,
+                                      baseDf: DataFrame, deltaDocs: DataFrame,
+                                      cutoff: Int, tau: Double): DataFrame = {
     // the only shingling in the whole operator — delta side
     val deltaPost = graft.Caches.persisted(deltaDocs
       .select(col("doc_id"), shingles.as("sh"))
@@ -349,8 +420,39 @@ object LlmOps {
       .withColumn("jac", col("n_common").cast(DoubleType) /
         (col("sh_a") + col("sh_b") - col("n_common")))
       .filter(col("jac") >= tau)
-      .groupBy("doc").agg(min("partner").as("dup_of"))
-      .select(col("doc").as("doc_id"), col("dup_of"))
+      .select("doc", "partner")
+  }
+
+  /** Incremental clustering: fold a delta batch's verified pairs into
+    * STANDING cluster labels without re-running connected components
+    * over the corpus. Base endpoints are CONTRACTED to their standing
+    * cluster ids (a base cluster id is the min doc of its component,
+    * so it stands for every member); delta endpoints stand for
+    * themselves; components are then computed over the contracted
+    * edge set — |delta pairs| edges, independent of corpus size. A
+    * delta doc that bridges two base clusters merges them: both
+    * cluster ids land in one contracted component and the result
+    * label is the true global minimum over all merged members
+    * (every base member ≥ its cluster's min, so contracting to the
+    * min loses nothing). Returns (doc_id, cluster_id) for delta docs
+    * in at least one pair; base-cluster remaps are derivable from the
+    * same contracted components when the store is rewritten. */
+  def incrementalClusters(baseLabels: DataFrame,
+                          deltaPairs: DataFrame): DataFrame = {
+    // the pair derivation (the batch's verify join — its expensive
+    // stage) feeds BOTH the component pass and the output join:
+    // persist it so it executes once (released by the harness's
+    // Caches.release, like every operator intermediate)
+    val pairs = graft.Caches.persisted(deltaPairs)
+    val lb = baseLabels.toDF("partner", "lbl_b")
+    val contracted = pairs
+      .join(lb, Seq("partner"), "left")
+      .select(col("doc").as("a"),
+        coalesce(col("lbl_b"), col("partner")).as("b"))
+    val cc = connectedComponents(contracted)
+    pairs.select(col("doc")).distinct()
+      .join(cc.toDF("doc", "cluster_id"), "doc")
+      .select(col("doc").as("doc_id"), col("cluster_id"))
   }
 
   /** Once-per-(session, sfDir) materialization of the standing-corpus
@@ -391,6 +493,34 @@ object LlmOps {
         .select("doc_id", "text")
       DedupArtifacts.write(base, prefix, nBuckets = storeBuckets(s))
       prefix
+    })
+
+  /** Once-per-(session, sfDir) STANDING cluster-label table for
+    * `j_dedup_clusters_incremental` — built from the STORED postings
+    * (base pairs under base-df blocking, components once), never from
+    * base text: the labels are derived without any re-shingle, exactly
+    * as a production store would batch-build them at corpus-index
+    * time. Every delta run then reads this table and runs components
+    * only over the contracted delta edges. Same memoization caveats as
+    * [[storedArtifactPrefix]]. */
+  private val clusterTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def storedClusterTable(s: SparkSession, d: String): String =
+    clusterTables.computeIfAbsent((s, d), { _ =>
+      val prefix = storedArtifactPrefix(s, d)
+      val t = s"${prefix}_clusters"
+      val (bp, _, _) = DedupArtifacts.read(s, prefix)
+      val basePairs = blockedPairStats(bp, dedupDfCutoff(s))
+        .filter(col("jac") >= cascadeTau(s))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val labels = connectedComponents(basePairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .localCheckpoint(true)
+      DedupArtifacts.reset(s, t)
+      labels.write.format("parquet").saveAsTable(t)
+      graft.Caches.release(s) // the one-time build's persisted pair stats
+      t
     })
 
   /** MinHash banding candidates (k=12 hashes, 4 bands × 3 rows) — the
@@ -523,6 +653,33 @@ object LlmOps {
       val bp = graft.Caches.persisted(bp0)
       incrementalDedup(bp, bs, bd, docs.filter(!isBase),
         dedupDfCutoff(s), cascadeTau(s))
+        .orderBy("doc_id")
+    },
+
+    // Incremental clustering (§2.Q): the delta batch's verified pairs
+    // folded into the STANDING cluster labels — the composition of
+    // j_dedup_clusters with the stored incremental-dedup loop. The
+    // label table is built ONCE per store from the STORED postings
+    // (base pairs under base-df blocking → components; no base text,
+    // no re-shingle — storedClusterTable) and every delta run reads
+    // it; delta pairs use the combined-df blocking the incremental
+    // entries use; the component pass runs over CONTRACTED edges
+    // (base endpoints replaced by their cluster ids), so the per-batch
+    // cost is |delta pairs| — independent of corpus size — and a
+    // delta doc bridging two base clusters merges them
+    // (StoredClusterSpec pins the one-CC-per-delta-run contract). The
+    // oracle recomputes the same two-stage pair derivation and closes
+    // it with a recursive CTE seeded at the delta docs.
+    "j_dedup_clusters_incremental" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val prefix = storedArtifactPrefix(s, d)
+      val labels = s.table(storedClusterTable(s, d))
+      val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
+      val delta = dedupDocs(s, d)
+        .filter(TextOps.splitBucket(col("doc_id")) >= 80)
+      val deltaPairs = incrementalPairs(bp, bs, bd, delta,
+        dedupDfCutoff(s), cascadeTau(s))
+      incrementalClusters(labels, deltaPairs)
         .orderBy("doc_id")
     },
 
@@ -788,6 +945,73 @@ object LlmOps {
          |  UNION ALL SELECT doc_b, doc_a FROM ver),
          |reach(doc, r) AS (
          |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r)
+         |SELECT doc AS doc_id, min(r) AS cluster_id
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    // two-stage pair derivation (base pairs under base-df blocking,
+    // delta-incident pairs under combined-df blocking — exactly the
+    // semantics of a standing clustered store + an incremental batch),
+    // then the closure seeded at the delta docs
+    "j_dedup_clusters_incremental" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $shSql AS s FROM documents),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |bex AS (SELECT ex.* FROM ex
+         |  WHERE ${TextOps.splitBucketSql("doc_id")} < 80),
+         |bdf AS (SELECT shingle, count(*) AS df FROM bex GROUP BY shingle),
+         |brare AS (SELECT bex.doc_id, bex.shingle FROM bex
+         |  JOIN bdf ON bdf.shingle = bex.shingle WHERE bdf.df <= ${DfCutoff}),
+         |bcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM brare a JOIN brare b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |binter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM bcand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+         |  GROUP BY 1, 2),
+         |bver AS (
+         |  SELECT doc_a, doc_b FROM binter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |        >= 0.6),
+         |delta_ids AS (SELECT doc_id FROM sh
+         |  WHERE ${TextOps.splitBucketSql("doc_id")} >= 80),
+         |rd AS (SELECT ex.* FROM ex JOIN delta_ids USING (doc_id)),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (SELECT shingle FROM dfreq WHERE df <= ${DfCutoff}),
+         |rdr AS (SELECT rd.* FROM rd JOIN rare USING (shingle)),
+         |rbr AS (SELECT bex.* FROM bex JOIN rare USING (shingle)),
+         |dcand AS (
+         |  SELECT DISTINCT d.doc_id AS doc, b.doc_id AS partner
+         |  FROM rdr d JOIN rbr b USING (shingle)
+         |  UNION
+         |  SELECT DISTINCT x.doc_id AS doc, y.doc_id AS partner
+         |  FROM rdr x JOIN rdr y
+         |    ON x.shingle = y.shingle AND y.doc_id < x.doc_id),
+         |dinter AS (
+         |  SELECT c.doc, c.partner, count(*) AS n_common
+         |  FROM dcand c
+         |  JOIN ex a ON a.doc_id = c.doc
+         |  JOIN ex b ON b.doc_id = c.partner AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |dver AS (
+         |  SELECT doc, partner FROM dinter
+         |  JOIN sizes sa ON sa.doc_id = doc
+         |  JOIN sizes sb ON sb.doc_id = partner
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |        >= 0.6),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM bver
+         |  UNION ALL SELECT doc_b, doc_a FROM bver
+         |  UNION ALL SELECT doc, partner FROM dver
+         |  UNION ALL SELECT partner, doc FROM dver),
+         |dnodes AS (SELECT DISTINCT doc FROM dver),
+         |reach(doc, r) AS (
+         |  SELECT doc, doc FROM dnodes
          |  UNION
          |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r)
          |SELECT doc AS doc_id, min(r) AS cluster_id

@@ -146,6 +146,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d_agg_sketch_union: union of daily sketches equals the " +
+    "one-shot sketch exactly and tracks exact distinct within 5%") {
+    val merged = SparkEntry.queries("d_agg_sketch_union")(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    // merge correctness: summing per-day sketches must lose nothing
+    // vs sketching the whole table in one pass
+    val oneShot = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) as bigint)")
+        .as("n"))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    assert(merged == oneShot,
+      s"daily-union $merged != one-shot $oneShot")
+    val exact = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .select("event_type", "n").as[(String, Long)].collect().toMap
+    exact.foreach { case (t, n) =>
+      assert(math.abs(merged(t) - n).toDouble / n <= 0.05,
+        s"$t: sketch ${merged(t)} vs exact $n exceeds 5%")
+    }
+  }
+
   test("connectedComponents labels hand-built graphs correctly " +
     "(chain, cycle, isolates-in-pairs, long path for pointer jumping)") {
     import spark.implicits._
@@ -165,6 +187,15 @@ class LlmOpsSpec extends SparkSpec {
         edges.toDF("a", "b").repartition(16)).as[(Long, Long)]
       .collect().toMap
     assert(again == expect)
+    // the distributed label-propagation path (forced by zeroing the
+    // local-edge limit) produces the identical labels
+    spark.conf.set(operators.LlmOps.CcLocalEdgeLimitKey, "0")
+    try {
+      val dist = operators.LlmOps.connectedComponents(
+          edges.toDF("a", "b").repartition(16)).as[(Long, Long)]
+        .collect().toMap
+      assert(dist == expect)
+    } finally spark.conf.unset(operators.LlmOps.CcLocalEdgeLimitKey)
   }
 
   test("j_dedup_clusters closes the cascade's pair relation: every " +
@@ -198,6 +229,22 @@ class LlmOpsSpec extends SparkSpec {
       assert(clusters(docId) == clusters(dupOf))
     }
     assert(clusters.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+
+  test("incrementalClusters: contracted components merge base clusters " +
+    "bridged by a delta doc and label against standing minima") {
+    import spark.implicits._
+    // standing clusters: {1,2}→1 and {5,6}→5; base doc 9 is unclustered
+    val baseLabels = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    // delta 100 bridges BOTH base clusters (via members 2 and 6);
+    // delta 101 pairs with the unclustered base 9; delta 103 pairs
+    // with the earlier delta 102
+    val deltaPairs = Seq((100L, 2L), (100L, 6L), (101L, 9L), (103L, 102L))
+      .toDF("doc", "partner")
+    val got = operators.LlmOps.incrementalClusters(baseLabels, deltaPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(100L -> 1L, 101L -> 9L, 103L -> 102L), got.toString)
   }
 
   test("cosine similarity is bounded and symmetric") {
