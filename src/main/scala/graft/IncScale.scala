@@ -57,7 +57,7 @@ object IncScale {
     // one-time store builds (amortized over every later batch)
     val prefix = "graft_incscale"
     Seq(DedupArtifacts.postTable(prefix), DedupArtifacts.sizesTable(prefix),
-      DedupArtifacts.dfTable(prefix))
+      DedupArtifacts.dfTable(prefix), LlmOps.clusterTable(prefix))
       .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
     t("dedup store build (one-time base shingle + bucket)") {
       DedupArtifacts.write(base, prefix, nBuckets = 32)
@@ -91,6 +91,22 @@ object IncScale {
       val (bp0, _, bd) = LlmOps.baseArtifacts(base)
       val bp = Caches.persisted(bp0)
       println(s"IncScale base postings: ${bp.count()}, df keys: ${bd.count()}")
+    }
+    Caches.release(spark)
+    // incremental clustering: one-time label build over the stored
+    // postings, then the per-batch contracted-component fold — the
+    // claim is the same as dedup's: per-batch cost tracks the DELTA
+    t("cluster label build (one-time components over stored postings)") {
+      LlmOps.buildStoredLabels(spark, prefix,
+        LlmOps.dedupDfCutoff(spark), LlmOps.cascadeTau(spark))
+    }
+    t("delta clusters vs STORED labels (contracted components)") {
+      val (bp, bs, bd) = DedupArtifacts.read(spark, prefix)
+      val pairs = LlmOps.incrementalPairs(bp, bs, bd, delta,
+        LlmOps.dedupDfCutoff(spark), LlmOps.cascadeTau(spark))
+      val out = LlmOps.incrementalClusters(
+        spark.table(LlmOps.clusterTable(prefix)), pairs)
+      println(s"IncScale clustered delta docs: ${out.count()}")
     }
     Caches.release(spark)
     t("append survivors' artifacts (bucketed insert, no re-shuffle)") {

@@ -59,7 +59,7 @@ object DedupArtifacts {
   }
 
   /** Drop `table` and delete leftover files at its default location. */
-  private[operators] def reset(s: SparkSession, table: String): Unit = {
+  private[graft] def reset(s: SparkSession, table: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
     val loc = s.sessionState.catalog.defaultTablePath(
       org.apache.spark.sql.catalyst.TableIdentifier(table))

@@ -438,21 +438,50 @@ object LlmOps {
     * in at least one pair; base-cluster remaps are derivable from the
     * same contracted components when the store is rewritten. */
   def incrementalClusters(baseLabels: DataFrame,
-                          deltaPairs: DataFrame): DataFrame = {
+                          deltaPairs: DataFrame): DataFrame =
+    incrementalClustersFull(baseLabels, deltaPairs)._1
+
+  /** The full label-maintenance output of a delta batch:
+    * (deltaLabels, newBaseLabels, remap) —
+    *   - deltaLabels: (doc_id, cluster_id) for delta docs in ≥1 pair;
+    *   - newBaseLabels: base docs that were UNLABELED singletons and
+    *     got pulled into a cluster by a delta pair;
+    *   - remap: (old_cluster, new_cluster) for standing clusters a
+    *     bridge pair merged — the stored label table must rewrite
+    *     these rows (merge events are rare; the rewrite is the
+    *     label-store analogue of compact()).
+    * [[graft.streaming.ClusterStream]] applies all three per batch. */
+  private[graft] def incrementalClustersFull(
+      baseLabels: DataFrame,
+      deltaPairs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     // the pair derivation (the batch's verify join — its expensive
-    // stage) feeds BOTH the component pass and the output join:
-    // persist it so it executes once (released by the harness's
-    // Caches.release, like every operator intermediate)
+    // stage) feeds the component pass and every output: persist so it
+    // executes once (released by the harness's Caches.release)
     val pairs = graft.Caches.persisted(deltaPairs)
     val lb = baseLabels.toDF("partner", "lbl_b")
     val contracted = pairs
       .join(lb, Seq("partner"), "left")
       .select(col("doc").as("a"),
         coalesce(col("lbl_b"), col("partner")).as("b"))
-    val cc = connectedComponents(contracted)
-    pairs.select(col("doc")).distinct()
+    val cc = graft.Caches.persisted(connectedComponents(contracted))
+    val deltaDocsInPairs = pairs.select(col("doc")).distinct()
+    val deltaLabels = deltaDocsInPairs
       .join(cc.toDF("doc", "cluster_id"), "doc")
       .select(col("doc").as("doc_id"), col("cluster_id"))
+    // base partners that had no standing label were contracted to
+    // themselves — any cc row for them is a fresh base label
+    val newBaseLabels = pairs.select(col("partner")).distinct()
+      .join(baseLabels.select(col("doc_id").as("partner")), Seq("partner"),
+        "left_anti")
+      .join(deltaDocsInPairs.toDF("partner"), Seq("partner"), "left_anti")
+      .join(cc.toDF("partner", "cluster_id"), "partner")
+      .select(col("partner").as("doc_id"), col("cluster_id"))
+    // a standing cluster id whose component min dropped = a merge
+    val remap = cc.filter(col("lbl") =!= col("node"))
+      .join(baseLabels.select(col("cluster_id").as("node")).distinct(),
+        "node")
+      .select(col("node").as("old_cluster"), col("lbl").as("new_cluster"))
+    (deltaLabels, newBaseLabels, remap)
   }
 
   /** Once-per-(session, sfDir) materialization of the standing-corpus
@@ -506,21 +535,34 @@ object LlmOps {
   private val clusterTables =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  def clusterTable(prefix: String): String = s"${prefix}_clusters"
+
+  /** Build (or rebuild) the standing cluster-label table for an
+    * existing artifact store: base pairs from the STORED postings
+    * (base-df blocking), components once, labels written as
+    * `<prefix>_clusters(doc_id, cluster_id)`. The batch-build a
+    * production store runs at corpus-index time; returns the table
+    * name. */
+  def buildStoredLabels(s: SparkSession, prefix: String,
+                        cutoff: Int, tau: Double): String = {
+    val t = clusterTable(prefix)
+    val (bp, _, _) = DedupArtifacts.read(s, prefix)
+    val basePairs = blockedPairStats(bp, cutoff)
+      .filter(col("jac") >= tau)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labels = connectedComponents(basePairs)
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      .localCheckpoint(true)
+    DedupArtifacts.reset(s, t)
+    labels.write.format("parquet").saveAsTable(t)
+    graft.Caches.release(s) // the one-time build's persisted pair stats
+    t
+  }
+
   private[graft] def storedClusterTable(s: SparkSession, d: String): String =
     clusterTables.computeIfAbsent((s, d), { _ =>
       val prefix = storedArtifactPrefix(s, d)
-      val t = s"${prefix}_clusters"
-      val (bp, _, _) = DedupArtifacts.read(s, prefix)
-      val basePairs = blockedPairStats(bp, dedupDfCutoff(s))
-        .filter(col("jac") >= cascadeTau(s))
-        .select(col("doc_a").as("a"), col("doc_b").as("b"))
-      val labels = connectedComponents(basePairs)
-        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-        .localCheckpoint(true)
-      DedupArtifacts.reset(s, t)
-      labels.write.format("parquet").saveAsTable(t)
-      graft.Caches.release(s) // the one-time build's persisted pair stats
-      t
+      buildStoredLabels(s, prefix, dedupDfCutoff(s), cascadeTau(s))
     })
 
   /** MinHash banding candidates (k=12 hashes, 4 bands × 3 rows) — the

@@ -82,6 +82,50 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!str.contains("Window"), str)
   }
 
+  test("graft_topk shuffles fewer bytes than the window top-k") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    graft.functions.VectorExprs.register(spark)
+    def shuffleBytes(f: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0)
+      val l = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            acc.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        // listener delivery is async — poll until the counter settles
+        var last = -1L
+        var spins = 0
+        while (acc.get() != last && spins < 40) {
+          last = acc.get(); Thread.sleep(250); spins += 1
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      acc.get()
+    }
+    // identical result sets; the aggregate's exchange carries bounded
+    // buffers, the window's carries every order row
+    val aggBytes = shuffleBytes {
+      Tables.orders(spark, sfDir)
+        .groupBy("o_custkey")
+        .agg(expr("graft_topk(o_totalprice, o_orderkey, 3)").as("top"))
+        .select(col("o_custkey"), posexplode(col("top"))).count()
+    }
+    val winBytes = shuffleBytes {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(spark, sfDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).count()
+    }
+    info(s"shuffle bytes: aggregate $aggBytes vs window $winBytes")
+    assert(aggBytes > 0 && winBytes > 0)
+    assert(aggBytes < winBytes,
+      s"aggregate shuffled $aggBytes >= window $winBytes")
+  }
+
   test("date-partitioned layout prunes partitions under a day filter") {
     val dir = "/tmp/graft-events-partitioned"
     Tables.eventsWithNanos(spark, sfDir)
