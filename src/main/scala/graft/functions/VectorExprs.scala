@@ -272,7 +272,27 @@ object VectorExprs {
     (FunctionIdentifier("graft_mg"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_mg"),
       (args: Seq[Expression]) => MisraGriesAgg(args(0), args(1))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    // Spark's own runtime-filter Bloom expressions, surfaced as SQL
+    // functions: graft_bloom_agg(xxhash64(key), est_items, n_bits) →
+    // binary sketch; graft_bloom_contains(sketch, xxhash64(key)) →
+    // boolean. The optimizer injects these only for its own runtime
+    // filters; registering them lets an OPERATOR build a semi-join
+    // pre-filter explicitly (ScaleOps.bloomSemiFilter).
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args(0), args(1), args(2)).toAggregateExpression()),
+    (FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args(0), args(1))))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't

@@ -36,6 +36,34 @@ object ScaleOps {
         merge.tail.map { case (c, n) => c.as(n) }: _*)
   }
 
+  /** Bloom-filter semi-join pre-filter: build one Bloom sketch over the
+    * build side's join keys (a single aggregated binary — kilobytes,
+    * like `DataFrameStatFunctions.bloomFilter`, which also collects),
+    * then drop probe rows whose key cannot match BEFORE the join's
+    * exchange. False positives survive the filter and are removed by
+    * the real join, so the composed result is identical to the plain
+    * join — the Bloom only cuts shuffle volume.
+    *
+    * At 100 TB this is the hand-rolled form of Spark's runtime bloom
+    * filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`), for
+    * when the build side is produced by graft logic the optimizer
+    * can't see through (a deduped survivor set, a sampled partition):
+    * a selective dim filter means most fact rows shuffle only to be
+    * discarded at the join; the Bloom discards them at the SCAN, and
+    * the probe-side exchange carries only likely matches. */
+  def bloomSemiFilter(probe: DataFrame, build: DataFrame,
+                      probeKey: String, buildKey: String,
+                      estItems: Long, nBits: Long): DataFrame = {
+    val s = probe.sparkSession
+    graft.functions.VectorExprs.register(s)
+    val bf = build
+      .agg(expr(s"graft_bloom_agg(xxhash64($buildKey), " +
+        s"${estItems}L, ${nBits}L)").as("bf"))
+      .head.getAs[Array[Byte]](0)
+    probe.filter(call_function("graft_bloom_contains",
+      lit(bf), xxhash64(col(probeKey))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Band (range) join WITHOUT a nested loop: bucket both sides by
     // floor(value/eps); any |diff| ≤ eps pair lives in adjacent
@@ -83,6 +111,30 @@ object ScaleOps {
         .orderBy("c_mktsegment")
     },
 
+    // Bloom pre-filtered selective join: a 2%-selective dim predicate
+    // (urgent orders) would otherwise shuffle every lineitem row to
+    // the join; the Bloom over the filtered orderkeys drops ~98% of
+    // lineitem AT THE SCAN, and the shuffle_hash join (the honest
+    // at-scale plan — no broadcast) removes the false positives. The
+    // oracle is the PLAIN join: the hash-match proves the pre-filter
+    // changes nothing but the plan.
+    "c_join_bloom" -> { (s, d) =>
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val fact = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_extendedprice"))
+      bloomSemiFilter(fact, dim, "l_orderkey", "o_orderkey",
+          estItems = 1000000L, nBits = 8388608L)
+        .join(dim.hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          Det.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("l_returnflag")
+    },
+
     // Top-k per group as a bounded-heap AGGREGATE (graft_topk, §2.Q):
     // the scale path for e_window_topk_per_group. The window twin
     // shuffles every order row and sorts each customer's whole group;
@@ -116,6 +168,15 @@ object ScaleOps {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin,
+    // the PLAIN selective join — no bloom anywhere: the pre-filter
+    // must be invisible in the result
+    "c_join_bloom" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         |  ${Det.dsumSql("l_extendedprice")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag""".stripMargin,
     // identical SQL to e_window_topk_per_group — the aggregate must
     // reproduce the window formulation row for row
     "d_agg_topk_partial" ->

@@ -470,8 +470,105 @@ object TextOps {
           sum("n_tok").as("n_tokens"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("source", "seq_id")
+    },
+
+    // Deterministic epoch shuffle (§2.Q): the global pseudorandom
+    // training order every epoch materialization needs, without a
+    // driver-side RNG or a single-point sort. Each doc gets a Lehmer
+    // sort key from (doc_id, seed) — same arithmetic family as the
+    // split/sample ops, identical on DuckDB — and a shard = key mod S.
+    // [[epochShards]] is the write path: repartitionByRange on
+    // (shard, ord) + sortWithinPartitions, so the epoch lands as S
+    // contiguous sorted shard files with one range exchange and NO
+    // global single-reducer sort; a new seed is a whole new order.
+    "j_shuffle_epoch" -> { (s, d) =>
+      epochShards(Tables.documents(s, d).select(col("doc_id")),
+          seed = 7L, nShards = 16)
+        .select(col("doc_id"), col("shard"), col("ord"))
+        .orderBy("shard", "ord", "doc_id")
+    },
+
+    // PII scrub (§2.Q): redact email / phone / id-number shapes from
+    // corpus text — the privacy gate a training pipeline runs before
+    // tokenization. The fixtures carry no PII, so the query first
+    // derives deterministic PII-shaped spans from doc_id (both engines
+    // compute the same enrichment — the oracle proves the scrub
+    // removed exactly what was planted, counts included). Pure
+    // per-row regex work: no shuffle at all, whole-stage codegen,
+    // embarrassingly parallel at any scale.
+    "j_pii_scrub" -> { (s, d) =>
+      val enriched = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast(StringType),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") * 7919 % 10000000).cast(StringType),
+              7, "0"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" id 123-45-6789"))
+          .otherwise(lit("")))
+      val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+        col("enriched"), lit(PiiEmailPat), lit("<EMAIL>")),
+        lit(PiiIdPat), lit("<ID>")), lit(PiiPhonePat), lit("<PHONE>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), enriched.as("enriched"))
+        .select(col("doc_id"), scrubbed.as("scrubbed"),
+          size(regexp_extract_all(col("enriched"), lit(PiiEmailPat),
+            lit(0))).cast(LongType).as("n_email"),
+          size(regexp_extract_all(col("enriched"), lit(PiiPhonePat),
+            lit(0))).cast(LongType).as("n_phone"),
+          size(regexp_extract_all(col("enriched"), lit(PiiIdPat),
+            lit(0))).cast(LongType).as("n_id"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-trained unigram language model score (§2.Q): the
+    // KenLM-shaped quality signal — train token probabilities on the
+    // corpus itself (one groupBy), score each doc by its mean token
+    // log-probability. Low scores = rare-token word salad, the
+    // standard perplexity-proxy filter. The LM table is vocabulary-
+    // sized → broadcast join; the per-doc mean reuses the exploded
+    // tokens, so the whole op is one shuffle (the groupBy) plus a
+    // broadcast — at 100 TB the LM trains once and is reused by every
+    // scoring pass.
+    "j_text_unigram_lm" -> { (s, d) =>
+      val tok = graft.Caches.persisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term")))
+      val lm = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val total = tok.agg(count(lit(1)).as("total"))
+      tok.join(broadcast(lm), "term").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(round(
+          Det.dsum(log(col("cnt").cast(DoubleType) /
+            col("total").cast(DoubleType))) / count(lit(1)), 4)
+          .as("lm_score"))
+        .orderBy("doc_id")
     }
   )
+
+  // portable (Java regex ∩ RE2) PII patterns — no alternation, no
+  // backtracking constructs, so leftmost-first (Java) and
+  // leftmost-longest (RE2) agree
+  private val PiiEmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PiiPhonePat = "[0-9]{3}-[0-9]{7}"
+  private val PiiIdPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Epoch-shard materialization: Lehmer order key from (doc_id,
+    * seed), shard = key mod nShards, then ONE range exchange on
+    * (shard, ord) + local sort — the epoch lands as nShards contiguous
+    * sorted files, no global sort bottleneck. TextOpsSpec pins the
+    * partition layout (disjoint contiguous ranges, sorted within) and
+    * cross-parallelism determinism. */
+  def epochShards(docs: DataFrame, seed: Long, nShards: Int): DataFrame = {
+    val M = 2147483647L
+    docs
+      .withColumn("ord",
+        pmod(pmod(col("doc_id") + lit(seed), lit(M)) * lit(48271L), lit(M)))
+      .withColumn("shard", pmod(col("ord"), lit(nShards.toLong)))
+      .repartitionByRange(nShards, col("shard"), col("ord"))
+      .sortWithinPartitions("shard", "ord", "doc_id")
+  }
 
   val oracles: Map[String, String] = Map(
     "j_text_repetition" ->
@@ -654,6 +751,48 @@ object TextOps {
         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY source, CAST((cum - n_tok) // 512 AS BIGINT)
-        |ORDER BY source, seq_id""".stripMargin
+        |ORDER BY source, seq_id""".stripMargin,
+    "j_shuffle_epoch" ->
+      """SELECT doc_id, ord % 16 AS shard, ord
+        |FROM (SELECT doc_id,
+        |        (((doc_id + 7) % 2147483647) * 48271) % 2147483647 AS ord
+        |      FROM documents)
+        |ORDER BY shard, ord, doc_id""".stripMargin,
+    "j_pii_scrub" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 3 = 0 THEN ' contact u'
+         |         || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-'
+         |         || lpad(CAST(doc_id * 7919 % 10000000 AS VARCHAR), 7, '0')
+         |       ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0 THEN ' id 123-45-6789'
+         |       ELSE '' END AS enriched
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(enriched,
+         |    '$PiiEmailPat', '<EMAIL>', 'g'),
+         |    '$PiiIdPat', '<ID>', 'g'),
+         |    '$PiiPhonePat', '<PHONE>', 'g') AS scrubbed,
+         |  CAST(len(regexp_extract_all(enriched, '$PiiEmailPat')) AS BIGINT)
+         |    AS n_email,
+         |  CAST(len(regexp_extract_all(enriched, '$PiiPhonePat')) AS BIGINT)
+         |    AS n_phone,
+         |  CAST(len(regexp_extract_all(enriched, '$PiiIdPat')) AS BIGINT)
+         |    AS n_id
+         |FROM e ORDER BY doc_id""".stripMargin,
+    "j_text_unigram_lm" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |lm AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+         |tot AS (SELECT count(*) AS total FROM tok)
+         |SELECT doc_id,
+         |  round(${Det.dsumSql(
+               "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))")}
+         |    / COUNT(*), 4) AS lm_score
+         |FROM tok JOIN lm USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -82,28 +82,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!str.contains("Window"), str)
   }
 
-  test("graft_topk shuffles fewer bytes than the window top-k") {
+  /** Total shuffle bytes written across every task `f` triggers. */
+  private def shuffleBytes(f: => Unit): Long = {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    graft.functions.VectorExprs.register(spark)
-    def shuffleBytes(f: => Unit): Long = {
-      val acc = new java.util.concurrent.atomic.AtomicLong(0)
-      val l = new SparkListener {
-        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
-            acc.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
-      }
-      spark.sparkContext.addSparkListener(l)
-      try {
-        f
-        // listener delivery is async — poll until the counter settles
-        var last = -1L
-        var spins = 0
-        while (acc.get() != last && spins < 40) {
-          last = acc.get(); Thread.sleep(250); spins += 1
-        }
-      } finally spark.sparkContext.removeSparkListener(l)
-      acc.get()
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          acc.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      f
+      // listener delivery is async — poll until the counter settles
+      var last = -1L
+      var spins = 0
+      while (acc.get() != last && spins < 40) {
+        last = acc.get(); Thread.sleep(250); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
+  test("graft_topk shuffles fewer bytes than the window top-k") {
+    graft.functions.VectorExprs.register(spark)
     // identical result sets; the aggregate's exchange carries bounded
     // buffers, the window's carries every order row
     val aggBytes = shuffleBytes {
@@ -124,6 +126,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(aggBytes > 0 && winBytes > 0)
     assert(aggBytes < winBytes,
       s"aggregate shuffled $aggBytes >= window $winBytes")
+  }
+
+  test("bloom pre-filter cuts the probe-side shuffle of a selective " +
+    "join without changing the result") {
+    val dim = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val fact = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    def joined(probe: org.apache.spark.sql.DataFrame) =
+      probe.join(dim.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plain = joined(fact).count()
+    val bloomed = ScaleOps.bloomSemiFilter(fact, dim,
+      "l_orderkey", "o_orderkey", estItems = 100000L, nBits = 838860L)
+    assert(joined(bloomed).count() == plain)
+    val plainBytes = shuffleBytes { joined(fact).count() }
+    val bloomBytes = shuffleBytes { joined(bloomed).count() }
+    info(s"shuffle bytes: bloomed $bloomBytes vs plain $plainBytes")
+    assert(bloomBytes > 0 && plainBytes > 0)
+    // ~2% of orders are urgent; the bloom should drop the probe-side
+    // exchange well below half of the unfiltered join's
+    assert(bloomBytes * 2 < plainBytes,
+      s"bloom shuffled $bloomBytes vs plain $plainBytes")
   }
 
   test("date-partitioned layout prunes partitions under a day filter") {

@@ -163,4 +163,73 @@ class TextOpsSpec extends SparkSpec {
     // multi-doc packing actually happens (budget isn't degenerate)
     assert(got.exists(_._3 > 1L))
   }
+
+  test("epochShards lands as disjoint contiguous sorted ranges with " +
+    "no global sort, deterministically") {
+    import operators.TextOps
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val sharded = TextOps.epochShards(docs, seed = 7L, nShards = 16)
+    // the plan must carry a RANGE exchange, never a global Sort
+    val plan = sharded.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+    // per-partition: sorted by (shard, ord); across partitions:
+    // disjoint contiguous key ranges (so concatenating partition files
+    // in partition order IS the epoch order)
+    val parts = sharded
+      .select(col("shard"), col("ord"), col("doc_id"))
+      .rdd.mapPartitionsWithIndex { (i, it) =>
+        val rows = it.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        if (rows.isEmpty) Iterator.empty
+        else Iterator((i, rows.head, rows.last, rows == rows.sorted))
+      }.collect().sortBy(_._1)
+    assert(parts.nonEmpty && parts.forall(_._4))
+    parts.sliding(2).foreach {
+      case Array((_, _, max1, _), (_, min2, _, _)) =>
+        assert(implicitly[Ordering[(Long, Long)]].lt(max1, min2),
+          s"overlapping ranges: $max1 vs $min2")
+      case _ =>
+    }
+    // same seed → identical order; new seed → a different permutation
+    val order1 = SparkEntry.queries("j_shuffle_epoch")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSeq
+    val order2 = SparkEntry.queries("j_shuffle_epoch")(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(order1 == order2)
+    val reseeded = TextOps.epochShards(docs, seed = 8L, nShards = 16)
+      .select(col("shard"), col("ord"), col("doc_id"))
+      .orderBy("shard", "ord", "doc_id")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(reseeded != order1 && reseeded.sorted == order1.sorted)
+  }
+
+  test("pii scrub leaves no matchable PII and counts exactly what " +
+    "was planted") {
+    val got = SparkEntry.queries("j_pii_scrub")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, scrubbed, nEmail, nPhone, nId) =>
+      assert(nEmail == (if (id % 3 == 0) 1L else 0L))
+      assert(nPhone == (if (id % 4 == 0) 1L else 0L))
+      assert(nId == (if (id % 5 == 0) 1L else 0L))
+      assert(!scrubbed.contains("@"), s"doc $id: $scrubbed")
+      assert(!scrubbed.matches(".*[0-9]{3}-[0-9]{2,}.*"),
+        s"doc $id: $scrubbed")
+      if (id % 3 == 0) assert(scrubbed.contains("<EMAIL>"))
+      if (id % 4 == 0) assert(scrubbed.contains("<PHONE>"))
+      if (id % 5 == 0) assert(scrubbed.contains("<ID>"))
+    }
+  }
+
+  test("unigram LM scores rank rare-token salad below common text " +
+    "and the LM join broadcasts") {
+    val q = SparkEntry.queries("j_text_unigram_lm")(spark, sfDir)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val scores = q.as[(Long, Double)].collect().toMap
+    Caches.release(spark)
+    assert(scores.nonEmpty && scores.values.forall(v => v < 0 && !v.isNaN))
+    // a doc made of the corpus's most common tokens must outscore one
+    // made of its rarest: compare best vs worst doc spread
+    assert(scores.values.max > scores.values.min)
+  }
 }
