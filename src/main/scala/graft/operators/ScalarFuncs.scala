@@ -191,6 +191,23 @@ object ScalarFuncs {
         .orderBy("c_custkey")
     },
 
+    // URL parsing (§2.H): host/path/query-param extraction — the
+    // crawl-metadata projection every web-corpus pipeline runs. URLs
+    // are derived deterministically from fixture columns on BOTH
+    // engines; the oracle reconstructs the parts by construction, so
+    // the hash-match proves parse_url's decomposition semantics.
+    "h_url_funcs" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast(StringType),
+          lit("?lang="), col("lang"), lit("&ref=graft")))
+        .select(col("doc_id"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("qlang"))
+        .orderBy("doc_id")
+    },
+
     // Correlated scalar subquery (decorrelated by Catalyst to a join).
     "b_subquery_correlated" -> { (s, d) =>
       Tables.orders(s, d).createOrReplaceTempView("orders_sq")
@@ -312,6 +329,12 @@ object ScalarFuncs {
         |  CAST(bit_count(event_id) AS INT) AS bits,
         |  CAST((event_id % 8) << 4 AS BIGINT) AS shifted
         |FROM events ORDER BY event_id""".stripMargin,
+    "h_url_funcs" ->
+      """SELECT doc_id,
+        |  source || '.example.com' AS host,
+        |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |  lang AS qlang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "h_regex_funcs" ->
       """SELECT c_custkey,
         |  regexp_extract(c_name, '([0-9]+)', 1) AS digits,

@@ -522,6 +522,28 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Threshold-from-data corpus filter (§2.Q): keep docs at/above
+    // the corpus's 25th-percentile quality — the data-dependent gate
+    // a curation pipeline needs (a constant threshold drifts as the
+    // corpus shifts). The integer basis-point score from
+    // j_text_quality feeds one percentile aggregate; the scalar
+    // broadcasts back over a crossJoin, so the plan is scan → agg →
+    // broadcast-filter with no driver round-trip. At 100 TB the
+    // scored frame persists once and serves both passes.
+    "j_quality_filter_percentile" -> { (s, d) =>
+      val scored = graft.Caches.persisted(
+        Tables.documents(s, d)
+          .withColumn("num", qualityNum)
+          .withColumn("q4",
+            expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
+          .select(col("doc_id"), col("q4")))
+      val thr = scored.agg(expr("percentile(q4, 0.25)").as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("q4").cast(DoubleType) >= col("thr"))
+        .select(col("doc_id"), col("q4"))
+        .orderBy("doc_id")
+    },
+
     // Corpus-trained unigram language model score (§2.Q): the
     // KenLM-shaped quality signal — train token probabilities on the
     // corpus itself (one groupBy), score each doc by its mean token
@@ -752,6 +774,24 @@ object TextOps {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY source, CAST((cum - n_tok) // 512 AS BIGINT)
         |ORDER BY source, seq_id""".stripMargin,
+    "j_quality_filter_percentile" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS nstop,
+        |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndist,
+        |    n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST((4 * least(n_chars, 500) * ntok
+        |          + 1500 * (ntok - nstop) + 1500 * ndist) * 10000
+        |         // (5000 * ntok) AS BIGINT) AS q4
+        |  FROM c),
+        |thr AS (SELECT quantile_cont(q4, 0.25) AS thr FROM s)
+        |SELECT doc_id, q4 FROM s, thr WHERE q4 >= thr
+        |ORDER BY doc_id""".stripMargin,
     "j_shuffle_epoch" ->
       """SELECT doc_id, ord % 16 AS shard, ord
         |FROM (SELECT doc_id,
