@@ -522,6 +522,41 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // URL-canonicalization dedup (§2.Q): the crawl-side exact dedup —
+    // the same page arrives as casing/port/utm/trailing-slash
+    // variants, and canonical identity (lowercase, default port and
+    // tracking params stripped, trailing slash trimmed) groups them
+    // before any content-level pass. Noisy variants are derived
+    // deterministically from doc_id on BOTH engines (four variant
+    // shapes per canonical page); the oracle runs the identical
+    // canonicalization, so the hash-match proves the algebra. One
+    // groupBy on the canonical key — at 100 TB this is the cheap
+    // first stage of the dedup cascade, upstream of shingling.
+    "j_dedup_url" -> { (s, d) =>
+      val page = (col("doc_id") / 4).cast(LongType)
+      val hostN = pmod(page, lit(10L)).cast(StringType)
+      val raw = concat(lit("https://src"), hostN,
+        when(col("doc_id") % 4 === 0, lit(".Example.COM"))
+          .otherwise(lit(".example.com")),
+        when(col("doc_id") % 4 === 1, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), page.cast(StringType),
+        when(col("doc_id") % 4 === 3, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=x&utm_medium=z"))
+          .when(col("doc_id") % 4 === 2, lit("?utm_campaign=y"))
+          .otherwise(lit("")))
+      val canonical = regexp_replace(regexp_replace(regexp_replace(
+        lower(col("raw")), lit(":443/"), lit("/")),
+        lit("[?&]utm_[a-z_]+=[^&]*"), lit("")),
+        lit("/$"), lit(""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"), canonical.as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_variants"),
+          min("doc_id").as("survivor"))
+        .orderBy("canonical")
+    },
+
     // Threshold-from-data corpus filter (§2.Q): keep docs at/above
     // the corpus's 25th-percentile quality — the data-dependent gate
     // a curation pipeline needs (a constant threshold drifts as the
@@ -542,6 +577,26 @@ object TextOps {
         .filter(col("q4").cast(DoubleType) >= col("thr"))
         .select(col("doc_id"), col("q4"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary Zipf report (§2.Q): the corpus-health dashboard
+    // query — top-50 tokens with frequency and corpus share. The
+    // vocabulary aggregate shuffles vocab-sized data; the top-50 is
+    // TakeOrderedAndProject (never a global sort), and the rank
+    // window runs over 50 rows, not the vocabulary.
+    "j_text_zipf" -> { (s, d) =>
+      val tf = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val total = tf.agg(sum("freq").as("total"))
+      val top = tf.orderBy(desc("freq"), asc("term")).limit(50)
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("freq"), asc("term"))).cast("int"))
+        .select(col("rank"), col("term"), col("freq"),
+          Det.r4(col("freq").cast(DoubleType) /
+            col("total").cast(DoubleType)).as("share"))
+        .orderBy("rank")
     },
 
     // Corpus-trained unigram language model score (§2.Q): the
@@ -774,6 +829,29 @@ object TextOps {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY source, CAST((cum - n_tok) // 512 AS BIGINT)
         |ORDER BY source, seq_id""".stripMargin,
+    "j_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'https://src' || CAST((doc_id // 4) % 10 AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 0 THEN '.Example.COM'
+        |            ELSE '.example.com' END
+        |    || CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END
+        |    || '/docs/' || CAST(doc_id // 4 AS VARCHAR)
+        |    || CASE WHEN doc_id % 4 = 3 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&utm_medium=z'
+        |            WHEN doc_id % 4 = 2 THEN '?utm_campaign=y'
+        |            ELSE '' END AS raw
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(lower(raw),
+        |      ':443/', '/'),
+        |      '[?&]utm_[a-z_]+=[^&]*', '', 'g'),
+        |      '/$', '') AS canonical
+        |  FROM raw)
+        |SELECT canonical, count(*) AS n_variants,
+        |  min(doc_id) AS survivor
+        |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin,
     "j_quality_filter_percentile" ->
       """WITH c AS (
         |  SELECT doc_id,
@@ -822,6 +900,20 @@ object TextOps {
          |  CAST(len(regexp_extract_all(enriched, '$PiiIdPat')) AS BIGINT)
          |    AS n_id
          |FROM e ORDER BY doc_id""".stripMargin,
+    "j_text_zipf" ->
+      """WITH tf AS (
+        |  SELECT term, count(*) AS freq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  GROUP BY term),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM tf),
+        |top AS (
+        |  SELECT term, freq,
+        |    row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+        |  FROM tf ORDER BY freq DESC, term ASC LIMIT 50)
+        |SELECT CAST(rank AS INT) AS rank, term, freq,
+        |  round(CAST(freq AS DOUBLE) / total, 4) AS share
+        |FROM top, tot ORDER BY rank""".stripMargin,
     "j_text_unigram_lm" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -32,6 +32,21 @@ object Layout {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Incremental load into a directory-partitioned layout: DYNAMIC
+    * partition overwrite rewrites ONLY the partitions present in
+    * `batch`, leaving every other partition's files untouched — the
+    * idempotent daily-load sink (re-running a day's load converges to
+    * the same state instead of duplicating via append). At 100 TB a
+    * day's reload touches a day's files, never the decade; LayoutSpec
+    * proves untouched partitions keep their exact files and a re-run
+    * is a no-op state-wise. */
+  def overwritePartitions(batch: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    batch.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Bucketed (and bucket-sorted) catalog table. Optional directory
     * partitioning composes with the bucket spec. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,

@@ -81,4 +81,37 @@ class LayoutSpec extends SparkSpec {
     assert(read.count() ==
       orders.filter(col("o_year") === 1995).count())
   }
+
+  test("dynamic partition overwrite rewrites only the loaded " +
+    "partitions and re-running a load is idempotent") {
+    val dir = Files.createTempDirectory("graft-layout-dyn").toString
+    val orders = Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+    Layout.writePartitioned(orders, dir, Seq("o_year"))
+    def files(year: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/o_year=$year")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val years = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("o_year=")).map(_.getName)
+    assert(years.length > 1, years.mkString(","))
+    val untouched = files(1995)
+    // reload 1996 with doubled prices — only that partition may change
+    val batch = orders.filter(col("o_year") === 1996)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Layout.overwritePartitions(batch, dir, Seq("o_year"))
+    assert(files(1995) == untouched,
+      "untouched partition's files changed")
+    val reread = spark.read.parquet(dir)
+    assert(reread.filter(col("o_year") === 1996)
+      .agg(sum("o_totalprice")).head.getDouble(0) ==
+      orders.filter(col("o_year") === 1996)
+        .agg(sum(col("o_totalprice") * 2)).head.getDouble(0))
+    assert(reread.count() == orders.count())
+    // idempotence: the same batch again converges (no append-dup)
+    Layout.overwritePartitions(batch, dir, Seq("o_year"))
+    assert(spark.read.parquet(dir).count() == orders.count())
+    assert(files(1995) == untouched)
+  }
 }
