@@ -151,10 +151,92 @@ object Joins {
         .groupBy("n_name")
         .agg(Det.dsum(rev).as("revenue"))
         .orderBy("n_name")
+    },
+
+    // Q7-shape: shipping volume between nation pairs by ship year.
+    // Both nation lookups broadcast; the only big-side work is the
+    // orders⋈lineitem equi-join — one shuffle each, then a small
+    // aggregate. The asymmetric pair filter keeps both directions.
+    "c_join_q7_volume" -> { (s, d) =>
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val custNation = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "cust_nation")
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(Det.dsum(vol).as("volume"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // Q10-shape: top-20 customers by returned-item revenue in a
+    // quarter. Fact joins shuffle once each; the ranking is
+    // TakeOrderedAndProject over the aggregated (customer-sized)
+    // frame — no global sort of facts.
+    "c_join_q10_returns" -> { (s, d) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(Det.dsum(rev).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
     }
   )
 
   val oracles: Map[String, String] = Map(
+    "c_join_q7_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  ${Det.dsumSql("volume")} AS volume
+         |FROM (
+         |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         |    year(l_shipdate) AS l_year,
+         |    l_extendedprice * (1 - l_discount) AS volume
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+         |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+         |  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         |    AND l_shipdate < TIMESTAMP '1997-01-01'
+         |    AND ns.n_name <> nc.n_name)
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "c_join_q10_returns" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment,
+         |  ${Det.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |  AND o_orderdate < TIMESTAMP '1995-07-01'
+         |GROUP BY c_custkey, c_name, c_mktsegment
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin,
     "c_join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

@@ -152,6 +152,41 @@ class ScaleOpsSpec extends SparkSpec {
       s"bloom shuffled $bloomBytes vs plain $plainBytes")
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // residual skew the salting patterns don't pre-handle is AQE's
+    // job: with thresholds scaled to fixture size, the hot key's
+    // reducer partition must be split (isSkew=true in the final plan)
+    // without changing the result
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.range(0, 60000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("payload-payload-payload-"), col("id")).as("pad"))
+      val dim = spark.range(0, 6000).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("dname"))
+      val joined = fact.join(dim, "k")
+      // execute THIS frame so its adaptive plan finalizes (count()
+      // would wrap it in a separate query execution)
+      assert(joined.toLocalIterator().hasNext)
+      joined.foreach { _ => () }
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"no skew split in final adaptive plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("date-partitioned layout prunes partitions under a day filter") {
     val dir = "/tmp/graft-events-partitioned"
     Tables.eventsWithNanos(spark, sfDir)
