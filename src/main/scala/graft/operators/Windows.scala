@@ -57,6 +57,25 @@ object Windows {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    // Forward fill (§2.Q): sensor/telemetry gap repair — carry the
+    // last observed value over nulls per key in event order. Sparse
+    // values derived deterministically (clicks report no value);
+    // last(ignoreNulls) over a running frame IS the fill. One hash
+    // exchange on user_id, same as every window in this family.
+    "e_window_gap_fill" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("sparse",
+          when(col("event_type") === "click", lit(null).cast(DoubleType))
+            .otherwise(col("value")))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("sparse"),
+          last("sparse", ignoreNulls = true).over(w).as("filled"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     "e_window_running" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -140,6 +159,15 @@ object Windows {
         |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "e_window_gap_fill" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN event_type = 'click' THEN NULL ELSE value END AS sparse,
+        |  last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+        |    IGNORE NULLS) OVER w AS filled
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "e_window_running" ->
       """SELECT o_custkey, o_orderkey,
