@@ -19,9 +19,16 @@ final class TopKBuffer(val k: Int) {
   val vs: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
 
+  // java.lang.Double.compare, not >/==: primitive comparison makes NaN
+  // beat nothing (it would be silently dropped), while Spark's total
+  // ordering — and the window twin this aggregate claims row-for-row
+  // equality with — ranks NaN above every double (ADVICE r7). Also
+  // normalizes -0.0 < 0.0 to match Spark's ordering.
   @inline private def beats(v1: Double, id1: Long, v2: Double,
-                            id2: Long): Boolean =
-    v1 > v2 || (v1 == v2 && id1 < id2)
+                            id2: Long): Boolean = {
+    val c = java.lang.Double.compare(v1, v2)
+    c > 0 || (c == 0 && id1 < id2)
+  }
 
   def insert(v: Double, id: Long): Unit = {
     if (n == k && !beats(v, id, vs(n - 1), ids(n - 1))) return

@@ -386,12 +386,14 @@ object AnnOps {
 
     // ANN-assisted embedding near-dup (§2.Q) — the sub-quadratic
     // sibling of j_dedup_embed_cosine, which compares ALL O(n²) pairs.
-    // Same multi-probe IVF as j_ann_ivf_kmeans but probing 10 of 16
-    // cells: a τ=0.4 "near dup" on the near-uniform fixture sphere is
-    // far less near than a top-3 neighbor, so the pair-recall gate
-    // needs a wider probe than the top-k entries' 8 (measured: 8 →
-    // 0.797 pair recall, 10 → above the 0.8 floor; clustered
-    // real-world embeddings need far less).
+    // Same multi-probe IVF as j_ann_ivf_kmeans (8 of 16 cells): a
+    // τ=0.4 "near dup" on the near-uniform fixture sphere is far less
+    // near than a top-3 neighbor, so pair recall leans on BOTH meeting
+    // directions — (a,b) when a's probes cover b's home cell and (b,a)
+    // for the reverse — folded together by least/greatest
+    // canonicalization below. (Before canonicalization only the
+    // smaller-id direction counted and 8 probes measured 0.797 recall;
+    // both directions clear the 0.8 floor at 8, where r7 needed 10.)
     // Only pairs sharing a probed cell are scored, and scoring uses the
     // EXACT unit vectors, so every emitted pair truly clears τ —
     // soundness is exact and the only approximation is recall (pairs
@@ -409,15 +411,21 @@ object AnnOps {
       // ranked feeds both the probe and candidate splits — one
       // assignment pass, released by the harness's Caches.release
       val ranked = graft.Caches.persisted(ivfRank(u, cents))
-      val probes = ranked.filter(col("rn") <= 10)
+      val probes = ranked.filter(col("rn") <= 8)
         .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
       val cands = ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
       pairAcrossBuckets(probes, cands, "cell",
           Tables.rowCount(s, d, "embeddings"))
-        .filter(col("vec_id") < col("nn_id") && col("cos") >= 0.4)
-        // a pair can meet in several probed cells — once in the output
-        .groupBy(col("vec_id").as("vec_a"), col("nn_id").as("vec_b"))
+        .filter(col("vec_id") =!= col("nn_id") && col("cos") >= 0.4)
+        // canonicalize BEFORE dedup (ADVICE r7): a meeting can surface as
+        // (a,b) — a's probes cover b's home cell — or (b,a); keeping only
+        // vec_id < nn_id discarded the second direction and halved the
+        // candidate-meeting opportunities the probe fan-out pays for.
+        // least/greatest folds both directions into one pair, so the
+        // same recall floor holds with a narrower probe list.
+        .groupBy(least(col("vec_id"), col("nn_id")).as("vec_a"),
+                 greatest(col("vec_id"), col("nn_id")).as("vec_b"))
         .agg(Det.r4(first(col("cos"))).as("cos"))
         .orderBy("vec_a", "vec_b")
     },

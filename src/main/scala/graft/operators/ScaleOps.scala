@@ -38,19 +38,27 @@ object ScaleOps {
 
   /** Bloom-filter semi-join pre-filter: build one Bloom sketch over the
     * build side's join keys (a single aggregated binary — kilobytes,
-    * like `DataFrameStatFunctions.bloomFilter`, which also collects),
-    * then drop probe rows whose key cannot match BEFORE the join's
-    * exchange. False positives survive the filter and are removed by
-    * the real join, so the composed result is identical to the plain
-    * join — the Bloom only cuts shuffle volume.
+    * like `DataFrameStatFunctions.bloomFilter`), then drop probe rows
+    * whose key cannot match BEFORE the join's exchange. False positives
+    * survive the filter and are removed by the real join, so the
+    * composed result is identical to the plain join — the Bloom only
+    * cuts shuffle volume.
+    *
+    * The sketch stays IN the plan (ADVICE r7): the aggregated 1-row
+    * build frame enters the filter as a scalar subquery — the form
+    * `might_contain` requires for a non-constant sketch — so
+    * construction is lazy: no driver action runs until the composed
+    * query executes (the old `.head` form ran a full build-side job at
+    * DataFrame-construction time and embedded the megabyte sketch as a
+    * plan literal, which PlanDump had to elide).
     *
     * At 100 TB this is the hand-rolled form of Spark's runtime bloom
     * filter (`spark.sql.optimizer.runtime.bloomFilter.enabled`), for
     * when the build side is produced by graft logic the optimizer
     * can't see through (a deduped survivor set, a sampled partition):
     * a selective dim filter means most fact rows shuffle only to be
-    * discarded at the join; the Bloom discards them at the SCAN, and
-    * the probe-side exchange carries only likely matches. */
+    * discarded at the join; the Bloom discards them right after the
+    * scan, and the probe-side exchange carries only likely matches. */
   def bloomSemiFilter(probe: DataFrame, build: DataFrame,
                       probeKey: String, buildKey: String,
                       estItems: Long, nBits: Long): DataFrame = {
@@ -58,10 +66,10 @@ object ScaleOps {
     graft.functions.VectorExprs.register(s)
     val bf = build
       .agg(expr(s"graft_bloom_agg(xxhash64($buildKey), " +
-        s"${estItems}L, ${nBits}L)").as("bf"))
-      .head.getAs[Array[Byte]](0)
+        s"${estItems}L, ${nBits}L)").as("__graft_bf"))
     probe.filter(call_function("graft_bloom_contains",
-      lit(bf), xxhash64(col(probeKey))))
+      org.apache.spark.sql.GraftPlanBridge.scalarSubquery(bf),
+      xxhash64(col(probeKey))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -14,4 +14,14 @@ object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** A 1-row 1-column DataFrame as a scalar-subquery Column — the lazy
+    * way to feed a computed singleton (a Bloom sketch, a count, a
+    * percentile cut) into an expression that requires a constant or
+    * scalar subquery (e.g. `might_contain`). Nothing executes at
+    * construction time; the subquery plans as a separate stage of the
+    * consuming query and its result is broadcast into the expression. */
+  def scalarSubquery(df: DataFrame): Column =
+    classic.ExpressionUtils.column(
+      catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
 }

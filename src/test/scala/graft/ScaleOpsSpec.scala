@@ -64,6 +64,33 @@ class ScaleOpsSpec extends SparkSpec {
     assert(viaAgg == viaWin)
   }
 
+  test("graft_topk ranks NaN above every double, matching the window " +
+       "twin's total ordering") {
+    graft.functions.VectorExprs.register(spark)
+    // every 50th value is NaN: under primitive >/== comparison NaN beats
+    // nothing and those rows silently vanish from the buffer; Spark's
+    // total ordering (desc) puts NaN first, so the window twin keeps
+    // them (ADVICE r7 — TopKBuffer.beats must use Double.compare)
+    val df = spark.range(0, 5000, 1, 16)
+      .select((col("id") % 11).as("g"),
+        when(col("id") % 50 === 0, lit(Double.NaN))
+          .otherwise((col("id") % 97).cast("double")).as("v"),
+        col("id").as("rid"))
+    val viaAgg = df.groupBy("g")
+      .agg(expr("graft_topk(v, rid, 4)").as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rn"), col("col.id").as("rid"))
+      .as[(Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+      .orderBy(desc("v"), asc("rid"))
+    val viaWin = df.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 4).select("g", "rn", "rid")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaAgg == viaWin)
+    // and the NaN rows are actually present in the result
+    assert(viaAgg.exists { case (_, rn, rid) => rn == 1L && rid % 50 == 0 })
+  }
+
   test("graft_topk plans as partial+final ObjectHashAggregate with no sort") {
     graft.functions.VectorExprs.register(spark)
     // the entry minus its terminal presentation orderBy — so any Sort
@@ -146,9 +173,15 @@ class ScaleOpsSpec extends SparkSpec {
     val bloomBytes = shuffleBytes { joined(bloomed).count() }
     info(s"shuffle bytes: bloomed $bloomBytes vs plain $plainBytes")
     assert(bloomBytes > 0 && plainBytes > 0)
-    // ~2% of orders are urgent; the bloom should drop the probe-side
-    // exchange well below half of the unfiltered join's
-    assert(bloomBytes * 2 < plainBytes,
+    // ~2% of orders are urgent, so the bloom drops most of the probe
+    // exchange. Since the r8 lazy (scalar-subquery) form, bloomBytes
+    // also INCLUDES the sketch-build exchange — a fixed few KB that
+    // loomed outside the measurement when the build ran eagerly at
+    // construction time. That constant is ~half the tiny sf0.01 total
+    // but amortizes to nothing at scale (probe bytes grow with data,
+    // the sketch does not), so the gate here is "cuts the total", not
+    // the old 2× that only held with the build excluded.
+    assert(bloomBytes < plainBytes,
       s"bloom shuffled $bloomBytes vs plain $plainBytes")
   }
 
