@@ -133,6 +133,37 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("substringPairs finds exactly the >=k-token planted overlaps, " +
+       "counts distinct shared windows, and blocks boilerplate") {
+    graft.functions.VectorExprs.register(spark)
+    val k = 8
+    // a/b share one exact 8-token run; a/c share only 7 tokens (below
+    // k -> no window, no pair); d/e are disjoint texts sharing a hot
+    // boilerplate window planted into >cutoff docs (blocked);
+    // f repeats b's shared run twice (distinct windows count once)
+    val run8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    val run7 = "t1 t2 t3 t4 t5 t6 t7"
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, s"alpha $run8 omega"),
+      (2L, s"beta gamma $run8 delta"),
+      (3L, s"epsilon $run7 zeta eta"),
+      (4L, s"$boiler unique4 text4 here4 now4 words4 more4 pad4"),
+      (5L, s"$boiler unique5 text5 here5 now5 words5 more5 pad5"),
+      (6L, s"$run8 middle6 $run8 end6")
+    ) ++ (100L until 160L).map(i => (i, s"$boiler filler$i"))
+    val ex = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(expr(s"graft_shingles(text, $k)")).as("w"))
+    val pairs = operators.LlmOps.substringPairs(ex, cutoff = 50)
+      .orderBy("doc_a", "doc_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 1-2, 1-6, 2-6 via run8 (one distinct shared window each); the
+    // 7-token overlap pairs nothing; the boilerplate window has df=62
+    // > 50 so 4-5 and the filler docs never become candidates
+    assert(pairs == Seq((1L, 2L, 1L), (1L, 6L, 1L), (2L, 6L, 1L)), pairs)
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val approx = SparkEntry.queries("d_agg_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap
