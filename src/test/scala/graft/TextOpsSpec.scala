@@ -232,4 +232,34 @@ class TextOpsSpec extends SparkSpec {
     // made of its rarest: compare best vs worst doc spread
     assert(scores.values.max > scores.values.min)
   }
+
+  test("bigram LM separates shuffled word salad from natural text " +
+    "where the unigram score cannot") {
+    import operators.TextOps
+    val sent = "the cat sat on the mat and the dog ran to the cat"
+    val train = (1L to 50L).map(i => (i, sent)).toDF("doc_id", "text")
+    // same token MULTISET as sent, order destroyed — a unigram model
+    // scores both identically by construction; a bigram model must not
+    val salad = "cat the mat ran the to sat dog the on and cat the"
+    val score = Seq((1000L, sent), (1001L, salad)).toDF("doc_id", "text")
+    val bg = TextOps.bigramLmScore(train, score)
+      .as[(Long, Double)].collect().toMap
+    Caches.release(spark)
+    // unigram mean log-prob (the unigram entry's arithmetic, inlined):
+    // equal for both docs because the multisets are equal
+    val tok = train.select(explode(split(col("text"), " ")).as("term"))
+    val lm = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = tok.count().toDouble
+    val uniScore = score
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(lm, "term")
+      .groupBy("doc_id")
+      .agg(round(Det.dsum(log(col("cnt") / total)) / count(lit(1)), 4)
+        .as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(uniScore(1000L) == uniScore(1001L),
+      s"unigram should not separate: $uniScore")
+    assert(bg(1000L) > bg(1001L) + 0.5,
+      s"bigram should separate natural from shuffled: $bg")
+  }
 }
