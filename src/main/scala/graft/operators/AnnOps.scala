@@ -524,22 +524,24 @@ object AnnOps {
         .orderBy("doc_id")
     },
 
-    // The REAL multimodal decode path through the correctness gate:
-    // syntheticMedia (binary payload + typed metadata) → mapPartitions
-    // batched decodeStub (tile bytes to width×height "pixels") →
-    // 16-bin byte histogram (functions/Multimodal.scala). The emitted
-    // projection is integer-only (payload size + argmax bin) so the
-    // float features never enter the hash; the DuckDB twin derives the
-    // same histogram analytically from the tiling multiplicity
-    // (source byte j appears n_px div len + [j < n_px mod len] times).
+    // REAL image decode through the correctness gate (r8 — replaces
+    // the byte-tiling stub): payloads are actual PNGs (JDK-encoded
+    // grayscale, pixel j = (media_id + j) mod 256), decoded by
+    // javax.imageio in the partition-batched mapPartitions stage
+    // (Multimodal.decodeImages); width/height come from the decoded
+    // raster and px_sum is the exact gray-sample sum. The DuckDB twin
+    // never sees a PNG byte — it computes the same integers in CLOSED
+    // FORM from the planted formula, so the hash-match proves the real
+    // codec round-tripped every pixel (PNG is lossless). Corrupt
+    // payloads surface as ok=false rows (MultimodalSpec), never a
+    // thrown decode pass.
     "j_multimodal_decode_batch" -> { (s, d) =>
       val media = graft.Par.spread(
-        graft.functions.Multimodal.syntheticMedia(s, d))
-      graft.functions.Multimodal.extractFeatures(media).toDF()
-        .select(col("media_id"), col("kind"),
-          col("n_bytes").cast(LongType).as("n_px"),
-          (expr("array_position(features, array_max(features))") - 1L)
-            .cast(IntegerType).as("top_bin"))
+        graft.functions.Multimodal.syntheticPngMedia(s, d))
+      graft.functions.Multimodal.decodeImages(media).toDF()
+        .filter(col("ok"))
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_px"), col("px_sum"))
         .orderBy("media_id")
     },
 
@@ -677,26 +679,29 @@ object AnnOps {
         |FROM documents
         |WHERE ${TextOps.splitBucketSql("doc_id")} < 10
         |ORDER BY doc_id""".stripMargin,
+    // closed form of the planted-PNG pixel sum: pixels are the
+    // consecutive run (s, s+1, …) mod 256 with s = media_id mod 256,
+    // so the sum is full-cycles · 32640 plus a remainder-run sum that
+    // either stays below the 256 wrap or splits once across it
     "j_multimodal_decode_batch" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
-        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-        |    CAST((n_chars % 64 + 16) * (n_chars % 48 + 16) AS BIGINT) AS n_px,
-        |    text, strlen(text) AS len
+        |    CAST(n_chars % 64 + 16 AS INT) AS width,
+        |    CAST(n_chars % 48 + 16 AS INT) AS height
         |  FROM documents),
-        |hist AS (
-        |  SELECT media_id, kind, n_px,
-        |    list_transform(range(16), b ->
-        |      list_sum(list_transform(string_split(text, ''),
-        |        (c, i) -> CASE WHEN ascii(c) // 16 = b
-        |          THEN n_px // len
-        |               + (CASE WHEN i - 1 < n_px % len THEN 1 ELSE 0 END)
-        |          ELSE 0 END))) AS counts
+        |c AS (
+        |  SELECT media_id, width, height,
+        |    CAST(width AS BIGINT) * height AS n_px,
+        |    media_id % 256 AS s, CAST(width AS BIGINT) * height % 256 AS r
         |  FROM m)
-        |SELECT media_id, kind, n_px,
-        |  CAST(list_position(counts,
-        |    list_aggregate(counts, 'max')) - 1 AS INT) AS top_bin
-        |FROM hist ORDER BY media_id""".stripMargin,
+        |SELECT media_id, width, height, n_px,
+        |  (n_px // 256) * 32640
+        |  + CASE WHEN s + r <= 256
+        |      THEN r * s + r * (r - 1) // 2
+        |      ELSE (256 - s) * s + (256 - s) * (255 - s) // 2
+        |           + (r - (256 - s) - 1) * (r - (256 - s)) // 2
+        |    END AS px_sum
+        |FROM c ORDER BY media_id""".stripMargin,
     "j_multimodal_frame_sample" ->
       """SELECT media_id, CAST(u.idx AS INT) AS frame_idx,
         |  u.fh AS frame_hex

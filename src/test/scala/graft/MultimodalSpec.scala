@@ -59,6 +59,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageio decode round-trips the planted PNG pixels exactly") {
+    import spark.implicits._
+    // direct single-image check against the formula, independent of
+    // the closed-form oracle: decode must return the exact planted sum
+    val (id, w, h) = (37L, 20, 10)
+    val png = Multimodal.pngBytes(id, w, h)
+    assert(png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P', 'N', 'G'),
+      "payload is a real PNG")
+    val expected = (0 until w * h).map(j => ((id + j) % 256)).sum
+    val dec = Multimodal.decodeImages(
+        Seq((id, png)).toDF("media_id", "content"))
+      .collect().head
+    assert(dec.ok && dec.width == w && dec.height == h &&
+      dec.n_px == w.toLong * h && dec.px_sum == expected, dec.toString)
+  }
+
+  test("corrupt payloads are tolerated as ok=false rows and leave " +
+       "valid rows untouched") {
+    import spark.implicits._
+    val good = Multimodal.pngBytes(5L, 18, 12)
+    val rows = Seq(
+      (1L, good),
+      (2L, Array[Byte](1, 2, 3, 4)),          // not an image at all
+      (3L, good.take(good.length / 2)),        // truncated mid-stream
+      (4L, Array.empty[Byte]))
+    val dec = Multimodal.decodeImages(rows.toDF("media_id", "content"))
+      .collect().map(r => r.media_id -> r).toMap
+    assert(dec(1L).ok && dec(1L).width == 18 && dec(1L).height == 12)
+    assert(Seq(2L, 3L, 4L).forall(i => !dec(i).ok && dec(i).n_px == 0L),
+      dec.toString)
+  }
+
   test("frame sampling emits every k-th frame for video rows only") {
     val frames = Multimodal.sampleFrames(media, everyK = 5)
     assert(frames.schema("frame").dataType == BinaryType)
