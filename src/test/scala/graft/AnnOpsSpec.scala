@@ -249,6 +249,56 @@ class AnnOpsSpec extends SparkSpec {
     assert(recall >= 0.8, f"pair recall $recall%.3f below 0.8")
   }
 
+  test("j_decontam_embed: planted paraphrases are flagged with recall " +
+    ">= 0.9 and every flag is exact-cosine sound") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    val d = "/root/testdata/sf0.01"
+    val u = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id"), col("label"), expr("graft_vdiv(v, nrm)").as("u"))
+    // plant a paraphrase of every benchmark vector (ids 1e6+): a small
+    // deterministic perturbation, renormalized — cos(orig, planted)
+    // ≈ 0.999, far above τ=0.4
+    val bench = u.filter(col("vec_id") < 32)
+      .select(col("vec_id"), col("u")).as[(Long, Seq[Double])].collect()
+    assert(bench.length == 32)
+    val planted = bench.map { case (id, v) =>
+      val p = v.toArray.zipWithIndex.map { case (x, i) =>
+        x + (if (i % 8 == id % 8) 0.03 else 0.0)
+      }
+      val n = math.sqrt(p.map(x => x * x).sum)
+      (1000000L + id, -1L, p.map(_ / n).toSeq)
+    }.toSeq
+    val all = u.unionByName(planted.toDF("vec_id", "label", "u"))
+    val pairs = operators.AnnOps.decontamPairs(all, col("vec_id") < 32,
+        nRows = all.count())
+      .select("vec_id", "nn_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Caches.release(spark)
+    // recall: each planted paraphrase must be flagged against SOME
+    // benchmark vector (its twin's home cell is essentially its own)
+    val flagged = pairs.map(_._1).toSet
+    val hit = planted.count(p => flagged.contains(p._1))
+    info(f"planted-paraphrase recall = ${hit / 32.0}%.3f ($hit/32)")
+    assert(hit >= 29, s"recall ${hit}/32 below 0.9")
+    // soundness: recompute every emitted cosine exactly in the driver
+    val vecs = (bench.map { case (id, v) => id -> v.toArray } ++
+      planted.map(p => p._1 -> p._3.toArray)).toMap
+    val corpusVecs = all.filter(col("vec_id") >= 32 && col("vec_id") < 1000000L)
+      .select(col("vec_id"), col("u")).as[(Long, Seq[Double])]
+      .collect().map { case (id, v) => id -> v.toArray }.toMap
+    pairs.foreach { case (a, b, cos) =>
+      val va = vecs.getOrElse(a, corpusVecs(a))
+      val vb = vecs(b)
+      val exact = va.zip(vb).map { case (x, y) => x * y }.sum
+      assert(math.abs(exact - cos) < 1e-9 && cos >= 0.4,
+        s"flag ($a,$b) cos=$cos exact=$exact")
+    }
+  }
+
   test("d_agg_approx_percentile stays within rank-error of the exact " +
     "percentile") {
     val approx = SparkEntry.queries("d_agg_approx_percentile")(spark, sfDir)
