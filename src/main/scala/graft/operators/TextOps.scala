@@ -155,12 +155,18 @@ object TextOps {
 
     // SimHash-64 near-dup candidates: ±1 vote per bit per distinct
     // token hash, band join on 4×16-bit chunks, exact hamming filter.
-    // No oracle (xxhash64 has no DuckDB twin); TextOpsSpec plants dups.
+    // ORACLED since r8 (VERDICT r7 ask #7): token hashes come from the
+    // portable graft_polyhash (31-multiplier polynomial + Lehmer step —
+    // arithmetic DuckDB reproduces verbatim via list_reduce) instead of
+    // xxhash64, so the whole band pipeline hash-matches a SQL twin.
+    // Empty tokens are excluded on both engines (list_reduce cannot
+    // fold an empty list). TextOpsSpec still plants dups.
     "j_dedup_simhash" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val tok = graft.Par.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(array_distinct(toks)).as("token"))
-        .withColumn("h", xxhash64(col("token")))
+        .filter(col("token") =!= "")
+        .withColumn("h", expr("graft_polyhash(token)"))
       // native SimHash64Agg: one 64-int aggregation buffer instead of
       // 64 separate sum aggregates through the shuffle
       val sigs = tok.groupBy("doc_id")
@@ -719,6 +725,49 @@ object TextOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // stage-for-stage twin of j_dedup_simhash: the portable two-
+    // polynomial token hash rebuilt with list_reduce, per-bit ±1 votes
+    // over bits 0–61 (bits 62–63 of the 62-bit hash are structurally
+    // zero on both engines), signature → 4×16-bit band join → hamming
+    "j_dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents)
+        |  WHERE token <> ''),
+        |h1 AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(string_split(token, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS h1,
+        |    list_reduce(list_transform(string_split(token, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 131 + b) % 2147483647) AS h2
+        |  FROM tok),
+        |hh AS (SELECT doc_id,
+        |  (((h1 * 48271) % 2147483647) << 31)
+        |  | ((h2 * 16807) % 2147483647) AS H FROM h1),
+        |votes AS (
+        |  SELECT doc_id, b.i AS i,
+        |    sum(CASE WHEN (H >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM hh CROSS JOIN (SELECT unnest(range(62)) AS i) b
+        |  GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, sig, b.band AS band,
+        |    (sig >> (b.band * 16)) & 65535 AS bv
+        |  FROM sig CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+        |pairs AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    bit_count(xor(x.sig, y.sig)) AS hamming
+        |  FROM bands x JOIN bands y
+        |    ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        |FROM pairs WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "j_text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id,
