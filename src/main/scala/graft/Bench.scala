@@ -19,8 +19,12 @@ object Bench {
       // harness-local: at sf0.1 every shuffle is KB-sized, so AQE's
       // per-stage materialization is pure latency (~0.1 s/query
       // measured). Cluster deployments of the library keep AQE on —
-      // Verify and the test session leave it enabled.
-      .config("spark.sql.adaptive.enabled", "false")
+      // Verify and the test session leave it enabled. SPARK_GRAFT_AQE=1
+      // runs the same suite with AQE on (the r8 sanity pass recording
+      // that the off-by-default choice is latency-only, not a
+      // correctness or plan-shape crutch).
+      .config("spark.sql.adaptive.enabled",
+        (sys.env.getOrElse("SPARK_GRAFT_AQE", "0") == "1").toString)
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

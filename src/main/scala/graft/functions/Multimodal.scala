@@ -126,8 +126,13 @@ object Multimodal {
     * never touch the driver. */
   def syntheticPngMedia(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"), col("n_chars"))
+    // spread the (id, n_chars) projection BEFORE generation: the
+    // fixture is one row group, so without it every PNG encodes on one
+    // core; spreading 16-byte rows is free, spreading encoded payloads
+    // would be an exchange of the whole media volume
+    graft.Par.spread(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("n_chars")))
       .as[(Long, Long)]
       .mapPartitions { rows =>
         rows.map { case (id, nChars) =>

@@ -583,8 +583,9 @@ object AnnOps {
     // payloads surface as ok=false rows (MultimodalSpec), never a
     // thrown decode pass.
     "j_multimodal_decode_batch" -> { (s, d) =>
-      val media = graft.Par.spread(
-        graft.functions.Multimodal.syntheticPngMedia(s, d))
+      // syntheticPngMedia spreads its input pre-generation, so decode
+      // inherits the parallel layout with no second exchange
+      val media = graft.functions.Multimodal.syntheticPngMedia(s, d)
       graft.functions.Multimodal.decodeImages(media).toDF()
         .filter(col("ok"))
         .select(col("media_id"), col("width"), col("height"),
