@@ -83,6 +83,62 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
         col("votes"))
 
+  /** All character trigrams of `text` as an array — a narrow in-scan
+    * projection (no shuffle). Callers MUST pre-filter
+    * `length(text) >= 3`: Spark's `sequence(1, stop)` infers step −1
+    * when stop < 1 and would emit descending positions instead of an
+    * empty array. */
+  private def charTrigrams: Column =
+    transform(sequence(lit(1), length(col("text")) - 2),
+      i => col("text").substr(i, lit(3)))
+
+  /** Cavnar–Trenkle rank profile: per language, the top-`k` character
+    * trigrams of the training split ranked 1..k by (count desc,
+    * trigram asc). Tiny (langs × k rows) → broadcastable, and STORABLE
+    * like the token-vote profile: train once on the standing corpus,
+    * score every delta batch against the table. */
+  private[graft] def chargramProfile(train: DataFrame, k: Int): DataFrame =
+    train.filter(length(col("text")) >= 3)
+      .select(col("lang"), explode(charTrigrams).as("tg"))
+      .groupBy("lang", "tg").agg(count(lit(1)).as("cnt"))
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("cnt"), asc("tg"))))
+      .filter(col("prk") <= k)
+      .select(col("lang").as("p_lang"), col("tg"), col("prk"))
+
+  /** Classify each `score` doc by minimum out-of-place distance
+    * against `profile` (built with the same `k`): the doc's own top-20
+    * trigram ranks vs each language's profile ranks, a missing trigram
+    * costing the max penalty `k`; prediction = argmin distance with a
+    * deterministic (dist, p_lang) tie-break. Cost shape: the trigram
+    * explode is corpus-proportional but narrow; the doc-profile
+    * aggregation shuffles (doc_id, trigram, cnt) — bytes comparable to
+    * the text itself; the scoring joins are doc-top-20 × langs rows
+    * against two BROADCAST sides, so the corpus crosses exactly one
+    * exchange regardless of scale. */
+  private[graft] def chargramPredictions(profile: DataFrame,
+                                             score: DataFrame,
+                                             k: Int): DataFrame = {
+    val dprof = score.filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), explode(charTrigrams).as("tg"))
+      .groupBy("doc_id", "lang", "tg").agg(count(lit(1)).as("cnt"))
+      .withColumn("drk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("cnt"), asc("tg"))))
+      .filter(col("drk") <= 20)
+      .select("doc_id", "lang", "tg", "drk")
+    val langs = profile.select(col("p_lang")).distinct()
+    dprof.crossJoin(broadcast(langs))
+      .join(broadcast(profile), Seq("p_lang", "tg"), "left")
+      .groupBy("doc_id", "lang", "p_lang")
+      .agg(sum(coalesce(abs(col("drk") - col("prk")), lit(k)))
+        .cast(LongType).as("dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("dist"), asc("p_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+        col("dist"))
+  }
+
   /** Once-per-corpus BPE merge-table training for
     * `j_text_bpe_tokenize`: one distributed word-frequency aggregation,
     * then a bounded driver-side merge loop over the top-512 words
@@ -648,6 +704,60 @@ object TextOps {
       val isBase = splitBucket(col("doc_id")) < 80
       bigramLmScore(docs.filter(isBase), docs.filter(!isBase))
         .orderBy("doc_id")
+    },
+
+    // Hashing-trick linear quality classifier (§2.R): the fastText/
+    // CCNet-shaped gate — tokens hash into 1024 feature buckets
+    // (codegen'd `graft_polyhash`), each bucket carries a weight, a
+    // doc's score is the weight sum over its tokens, keep = score ≥ 0.
+    // The container ships no trained model, so the weight TABLE is a
+    // deterministic Lehmer surrogate of the bucket id (the same
+    // honesty convention as j_pii_scrub's planted PII): the scoring
+    // PLUMBING — feature hashing, sparse accumulation, the keep gate —
+    // is the real thing and is what the oracle proves. All-integer
+    // arithmetic (weights ∈ [−1000, 1000], no division), so the twin
+    // is hash-exact. Scale shape: per-doc score is doc-LOCAL — array
+    // HOFs inside the scan projection, zero shuffles at any corpus
+    // size (the spec pins the Exchange-free plan); a real weight table
+    // (≤ 1024 longs) would ride the plan as a literal exactly like
+    // the BPE merge table.
+    "j_quality_classifier" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      Tables.documents(s, d)
+        .withColumn("ws", expr(
+          """transform(filter(split(text, ' '), t -> t <> ''),
+            |  t -> ((pmod(graft_polyhash(t), 1024L) + 1L) * 48271L
+            |        % 2147483647L) % 2001L - 1000L)""".stripMargin))
+        .select(col("doc_id"),
+          size(col("ws")).cast(LongType).as("n_feat"),
+          expr("aggregate(ws, 0L, (a, x) -> a + x)").as("score_sum"))
+        .filter(col("n_feat") > 0)
+        .withColumn("keep",
+          when(col("score_sum") >= 0, lit(1)).otherwise(lit(0)))
+        .orderBy("doc_id")
+    },
+
+    // Character-trigram language ID (§2.R): Cavnar–Trenkle out-of-
+    // place rank distance — the real published langid algorithm, where
+    // `j_lang_detect_heuristic`'s token vote is the honest stand-in.
+    // Per-language top-40 trigram rank profiles train on the standing
+    // 80% Lehmer split; each 20%-split doc is classified by the
+    // minimum out-of-place distance between its own top-20 trigram
+    // ranks and each profile (missing trigram = max penalty 40).
+    // Rank ORDER carries the signal — morphology (suffix/prefix
+    // shapes), not shared-vocabulary luck — and TextOpsSpec proves it
+    // separates planted character distributions perfectly while
+    // staying deterministic under repartitioning. The profile is a
+    // langs×40-row stored-artifact candidate; scoring broadcasts it,
+    // so the corpus crosses one exchange (its own top-20 aggregation)
+    // at any scale.
+    "j_langid_chargram" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val isBase = splitBucket(col("doc_id")) < 80
+      chargramPredictions(
+        chargramProfile(docs.filter(isBase), 40),
+        docs.filter(!isBase), 40)
+        .orderBy("doc_id")
     }
   )
 
@@ -1088,6 +1198,77 @@ object TextOps {
          |  CROSS JOIN tot)
          |SELECT doc_id,
          |  round(${Det.dsumSql("ln(prob)")} / count(*), 4) AS lm_score
-         |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // twin of j_quality_classifier: the graft_polyhash arithmetic
+    // rebuilt with list_reduce (as in the simhash twin), then the
+    // identical bucket → Lehmer-surrogate-weight → integer-sum chain
+    "j_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(string_split(token, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS h1,
+        |    list_reduce(list_transform(string_split(token, ''),
+        |      c -> CAST(ascii(c) AS BIGINT)),
+        |      (a, b) -> (a * 131 + b) % 2147483647) AS h2
+        |  FROM tk),
+        |w AS (
+        |  SELECT doc_id,
+        |    (((((((h1 * 48271) % 2147483647) << 31)
+        |         | ((h2 * 16807) % 2147483647)) % 1024 + 1)
+        |       * 48271 % 2147483647) % 2001) - 1000 AS w
+        |  FROM h)
+        |SELECT doc_id, count(*) AS n_feat,
+        |  CAST(sum(w) AS BIGINT) AS score_sum,
+        |  CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // stage-for-stage twin of chargramProfile/chargramPredictions:
+    // same trigram extraction (1-based positions 1..len-2), same
+    // 80/20 Lehmer split, same (count desc, trigram asc) rank
+    // tie-breaks, same out-of-place penalty 40 and (dist, p_lang)
+    // argmin tie-break — all-integer output, hash-exact
+    "j_langid_chargram" ->
+      s"""WITH tr AS (
+         |  SELECT lang,
+         |    unnest(list_transform(range(1, length(text)-1),
+         |      i -> substring(text, CAST(i AS INT), 3))) AS tg
+         |  FROM documents
+         |  WHERE ${splitBucketSql("doc_id")} < 80 AND length(text) >= 3),
+         |prof AS (
+         |  SELECT lang AS p_lang, tg,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY count(*) DESC, tg ASC) AS prk
+         |  FROM tr GROUP BY lang, tg),
+         |profk AS (SELECT * FROM prof WHERE prk <= 40),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, length(text)-1),
+         |      i -> substring(text, CAST(i AS INT), 3))) AS tg
+         |  FROM documents
+         |  WHERE ${splitBucketSql("doc_id")} >= 80 AND length(text) >= 3),
+         |dprof AS (
+         |  SELECT doc_id, lang, tg,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY count(*) DESC, tg ASC) AS drk
+         |  FROM sc GROUP BY doc_id, lang, tg),
+         |dk AS (SELECT * FROM dprof WHERE drk <= 20),
+         |langs AS (SELECT DISTINCT p_lang FROM profk),
+         |dist AS (
+         |  SELECT dk.doc_id, dk.lang, langs.p_lang,
+         |    CAST(sum(coalesce(abs(dk.drk - p.prk), 40)) AS BIGINT) AS dist
+         |  FROM dk CROSS JOIN langs
+         |  LEFT JOIN profk p ON p.p_lang = langs.p_lang AND p.tg = dk.tg
+         |  GROUP BY 1, 2, 3),
+         |pred AS (
+         |  SELECT doc_id, lang, p_lang, dist,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY dist ASC, p_lang ASC) AS rk
+         |  FROM dist)
+         |SELECT doc_id, lang, p_lang AS pred_lang, dist
+         |FROM pred WHERE rk = 1 ORDER BY doc_id""".stripMargin
   )
 }

@@ -65,6 +65,49 @@ class TextOpsSpec extends SparkSpec {
     assert(acc > 0.2, s"langid accuracy $acc not above chance")
   }
 
+  test("j_langid_chargram: planted character distributions classify " +
+    "perfectly, deterministically under repartitioning") {
+    import graft.operators.TextOps
+    // two synthetic "languages" with disjoint character inventories —
+    // the rank-profile algorithm must classify every scoring doc; word
+    // order rotates per doc so no two texts are identical
+    val ka = Seq("kaki", "keko", "kuku", "kaka", "kiko")
+    val zu = Seq("zuzu", "zazo", "zizi", "zozu", "zuza")
+    val docs = (0L until 60L).map { id =>
+      val words = if (id % 2 == 0) ka else zu
+      val text = (0 until 12)
+        .map(j => words(((id + j) % words.size).toInt)).mkString(" ")
+      (id, if (id % 2 == 0) "ka" else "zu", text)
+    }.toDF("doc_id", "lang", "text")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val score = docs.filter(col("doc_id") % 5 === 0)
+    val profile = TextOps.chargramProfile(train, 40)
+    val preds = TextOps.chargramPredictions(profile, score, 40)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(preds.length == 12)
+    preds.foreach { case (id, lang, pred, dist) =>
+      assert(pred == lang, s"doc $id: predicted $pred, labeled $lang")
+      // 20 doc trigrams × max penalty 40 bounds the distance
+      assert(dist >= 0L && dist <= 800L, s"doc $id: dist $dist")
+    }
+    // deterministic under physical layout: reshuffled input, same output
+    val again = TextOps.chargramPredictions(
+        TextOps.chargramProfile(train.repartition(7), 40),
+        score.repartition(5), 40)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    assert(preds.toSeq == again.toSeq)
+  }
+
+  test("j_langid_chargram fixture entry: full 20% split covered, " +
+    "distances bounded") {
+    val out = SparkEntry.queries("j_langid_chargram")(spark, sfDir)
+      .as[(Long, String, String, Long)].collect()
+    assert(out.nonEmpty)
+    // exactly one prediction per scoring-split doc (argmin is unique)
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall { case (_, _, _, d) => d >= 0L && d <= 800L })
+  }
+
   test("quality scores are in [0,10000] basis points, tiers consistent") {
     val rows = SparkEntry.queries("j_text_quality")(spark, sfDir)
       .as[(Long, Long, String)].collect()
@@ -261,5 +304,56 @@ class TextOpsSpec extends SparkSpec {
       s"unigram should not separate: $uniScore")
     assert(bg(1000L) > bg(1001L) + 0.5,
       s"bigram should separate natural from shuffled: $bg")
+  }
+
+  test("j_quality_classifier: array-HOF score equals an explode/groupBy " +
+    "reformulation of the same linear model; keep gate matches sign") {
+    graft.functions.VectorExprs.register(spark)
+    val rows = SparkEntry.queries("j_quality_classifier")(spark, sfDir)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nFeat, s, keep) =>
+      assert(nFeat > 0, s"doc $id: empty feature set emitted")
+      assert(keep == (if (s >= 0) 1 else 0), s"doc $id: keep/sign mismatch")
+    }
+    // both keep classes occur on the fixture (the gate actually gates)
+    assert(rows.exists(_._4 == 1) && rows.exists(_._4 == 0),
+      "surrogate weights should land docs on both sides of the gate")
+    // the same model the shuffle-heavy way — explode to (doc, token),
+    // per-token weight, groupBy sum — must agree row-for-row: pins the
+    // HOF accumulation against an independent physical formulation
+    val alt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')")).as("t"))
+      .withColumn("w", expr(
+        """((pmod(graft_polyhash(t), 1024L) + 1L) * 48271L
+          |  % 2147483647L) % 2001L - 1000L""".stripMargin))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"), sum("w").as("score_sum"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.map(_._1).toSet == alt.keySet)
+    rows.foreach { case (id, nFeat, s, _) =>
+      assert(alt(id) == ((nFeat, s)), s"doc $id: HOF vs groupBy mismatch")
+    }
+  }
+
+  test("j_quality_classifier plan: scoring is doc-local — the only " +
+    "exchange is the output ordering's range partition") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("j_quality_classifier")(spark, sfDir)
+      val exchanges = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.size <= 1,
+        s"per-doc scoring must not shuffle the corpus:\n${df.queryExecution.executedPlan}")
+      exchanges.foreach { e =>
+        assert(e.outputPartitioning.toString.toLowerCase.contains("range"),
+          s"unexpected non-sort exchange: ${e.outputPartitioning}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 }
