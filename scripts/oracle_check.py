@@ -31,9 +31,36 @@ def norm(v):
     return str(v)
 
 
+def check_fingerprint(sfdir, outdir):
+    """Refuse to report green if the fixtures changed since the Verify
+    dump (r8: the driver regenerated /root/testdata between the local
+    sweep and round close, and a stale 'green' claim shipped)."""
+    fp_path = os.path.join(outdir, "fixtures_fingerprint.json")
+    if not os.path.exists(fp_path):
+        print("WARN  no fixtures_fingerprint.json in outdir "
+              "(old Verify dump?) — cannot prove fixtures unchanged")
+        return True
+    recorded = json.load(open(fp_path))
+    ok = True
+    for name, fp in sorted(recorded.items()):
+        p = os.path.join(sfdir, name)
+        if not os.path.exists(p):
+            print(f"FIXTURE DRIFT {name}: file gone since the dump")
+            ok = False
+            continue
+        st = os.stat(p)
+        now = {"mtime_ms": st.st_mtime_ns // 1_000_000, "size": st.st_size}
+        if now != fp:
+            print(f"FIXTURE DRIFT {name}: dump-time {fp} vs now {now} "
+                  "— re-run graft.Verify before trusting this sweep")
+            ok = False
+    return ok
+
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
+    fixtures_ok = check_fingerprint(sfdir, outdir)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
@@ -92,6 +119,10 @@ def main():
             continue
         print(f"PASS  {name} ({len(spark_rows)} rows)")
         n_pass += 1
+    if not fixtures_ok:
+        print("== FIXTURES DRIFTED since the Verify dump — results above "
+              "are NOT trustworthy; re-run graft.Verify ==")
+        sys.exit(2)
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
     sys.exit(1 if n_fail else 0)
 

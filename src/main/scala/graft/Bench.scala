@@ -112,10 +112,16 @@ object Bench {
     // headline subset; `value` is still the total over ALL queries.
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
+    // top-10 slowest, so round-over-round regressions in the non-headline
+    // tail are attributable from the JSON alone (VERDICT r8: the r8 total
+    // inflation could not be pinned to queries because the tail was only
+    // in the human log lines, which the harness truncates)
+    val slow = results.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val unc = if (cache) uncachedTotal else total
     println(s"bench_detail uncached_total ${f3(unc)}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"uncached":${f3(unc)},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"uncached":${f3(unc)},"queries":$qs,"slowest":$slow,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

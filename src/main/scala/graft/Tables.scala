@@ -33,13 +33,72 @@ object Tables {
     "lineitem" -> ddl("l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, l_shipdate TIMESTAMP_NTZ"),
     "documents" -> ddl("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"),
     "embeddings" -> ddl("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"),
-    // ts declared as raw INT64 nanos (parquet TIMESTAMP(NANOS), which
-    // Spark 4 otherwise rejects at inference without
-    // spark.sql.legacy.parquet.nanosAsLong)
+    // ts declared as raw INT64 ticks: the driver has shipped the events
+    // fixture both as parquet TIMESTAMP(NANOS) (which Spark 4 rejects at
+    // inference without spark.sql.legacy.parquet.nanosAsLong) and as
+    // TIMESTAMP_MICROS — an explicit BIGINT schema reads the raw int64
+    // under either annotation; tsNsPerTick sniffs the footer for the
+    // unit and the loaders below normalize.
     "events" -> ddl("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"))
 
   private def read(s: SparkSession, d: String, t: String): DataFrame =
     s.read.schema(schemas(t)).parquet(s"$d/$t.parquet")
+
+  private val tsUnitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Nanoseconds per raw tick of `events.ts`, sniffed from the parquet
+    * footer's logical-type annotation (NANOS → 1, MICROS → 1_000,
+    * MILLIS → 1_000_000; unannotated INT64 → raw nanos). A driver-side
+    * footer read, no Spark job; cached per path — fixtures are
+    * immutable within a session. Keeping both unit paths alive means a
+    * future fixture regeneration in either direction stays green.
+    */
+  def tsNsPerTick(s: SparkSession, d: String): Long = {
+    val key = s"$d/events.parquet"
+    tsUnitCache.computeIfAbsent(key, { _ =>
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import LogicalTypeAnnotation.TimeUnit
+      val conf = s.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(key)
+      val fs = root.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part-files under $key"))
+        else root
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      val ann =
+        try {
+          val schema = r.getFooter.getFileMetaData.getSchema
+          schema.getType(schema.getFieldIndex("ts"))
+            .asPrimitiveType().getLogicalTypeAnnotation
+        } finally r.close()
+      ann match {
+        case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case TimeUnit.NANOS  => 1L
+            case TimeUnit.MICROS => 1000L
+            case TimeUnit.MILLIS => 1000000L
+          }
+        case _ => 1L // unannotated INT64: raw nanos
+      }
+    })
+  }
+
+  /** events with `ts` as the RAW int64 tick value (unit per
+    * tsNsPerTick) — for callers that need a predicate pushed down onto
+    * the physical column (a filter on a derived `ts * k` expression
+    * never reaches the parquet scan). */
+  def eventsRaw(s: SparkSession, d: String): DataFrame = read(s, d, "events")
+
+  /** `ts` raw ticks → epoch microseconds (integer arithmetic: double
+    * division rounds-to-nearest, off by 1µs for ~half of nano inputs). */
+  private def tickToMicros(tick: Long): org.apache.spark.sql.Column =
+    if (tick >= 1000L) expr(s"ts * ${tick / 1000L}")
+    else expr(s"ts div ${1000L / tick}")
 
   def region(s: SparkSession, d: String): DataFrame     = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = read(s, d, "nation")
@@ -51,21 +110,28 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** events.ts is parquet INT64 TIMESTAMP(NANOS); read as raw nanos via
-    * the explicit schema, truncate to microseconds with INTEGER
-    * division (double division rounds-to-nearest: off by 1µs for ~half
-    * the values), present as TIMESTAMP_NTZ (session TZ is UTC) —
-    * exactly the value DuckDB sees reading the same file.
+  /** events.ts read as raw int64 ticks via the explicit schema,
+    * normalized to epoch microseconds per the footer-sniffed unit,
+    * presented as TIMESTAMP_NTZ (session TZ is UTC) — exactly the value
+    * DuckDB sees reading the same file (its oracle SQL uses the
+    * unit-agnostic epoch_us(ts)).
     */
   def events(s: SparkSession, d: String): DataFrame =
     read(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      .withColumn("ts",
+        timestamp_micros(tickToMicros(tsNsPerTick(s, d))).cast(TimestampNTZType))
 
-  /** events with the raw nanosecond long preserved as `ts_ns`. */
-  def eventsWithNanos(s: SparkSession, d: String): DataFrame =
+  /** events with the epoch-NANOSECOND long preserved as `ts_ns`
+    * regardless of the fixture's physical unit. When the fixture is
+    * already nanos, `ts_ns` stays a bare column alias so predicates on
+    * it still push down to the scan. */
+  def eventsWithNanos(s: SparkSession, d: String): DataFrame = {
+    val tick = tsNsPerTick(s, d)
     read(s, d, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      .withColumn("ts_ns", if (tick == 1L) col("ts") else expr(s"ts * $tick"))
+      .withColumn("ts",
+        timestamp_micros(tickToMicros(tick)).cast(TimestampNTZType))
+  }
 
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()

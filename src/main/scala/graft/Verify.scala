@@ -46,6 +46,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // fixture fingerprint (mtime+size per table file) taken at DUMP
+    // time: the r8 lesson — the driver regenerated /root/testdata
+    // between the local sweep and the round close, and the stale
+    // "green" claim shipped. oracle_check.py recomputes this and
+    // refuses to report PASS if the fixtures drifted since the dump.
+    val fp = new java.io.File(sfDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .map { f =>
+        s"${q(f.getName)}: {\"mtime_ms\": ${f.lastModified}, \"size\": ${f.length}}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/fixtures_fingerprint.json"), fp)
     spark.stop()
   }
 }

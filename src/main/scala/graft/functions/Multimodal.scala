@@ -135,6 +135,10 @@ object Multimodal {
           .select(col("doc_id"), col("n_chars")))
       .as[(Long, Long)]
       .mapPartitions { rows =>
+        // memory-backed codec streams: without this every ImageIO call
+        // routes through a disk temp file — per-image file churn that
+        // dominated the r8 decode bench (VERDICT r8 #2)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { case (id, nChars) =>
           val w = (nChars % 64 + 16).toInt
           val h = (nChars % 48 + 16).toInt
@@ -163,6 +167,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.select("media_id", "content").as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // memory-backed codec streams (see syntheticPngMedia)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
             try {

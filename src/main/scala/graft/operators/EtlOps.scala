@@ -28,13 +28,20 @@ object EtlOps {
     // SystemModstamp-cursor incremental pull: rows strictly after the
     // persisted cursor, replication columns only.
     "i_incremental_extract" -> { (s, d) =>
-      // cursor compared against the RAW nanos column so the predicate
+      // cursor compared against the RAW tick column so the predicate
       // pushes into the parquet scan (PlanSpec asserts this); filtering
-      // the derived timestamp would read every row-group
+      // a derived `ts * k` timestamp would read every row-group. The
+      // cursor is converted driver-side to the fixture's footer unit —
+      // exact, since it is a whole second.
       val cursorNs = 1705276800L * 1000000000L // 2024-01-15T00:00Z
-      eventsUs(s, d)
-        .filter(col("ts_ns") > cursorNs)
-        .select("event_id", "ts_us", "user_id", "event_type", "value")
+      val tick = Tables.tsNsPerTick(s, d)
+      val tsUs =
+        if (tick >= 1000L) expr(s"ts * ${tick / 1000L}")
+        else expr(s"ts div ${1000L / tick}")
+      Tables.eventsRaw(s, d)
+        .filter(col("ts") > cursorNs / tick)
+        .select(col("event_id"), tsUs.as("ts_us"), col("user_id"),
+          col("event_type"), col("value"))
         .orderBy("event_id")
     },
 

@@ -142,6 +142,28 @@ object ScalarFuncs {
         .orderBy("event_id")
     },
 
+    // Map-typed oracle (VERDICT r8 stretch #9): unlike h_map_funcs'
+    // string projection, the OUTPUT here keeps the nested type — a
+    // sorted ARRAY<STRUCT<key,value>> produced by map_entries over a
+    // real in-plan MapType, plus an element_at lookup (null where the
+    // user never clicked). Spark's map_entries names the struct fields
+    // key/value; the DuckDB twin constructs identically-named structs,
+    // so both engines hash the same list-of-struct python values.
+    "h_map_funcs_typed" -> { (s, d) =>
+      val counts = Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+      counts
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(
+          struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(
+          col("user_id"),
+          sort_array(map_entries(col("m"))).as("entries"),
+          element_at(col("m"), "click").as("click_cnt"),
+          size(col("m")).as("n_types"))
+        .orderBy("user_id")
+    },
+
     "h_struct_nested" -> { (s, d) =>
       Tables.orders(s, d)
         .select(struct(col("o_orderkey"), col("o_totalprice")).as("s"))
@@ -312,6 +334,16 @@ object ScalarFuncs {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
         |  '{"k":' || json_extract_string(props, '$.k') || '}' AS json_rt
         |FROM events ORDER BY event_id""".stripMargin,
+    "h_map_funcs_typed" ->
+      """WITH counts AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT user_id,
+        |  array_agg({'key': event_type, 'value': cnt}
+        |    ORDER BY event_type) AS entries,
+        |  max(CASE WHEN event_type = 'click' THEN cnt END) AS click_cnt,
+        |  CAST(count(*) AS INT) AS n_types
+        |FROM counts GROUP BY user_id ORDER BY user_id""".stripMargin,
     "h_struct_nested" ->
       """SELECT o_orderkey AS okey, o_totalprice AS price FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 500""".stripMargin,

@@ -752,7 +752,11 @@ object TextOps {
     // so the corpus crosses one exchange (its own top-20 aggregation)
     // at any scale.
     "j_langid_chargram" -> { (s, d) =>
-      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      // spread BEFORE the trigram explode: the fixture is one row
+      // group, so without it the corpus-proportional explode+count
+      // runs on one core (r9: 2.8 → 1.4 s steady at sf0.1)
+      val docs = Par.spread(
+        Tables.documents(s, d).select("doc_id", "lang", "text"))
       val isBase = splitBucket(col("doc_id")) < 80
       chargramPredictions(
         chargramProfile(docs.filter(isBase), 40),

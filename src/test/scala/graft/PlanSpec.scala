@@ -57,7 +57,10 @@ class PlanSpec extends SparkSpec {
 
   test("incremental extract pushes the cursor predicate to the scan") {
     val p = plan("i_incremental_extract")
-    assert(p.contains("GreaterThan(ts,1705276800000000000)"), p)
+    // the cursor literal is in the fixture's raw tick unit (the driver
+    // has shipped events.ts as both nanos and micros across regens)
+    val cursor = 1705276800L * 1000000000L / Tables.tsNsPerTick(spark, sfDir)
+    assert(p.contains(s"GreaterThan(ts,$cursor)"), p)
   }
 
   test("IVF search equi-joins on the cell key, never all-pairs") {
