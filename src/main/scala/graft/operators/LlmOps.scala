@@ -424,48 +424,65 @@ object LlmOps {
       .select(col("doc_id"), shingles.as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle")))
     val deltaDf = deltaPost.groupBy("shingle").agg(count(lit(1)).as("ddf"))
-    val combDf = baseDf.toDF("shingle", "bdf")
+    // combined df splits every shingle rare XOR hot — persisted, it
+    // feeds both splits below
+    val combDf = graft.Caches.persisted(baseDf.toDF("shingle", "bdf")
       .join(deltaDf, Seq("shingle"), "full")
       .select(col("shingle"),
         (coalesce(col("bdf"), lit(0L)) + coalesce(col("ddf"), lit(0L)))
-          .as("df"))
-    // rare shingle set feeds both sides; rare delta postings feed the
-    // base join and the delta self-join — persist so each chain of
-    // groupBy+join work runs once
+          .as("df")))
     val rareSh = graft.Caches.persisted(
       combDf.filter(col("df") <= cutoff).select("shingle"))
+    val hotSh = combDf.filter(col("df") > cutoff).select("shingle")
     val rareDelta = graft.Caches.persisted(deltaPost.join(rareSh, "shingle"))
     val rareBase = basePost.join(rareSh, "shingle")
-    // the id-inequality guards against a delta doc that already exists
+    // ONE-PASS pair stats (the blockedPairStats shape applied to the
+    // incremental join): the blocking joins themselves count the
+    // shared-RARE shingles per pair — no candidate materialization
+    // followed by a full-posting re-join. The r9 profile showed why
+    // this matters: on a low-df corpus the cutoff excludes nothing,
+    // candidates explode to ~0.4M pairs for a 1k-doc delta, and the
+    // old full-intersection verify join expanded them against every
+    // posting (~5–6 s of the 7 s steady state). Exactness is
+    // unchanged: n_common = rare_common + hot_common, because every
+    // shingle is rare xor hot under the combined df.
+    // The id-inequality guards against a delta doc that already exists
     // in the standing store (a replayed batch / id collision): a (d, d)
     // self-pair would double-count its intersection to |A|+|B| and
     // zero the jaccard denominator
-    val candBase = rareDelta.as("d").join(rareBase.as("b"),
+    val rcBase = rareDelta.as("d").join(rareBase.as("b"),
         col("d.shingle") === col("b.shingle") &&
           col("d.doc_id") =!= col("b.doc_id"))
-      .select(col("d.doc_id").as("doc"), col("b.doc_id").as("partner"))
-      .distinct()
-    val candDelta = rareDelta.as("x").join(rareDelta.as("y"),
+      .groupBy(col("d.doc_id").as("doc"), col("b.doc_id").as("partner"))
+      .agg(count(lit(1)).as("rare_common"))
+    val rcDelta = rareDelta.as("x").join(rareDelta.as("y"),
         col("x.shingle") === col("y.shingle") &&
           col("y.doc_id") < col("x.doc_id"))
-      .select(col("x.doc_id").as("doc"), col("y.doc_id").as("partner"))
-      .distinct()
-    val cand = graft.Caches.persisted(candBase.unionByName(candDelta).distinct())
-    // exact verification on candidates only; partner postings come from
-    // stored base postings ∪ delta postings (a scan, never a re-shingle)
-    // — semi-filtered to candidate partners FIRST, so the verify join
-    // shuffles |candidate docs|·|their shingles| rows, never the corpus
-    val partners = cand.select(col("partner").as("doc_id")).distinct()
-    val posts = basePost.unionByName(deltaPost)
-      .join(broadcast(partners), Seq("doc_id"), "leftsemi")
-    val pa = deltaPost.select(col("doc_id").as("doc"), col("shingle").as("sh"))
-    val pb = posts.select(col("doc_id").as("partner"), col("shingle").as("sh"))
-    val inter = cand.join(pa, "doc").join(pb, Seq("partner", "sh"))
-      .groupBy("doc", "partner").agg(count(lit(1)).as("n_common"))
+      .groupBy(col("x.doc_id").as("doc"), col("y.doc_id").as("partner"))
+      .agg(count(lit(1)).as("rare_common"))
+    // base and delta partners are disjoint id-spaces in normal flow;
+    // the sum also keeps the replayed-id edge case identical to the
+    // old formulation (both sides' postings counted)
+    val rarePairs = graft.Caches.persisted(
+      rcBase.unionByName(rcDelta)
+        .groupBy("doc", "partner").agg(sum("rare_common").as("rare_common")))
+    // hot completion over candidate pairs only: hot postings are a
+    // SMALL set by definition (df > cutoff shingles), and the join is
+    // restricted to pairs the rare blocking already surfaced
+    val hotDoc = deltaPost.join(hotSh, "shingle")
+      .select(col("doc_id").as("doc"), col("shingle").as("sh"))
+    val hotPartner = basePost.unionByName(deltaPost).join(hotSh, "shingle")
+      .select(col("doc_id").as("partner"), col("shingle").as("sh"))
+    val hotPairs = rarePairs.select("doc", "partner")
+      .join(hotDoc, "doc").join(hotPartner, Seq("partner", "sh"))
+      .groupBy("doc", "partner").agg(count(lit(1)).as("hot_common"))
     val deltaSizes = deltaPost.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_sh"))
     val sizes = baseSizes.unionByName(deltaSizes)
-    inter
+    rarePairs
+      .join(hotPairs, Seq("doc", "partner"), "left")
+      .withColumn("n_common",
+        col("rare_common") + coalesce(col("hot_common"), lit(0L)))
       .join(deltaSizes.toDF("doc", "sh_a"), "doc")
       .join(sizes.toDF("partner", "sh_b"), "partner")
       .withColumn("jac", col("n_common").cast(DoubleType) /
