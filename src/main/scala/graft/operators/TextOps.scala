@@ -483,6 +483,38 @@ object TextOps {
     // (identical arithmetic in DuckDB). Selection is a distributed
     // TakeOrderedAndProject (top-k by key), never a global sort; at
     // 100 TB this is one map pass + a k-row reduce.
+    // Temperature-flattened source mixing (the multilingual/LLM
+    // pretraining sampler): per-source quotas ∝ n_docs^(1/2) — the
+    // T=2 flattening exponent — normalized to a half-corpus target,
+    // then the DETERMINISTIC selection (first n_keep docs by doc_id
+    // per source), not just the weight table (j_sample_mix_weights
+    // reports; this one actually samples). Low-resource sources keep
+    // a larger fraction than their proportional share — the spec pins
+    // that flattening property. Cross-engine determinism: sqrt is
+    // IEEE-correctly-rounded on both engines, the weights are rounded
+    // to 4 decimals before the decimal-exact sum (Det.dsum), and the
+    // quota floor is integer. Scale shape: quotas are a 20-row
+    // broadcast; the selection is one row_number window partitioned
+    // by source.
+    "j_sample_temperature" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bySource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val sq = bySource.withColumn("sw",
+        Det.r4(sqrt(col("n_docs").cast(DoubleType))))
+      val tot = sq.agg(Det.dsum(col("sw")).as("sw_sum"),
+        expr("sum(n_docs) div 2").cast(LongType).as("n_target"))
+      val quota = sq.crossJoin(broadcast(tot))
+        .withColumn("n_keep",
+          floor(col("n_target") * col("sw") / col("sw_sum")).cast(LongType))
+        .select("source", "n_keep")
+      docs.join(broadcast(quota), "source")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy("doc_id")))
+        .filter(col("rk") <= col("n_keep"))
+        .select("doc_id", "source", "n_keep")
+        .orderBy("doc_id")
+    },
+
     "j_sample_weighted" -> { (s, d) =>
       val M = 2147483647L
       val u = (pmod(pmod(col("doc_id"), lit(M)) * lit(48271L), lit(M)))
@@ -1031,6 +1063,25 @@ object TextOps {
         |GROUP BY token, n
         |HAVING count(*) > n // 256
         |ORDER BY cnt DESC, token ASC""".stripMargin,
+    // same sqrt-flatten + decimal-exact normalizer + integer quota
+    "j_sample_temperature" ->
+      s"""WITH b AS (
+         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |sq AS (
+         |  SELECT source, n_docs, round(sqrt(n_docs), 4) AS sw FROM b),
+         |t AS (
+         |  SELECT ${Det.dsumSql("sw")} AS sw_sum,
+         |    SUM(n_docs) // 2 AS n_target FROM sq),
+         |q AS (
+         |  SELECT source,
+         |    CAST(floor(t.n_target * sw / t.sw_sum) AS BIGINT) AS n_keep
+         |  FROM sq, t),
+         |r AS (
+         |  SELECT d.doc_id, d.source, q.n_keep,
+         |    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id) AS rk
+         |  FROM documents d JOIN q USING (source))
+         |SELECT doc_id, source, n_keep FROM r
+         |WHERE rk <= n_keep ORDER BY doc_id""".stripMargin,
     // identical Lehmer-uniform + inverse-weight-power key derivation
     "j_sample_weighted" ->
       """WITH t AS (

@@ -338,6 +338,38 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("j_sample_temperature flattens: smaller sources keep a larger " +
+    "fraction, quotas respect the target, selection is deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("j_sample_temperature")(spark, sfDir)
+      .collect()
+    val kept = out.groupBy(_.getString(1)).view.mapValues(_.length.toLong)
+    // every source's quota was actually fillable and filled
+    kept.foreach { case (src, k) =>
+      val nk = out.find(_.getString(1) == src).get.getLong(2)
+      assert(k == math.min(nk, n(src)), s"$src kept $k of quota $nk")
+    }
+    // flattening: keep fraction is non-increasing in source size for
+    // sources whose quota did not exceed their inventory
+    val fracs = kept.toSeq.filter { case (src, k) => k < n(src) }
+      .map { case (src, k) => (n(src), k.toDouble / n(src)) }
+      .sortBy(_._1)
+    fracs.sliding(2).foreach {
+      case Seq((n1, f1), (n2, f2)) if n1 < n2 =>
+        assert(f1 >= f2 - 1e-9,
+          s"larger source kept a larger fraction: ($n1,$f1) vs ($n2,$f2)")
+      case _ =>
+    }
+    // total kept ≤ half the corpus (the target)
+    assert(kept.values.sum <= n.values.sum / 2, kept.toMap.toString)
+    // determinism: a second run returns the identical selection
+    val out2 = SparkEntry.queries("j_sample_temperature")(spark, sfDir)
+      .collect()
+    assert(out.toSeq == out2.toSeq)
+  }
+
   test("j_quality_classifier plan: scoring is doc-local — the only " +
     "exchange is the output ordering's range partition") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
