@@ -251,6 +251,25 @@ object ScalarFuncs {
             k => k.cast(StringType)), ",").as("order_keys"),
           count(lit(1)).as("n_orders"))
         .orderBy("o_custkey")
+    },
+
+    // The typed twin of h_array_agg (r9, following h_map_funcs_typed's
+    // nested-oracle proof): the per-parent list stays a genuine
+    // ARRAY<BIGINT> in the output instead of a joined string, plus
+    // element_at head/last lookups. DuckDB's ordered list() produces
+    // the identical python list-of-ints.
+    "h_array_agg_typed" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+          count(lit(1)).as("n_orders"))
+        .select(
+          col("o_custkey"),
+          col("order_keys"),
+          element_at(col("order_keys"), 1).as("first_key"),
+          element_at(col("order_keys"), -1).as("last_key"),
+          col("n_orders"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -383,6 +402,13 @@ object ScalarFuncs {
     "h_array_agg" ->
       """SELECT o_custkey,
         |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "h_array_agg_typed" ->
+      """SELECT o_custkey,
+        |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        |  min(o_orderkey) AS first_key,
+        |  max(o_orderkey) AS last_key,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )

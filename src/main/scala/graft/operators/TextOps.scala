@@ -738,6 +738,30 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // The CCNet-shaped LM quality GATE (§2.R): the perplexity filter
+    // every pretraining corpus runs — score held-out docs under the
+    // base-trained bigram LM (stupid backoff, same model as
+    // j_text_bigram_lm) and keep those at or above the 25th
+    // percentile, dropping the most-surprising quartile. Threshold
+    // comparison is safe cross-engine: scores are 4-decimal-rounded
+    // before the quantile, and an interpolated threshold only
+    // coincides with a data point when both neighbors are equal — in
+    // which case both engines return that exact value. Scale shape:
+    // the LM tables are vocabulary-sized broadcasts; the only
+    // corpus-sized stage is the score explode, and the threshold is a
+    // 1-row broadcast back onto the persisted scores.
+    "j_quality_lm_filter" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val isBase = splitBucket(col("doc_id")) < 80
+      val scored = graft.Caches.persisted(
+        bigramLmScore(docs.filter(isBase), docs.filter(!isBase)))
+      val thr = scored.agg(expr("percentile(lm_score, 0.25)").as("thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("lm_score") >= col("thr"))
+        .select("doc_id", "lm_score")
+        .orderBy("doc_id")
+    },
+
     // Hashing-trick linear quality classifier (§2.R): the fastText/
     // CCNet-shaped gate — tokens hash into 1024 feature buckets
     // (codegen'd `graft_polyhash`), each bucket carries a weight, a
@@ -869,6 +893,50 @@ object TextOps {
       .repartitionByRange(nShards, col("shard"), col("ord"))
       .sortWithinPartitions("shard", "ord", "doc_id")
   }
+
+  /** Shared CTE chain of the bigram-LM oracle: ends with
+    * `scores(doc_id, lm_score)` — the LM report appends a bare
+    * SELECT, the quality gate appends the quantile threshold. */
+  private def bigramLmCte: String =
+    s"""WITH pr AS (
+       |  SELECT doc_id, unnest(list_transform(string_split(text,' '),
+       |    (x, i) -> struct_pack(
+       |      prev := CASE WHEN i = 1 THEN NULL
+       |              ELSE string_split(text,' ')[i-1] END,
+       |      cur := x))) AS p
+       |  FROM documents),
+       |pairs AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pr),
+       |train AS (SELECT * FROM pairs
+       |  WHERE ${splitBucketSql("doc_id")} < 80),
+       |uni AS (SELECT cur AS w, count(*) AS uc FROM train GROUP BY 1),
+       |big AS (SELECT prev, cur, count(*) AS bc FROM train
+       |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT count(*) AS total FROM train),
+       |sc AS (SELECT * FROM pairs
+       |  WHERE ${splitBucketSql("doc_id")} >= 80),
+       |probs AS (
+       |  SELECT sc.doc_id,
+       |    CASE WHEN sc.prev IS NULL THEN
+       |      CASE WHEN u.uc IS NOT NULL
+       |           THEN CAST(u.uc AS DOUBLE) / CAST(total AS DOUBLE)
+       |           ELSE CAST(1.0 AS DOUBLE) / CAST(total AS DOUBLE) END
+       |    ELSE
+       |      CASE WHEN b.bc IS NOT NULL
+       |           THEN CAST(b.bc AS DOUBLE) / CAST(up.uc AS DOUBLE)
+       |           WHEN u.uc IS NOT NULL
+       |           THEN CAST(0.4 AS DOUBLE) * CAST(u.uc AS DOUBLE)
+       |                / CAST(total AS DOUBLE)
+       |           ELSE CAST(0.4 AS DOUBLE) / CAST(total AS DOUBLE) END
+       |    END AS prob
+       |  FROM sc
+       |  LEFT JOIN big b ON b.prev = sc.prev AND b.cur = sc.cur
+       |  LEFT JOIN uni u ON u.w = sc.cur
+       |  LEFT JOIN uni up ON up.w = sc.prev
+       |  CROSS JOIN tot),
+       |scores AS (
+       |  SELECT doc_id,
+       |    round(${Det.dsumSql("ln(prob)")} / count(*), 4) AS lm_score
+       |  FROM probs GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // stage-for-stage twin of j_dedup_simhash: the portable two-
@@ -1216,44 +1284,14 @@ object TextOps {
     // backoff arithmetic with every literal cast to DOUBLE so both
     // engines run identical IEEE expressions
     "j_text_bigram_lm" ->
-      s"""WITH pr AS (
-         |  SELECT doc_id, unnest(list_transform(string_split(text,' '),
-         |    (x, i) -> struct_pack(
-         |      prev := CASE WHEN i = 1 THEN NULL
-         |              ELSE string_split(text,' ')[i-1] END,
-         |      cur := x))) AS p
-         |  FROM documents),
-         |pairs AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pr),
-         |train AS (SELECT * FROM pairs
-         |  WHERE ${splitBucketSql("doc_id")} < 80),
-         |uni AS (SELECT cur AS w, count(*) AS uc FROM train GROUP BY 1),
-         |big AS (SELECT prev, cur, count(*) AS bc FROM train
-         |  WHERE prev IS NOT NULL GROUP BY 1, 2),
-         |tot AS (SELECT count(*) AS total FROM train),
-         |sc AS (SELECT * FROM pairs
-         |  WHERE ${splitBucketSql("doc_id")} >= 80),
-         |probs AS (
-         |  SELECT sc.doc_id,
-         |    CASE WHEN sc.prev IS NULL THEN
-         |      CASE WHEN u.uc IS NOT NULL
-         |           THEN CAST(u.uc AS DOUBLE) / CAST(total AS DOUBLE)
-         |           ELSE CAST(1.0 AS DOUBLE) / CAST(total AS DOUBLE) END
-         |    ELSE
-         |      CASE WHEN b.bc IS NOT NULL
-         |           THEN CAST(b.bc AS DOUBLE) / CAST(up.uc AS DOUBLE)
-         |           WHEN u.uc IS NOT NULL
-         |           THEN CAST(0.4 AS DOUBLE) * CAST(u.uc AS DOUBLE)
-         |                / CAST(total AS DOUBLE)
-         |           ELSE CAST(0.4 AS DOUBLE) / CAST(total AS DOUBLE) END
-         |    END AS prob
-         |  FROM sc
-         |  LEFT JOIN big b ON b.prev = sc.prev AND b.cur = sc.cur
-         |  LEFT JOIN uni u ON u.w = sc.cur
-         |  LEFT JOIN uni up ON up.w = sc.prev
-         |  CROSS JOIN tot)
-         |SELECT doc_id,
-         |  round(${Det.dsumSql("ln(prob)")} / count(*), 4) AS lm_score
-         |FROM probs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$bigramLmCte
+         |SELECT doc_id, lm_score FROM scores ORDER BY doc_id""".stripMargin,
+    // same scores CTE + the quantile gate
+    "j_quality_lm_filter" ->
+      s"""$bigramLmCte,
+         |thr AS (SELECT quantile_cont(lm_score, 0.25) AS thr FROM scores)
+         |SELECT doc_id, lm_score FROM scores, thr
+         |WHERE lm_score >= thr ORDER BY doc_id""".stripMargin,
     // twin of j_quality_classifier: the graft_polyhash arithmetic
     // rebuilt with list_reduce (as in the simhash twin), then the
     // identical bucket → Lehmer-surrogate-weight → integer-sum chain
