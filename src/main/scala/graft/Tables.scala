@@ -47,46 +47,54 @@ object Tables {
   private val tsUnitCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Nanoseconds per raw tick of `events.ts`, sniffed from the parquet
-    * footer's logical-type annotation (NANOS → 1, MICROS → 1_000,
-    * MILLIS → 1_000_000; unannotated INT64 → raw nanos). A driver-side
-    * footer read, no Spark job; cached per path — fixtures are
-    * immutable within a session. Keeping both unit paths alive means a
-    * future fixture regeneration in either direction stays green.
+  /** Nanoseconds per raw int64 tick of `column` in `path`'s parquet
+    * footer (NANOS → 1, MICROS → 1_000, MILLIS → 1_000_000;
+    * unannotated INT64 → raw nanos; non-INT64 → -1, caller uses the
+    * native typed read). A driver-side footer read, no Spark job;
+    * cached per (path, column) — fixtures are immutable within a
+    * session. Keeping every unit path alive means a future fixture
+    * regeneration in any direction stays green (the r8 lesson:
+    * events.ts silently flipped nanos→micros between rounds).
     */
-  def tsNsPerTick(s: SparkSession, d: String): Long = {
-    val key = s"$d/events.parquet"
-    tsUnitCache.computeIfAbsent(key, { _ =>
-      import org.apache.parquet.schema.LogicalTypeAnnotation
+  private def footerTsUnit(s: SparkSession, path: String,
+                           column: String): Long =
+    tsUnitCache.computeIfAbsent(s"$path#$column", { _ =>
+      import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
       import LogicalTypeAnnotation.TimeUnit
       val conf = s.sessionState.newHadoopConf()
-      val root = new org.apache.hadoop.fs.Path(key)
+      val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(conf)
       val file =
         if (fs.getFileStatus(root).isDirectory)
           fs.listStatus(root).map(_.getPath)
             .find(_.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no parquet part-files under $key"))
+            .getOrElse(sys.error(s"no parquet part-files under $path"))
         else root
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
-      val ann =
+      val prim =
         try {
           val schema = r.getFooter.getFileMetaData.getSchema
-          schema.getType(schema.getFieldIndex("ts"))
-            .asPrimitiveType().getLogicalTypeAnnotation
+          schema.getType(schema.getFieldIndex(column)).asPrimitiveType()
         } finally r.close()
-      ann match {
+      if (prim.getPrimitiveTypeName !=
+          PrimitiveType.PrimitiveTypeName.INT64) -1L
+      else prim.getLogicalTypeAnnotation match {
         case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
           t.getUnit match {
             case TimeUnit.NANOS  => 1L
             case TimeUnit.MICROS => 1000L
             case TimeUnit.MILLIS => 1000000L
           }
-        case _ => 1L // unannotated INT64: raw nanos
+        case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation | null =>
+          1L // unannotated INT64: raw nanos
+        case _ => -1L // non-timestamp annotation: native read
       }
     })
-  }
+
+  /** events.ts unit (see [[footerTsUnit]]). */
+  def tsNsPerTick(s: SparkSession, d: String): Long =
+    footerTsUnit(s, s"$d/events.parquet", "ts")
 
   /** events with `ts` as the RAW int64 tick value (unit per
     * tsNsPerTick) — for callers that need a predicate pushed down onto
@@ -105,10 +113,32 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame   = read(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame   = read(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
-  def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame =
+    readWithTsDefense(s, d, "orders", "o_orderdate")
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    readWithTsDefense(s, d, "lineitem", "l_shipdate")
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Read `table` whose `tsCol` is declared TIMESTAMP_NTZ — with the
+    * same regeneration defense events.ts needed in r8: Spark's native
+    * NTZ read handles parquet TIMESTAMP_MICROS and TIMESTAMP_MILLIS,
+    * but a regen to TIMESTAMP(NANOS) (or bare INT64) would fail the
+    * typed read, so that case falls back to an explicit BIGINT schema
+    * and integer-normalizes to NTZ micros, exactly the events path. */
+  private def readWithTsDefense(s: SparkSession, d: String, table: String,
+                                tsCol: String): DataFrame = {
+    val unit = footerTsUnit(s, s"$d/$table.parquet", tsCol)
+    if (unit != 1L) read(s, d, table)
+    else {
+      val rawSchema = StructType(schemas(table).map { f =>
+        if (f.name == tsCol) f.copy(dataType = LongType) else f
+      })
+      s.read.schema(rawSchema).parquet(s"$d/$table.parquet")
+        .withColumn(tsCol,
+          timestamp_micros(expr(s"$tsCol div 1000")).cast(TimestampNTZType))
+    }
+  }
 
   /** events.ts read as raw int64 ticks via the explicit schema,
     * normalized to epoch microseconds per the footer-sniffed unit,
