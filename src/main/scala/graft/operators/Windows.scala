@@ -132,6 +132,48 @@ object Windows {
           last("event_type").over(w).as("last_type"))
         .distinct()
         .orderBy("user_id")
+    },
+
+    // Ordered-event funnel per session (the MATCH_RECOGNIZE niche,
+    // Spark-native): sessions = 30-min-gap cuts per user (same
+    // sessionization as k_window_session); within each session the
+    // funnel is view → first click AFTER that view → first purchase
+    // AFTER that click, computed as three conditional mins (stage k's
+    // min feeds stage k+1's filter — min-of-filtered is associative,
+    // so every step keeps map-side partial aggregation; no
+    // per-session sort, no UDF state machine). Output: one row per
+    // session with the stage reached. Scale shape: ONE shuffle on
+    // user_id for the session window, then session-keyed aggregates —
+    // the funnel adds no corpus-sized stage.
+    "e_funnel_sessions" -> { (s, d) =>
+      val wUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val e = Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("new_s",
+          when(col("ts_us") - lag("ts_us", 1).over(wUser) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum("new_s").over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val base = e.groupBy("user_id", "sid").agg(
+        min("ts_us").as("session_start"),
+        count(lit(1)).as("n_events"),
+        min(when(col("event_type") === "view", col("ts_us"))).as("v_ts"))
+      val withC = e.join(base, Seq("user_id", "sid"))
+        .groupBy("user_id", "sid")
+        .agg(min(when(col("event_type") === "click" &&
+          col("ts_us") > col("v_ts"), col("ts_us"))).as("c_ts"))
+      val withP = e.join(withC, Seq("user_id", "sid"))
+        .groupBy("user_id", "sid")
+        .agg(min(when(col("event_type") === "purchase" &&
+          col("ts_us") > col("c_ts"), col("ts_us"))).as("p_ts"))
+      base.join(withC, Seq("user_id", "sid"))
+        .join(withP, Seq("user_id", "sid"))
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          when(col("p_ts").isNotNull, 3)
+            .when(col("c_ts").isNotNull, 2)
+            .when(col("v_ts").isNotNull, 1)
+            .otherwise(0).as("funnel_stage"))
+        .orderBy("user_id", "session_start")
     }
   )
 
@@ -207,6 +249,41 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    // same sessionization as k_window_session, then the three-stage
+    // conditional-min funnel chain
+    "e_funnel_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, event_id, event_type, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |base AS (
+        |  SELECT user_id, sid, min(ts_us) AS session_start,
+        |    count(*) AS n_events,
+        |    min(CASE WHEN event_type = 'view' THEN ts_us END) AS v_ts
+        |  FROM sess GROUP BY 1, 2),
+        |c AS (
+        |  SELECT s.user_id, s.sid,
+        |    min(CASE WHEN s.event_type = 'click' AND s.ts_us > b.v_ts
+        |        THEN s.ts_us END) AS c_ts
+        |  FROM sess s JOIN base b USING (user_id, sid) GROUP BY 1, 2),
+        |p AS (
+        |  SELECT s.user_id, s.sid,
+        |    min(CASE WHEN s.event_type = 'purchase' AND s.ts_us > c.c_ts
+        |        THEN s.ts_us END) AS p_ts
+        |  FROM sess s JOIN c USING (user_id, sid) GROUP BY 1, 2)
+        |SELECT b.user_id, b.session_start, b.n_events,
+        |  CASE WHEN p.p_ts IS NOT NULL THEN 3
+        |       WHEN c.c_ts IS NOT NULL THEN 2
+        |       WHEN b.v_ts IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+        |FROM base b JOIN c USING (user_id, sid) JOIN p USING (user_id, sid)
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }
