@@ -89,6 +89,21 @@ def main():
             print(f"SKIP  {name}: no oracle ({len(spark_rows)} rows)")
             n_skip += 1
             continue
+        # Driver-fidelity (r9 postmortem): the DRIVER lexsorts the
+        # pandas frame over ALL columns before hashing; list/struct
+        # values crash pandas' Categorical and the query records `err`
+        # even if values match. Replicate that sort here so this script
+        # fails exactly where the driver fails (h_*_typed shipped green
+        # locally in r9 and red in CORRECTNESS_r09 because this step
+        # was missing).
+        try:
+            sdf = tbl.to_pandas()
+            sdf.sort_values(by=list(sdf.columns))
+        except Exception as e:
+            print(f"FAIL  {name}: driver-sort replication crashed "
+                  f"(nested column?): {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
         try:
             cur = con.execute(oracle[name])
             dcols_raw = [d[0] for d in cur.description]

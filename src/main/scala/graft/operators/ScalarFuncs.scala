@@ -142,13 +142,16 @@ object ScalarFuncs {
         .orderBy("event_id")
     },
 
-    // Map-typed oracle (VERDICT r8 stretch #9): unlike h_map_funcs'
-    // string projection, the OUTPUT here keeps the nested type — a
-    // sorted ARRAY<STRUCT<key,value>> produced by map_entries over a
-    // real in-plan MapType, plus an element_at lookup (null where the
-    // user never clicked). Spark's map_entries names the struct fields
-    // key/value; the DuckDB twin constructs identically-named structs,
-    // so both engines hash the same list-of-struct python values.
+    // Map-typed operator (VERDICT r8 stretch #9): unlike h_map_funcs'
+    // string_agg projection, the computation here flows through a real
+    // in-plan MapType — map_from_entries → map_entries → element_at —
+    // but the ORACLED output serializes the entries array via to_json
+    // (`[{"key":"click","value":3},…]`) because the driver's pandas
+    // compare lexsorts over all columns and Categorical(list) raises on
+    // nested python values (CORRECTNESS_r09: h_map_funcs_typed err).
+    // The typed ARRAY<STRUCT<key,value>> frame itself stays pinned in
+    // ScalarFuncsTypedSpec; DuckDB's to_json emits the byte-identical
+    // string for the same ordered structs.
     "h_map_funcs_typed" -> { (s, d) =>
       val counts = Tables.events(s, d)
         .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
@@ -158,7 +161,7 @@ object ScalarFuncs {
           struct(col("event_type"), col("cnt"))))).as("m"))
         .select(
           col("user_id"),
-          sort_array(map_entries(col("m"))).as("entries"),
+          to_json(sort_array(map_entries(col("m")))).as("entries"),
           element_at(col("m"), "click").as("click_cnt"),
           size(col("m")).as("n_types"))
         .orderBy("user_id")
@@ -253,21 +256,23 @@ object ScalarFuncs {
         .orderBy("o_custkey")
     },
 
-    // The typed twin of h_array_agg (r9, following h_map_funcs_typed's
-    // nested-oracle proof): the per-parent list stays a genuine
-    // ARRAY<BIGINT> in the output instead of a joined string, plus
-    // element_at head/last lookups. DuckDB's ordered list() produces
-    // the identical python list-of-ints.
+    // The typed twin of h_array_agg (r9): the per-parent list is built
+    // as a genuine ARRAY<BIGINT> (sort_array ∘ collect_list) and probed
+    // with element_at head/last lookups, but the ORACLED column ships
+    // as to_json of that array (`[1,2,3]`) — the driver's pandas
+    // all-column sort crashes on list values (CORRECTNESS_r09), so the
+    // nested frame is pinned in ScalarFuncsTypedSpec instead. DuckDB's
+    // to_json(list(... ORDER BY ...)) emits the identical string.
     "h_array_agg_typed" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("order_keys"),
+        .agg(sort_array(collect_list(col("o_orderkey"))).as("keys_arr"),
           count(lit(1)).as("n_orders"))
         .select(
           col("o_custkey"),
-          col("order_keys"),
-          element_at(col("order_keys"), 1).as("first_key"),
-          element_at(col("order_keys"), -1).as("last_key"),
+          to_json(col("keys_arr")).as("order_keys"),
+          element_at(col("keys_arr"), 1).as("first_key"),
+          element_at(col("keys_arr"), -1).as("last_key"),
           col("n_orders"))
         .orderBy("o_custkey")
     }
@@ -358,8 +363,8 @@ object ScalarFuncs {
         |  SELECT user_id, event_type, count(*) AS cnt
         |  FROM events GROUP BY user_id, event_type)
         |SELECT user_id,
-        |  array_agg({'key': event_type, 'value': cnt}
-        |    ORDER BY event_type) AS entries,
+        |  CAST(to_json(array_agg({'key': event_type, 'value': cnt}
+        |    ORDER BY event_type)) AS VARCHAR) AS entries,
         |  max(CASE WHEN event_type = 'click' THEN cnt END) AS click_cnt,
         |  CAST(count(*) AS INT) AS n_types
         |FROM counts GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -406,7 +411,8 @@ object ScalarFuncs {
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "h_array_agg_typed" ->
       """SELECT o_custkey,
-        |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        |  CAST(to_json(list(o_orderkey ORDER BY o_orderkey)) AS VARCHAR)
+        |    AS order_keys,
         |  min(o_orderkey) AS first_key,
         |  max(o_orderkey) AS last_key,
         |  count(*) AS n_orders
