@@ -104,7 +104,7 @@ object CorpusPipeline {
     val chain = docs0 +: stages(s, docs0)
     val rows = StageNames.zipWithIndex.map { case (name, i) =>
       chain(i).agg(count(lit(1)).as("docs_in"))
-        .crossJoin(chain(i + 1).agg(count(lit(1)).as("docs_out")))
+        .crossJoin(broadcast(chain(i + 1).agg(count(lit(1)).as("docs_out"))))
         .select(lit((i + 1).toLong).as("stage"),
           lit(name).as("stage_name"),
           col("docs_in"), col("docs_out"),
@@ -158,7 +158,9 @@ object CorpusPipeline {
     * streaming twin ([[graft.streaming.PipelineStream]]), so batch and
     * streaming cannot drift. */
   private[graft] def incStages(s: SparkSession, prefix: String,
-                               d0in: DataFrame): Seq[DataFrame] = {
+                               d0in: DataFrame,
+                               storedPairs: Option[DataFrame] = None)
+      : Seq[DataFrame] = {
     graft.functions.VectorExprs.register(s)
     val d0 = graft.Caches.persisted(d0in)
     val s1 = d0.withColumn("num", TextOps.qualityNum)
@@ -171,9 +173,30 @@ object CorpusPipeline {
       .filter(col("pred_lang") === col("lang"))
       .select("doc_id")
     val s2 = graft.Caches.persisted(s1.join(keep2, "doc_id"))
-    val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
-    val dups = LlmOps.incrementalDedup(bp, bs, bd, s2,
-      LlmOps.dedupDfCutoff(s), LlmOps.cascadeTau(s)).select("doc_id")
+    // Batch-verify-once shape (r10, VERDICT r9 item 7): the dedup
+    // stage consumes the pair set verified for the RAW batch — the
+    // entry passes the stored batch-verify table
+    // ([[LlmOps.storedDeltaPairs]], the same pairs the dedup decision
+    // and cluster fold read); the streaming twin computes it per
+    // micro-batch — filtered to survivor partners: a batch doc is
+    // dropped iff a verified partner is the standing corpus or a
+    // same-batch stage-1/2 SURVIVOR (the partner universe is
+    // unchanged from the r9 formulation, which re-derived pairs from
+    // the s2 survivors at ~4 s of the 5 s steady state; only the
+    // blocking-df basis moves from s2 to the raw batch — verification
+    // is exact either way).
+    val pairs = storedPairs.getOrElse {
+      val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
+      LlmOps.incrementalPairs(bp, bs, bd, d0,
+        LlmOps.dedupDfCutoff(s), LlmOps.cascadeTau(s))
+    }
+    val failed = d0.select("doc_id")
+      .join(s2.select("doc_id"), Seq("doc_id"), "left_anti")
+    val dups = pairs
+      .join(s2.select(col("doc_id").as("doc")), "doc")
+      .join(failed.select(col("doc_id").as("partner")),
+        Seq("partner"), "left_anti")
+      .select(col("doc").as("doc_id")).distinct()
     val s3 = graft.Caches.persisted(s2.join(dups, Seq("doc_id"), "left_anti"))
     val contaminated = s3
       .select(col("doc_id"), explode(expr("graft_shingles(text, 3)"))
@@ -189,7 +212,7 @@ object CorpusPipeline {
   private[graft] def incAudit(chain: Seq[DataFrame]): DataFrame =
     IncStageNames.zipWithIndex.map { case (name, i) =>
       chain(i).agg(count(lit(1)).as("docs_in"))
-        .crossJoin(chain(i + 1).agg(count(lit(1)).as("docs_out")))
+        .crossJoin(broadcast(chain(i + 1).agg(count(lit(1)).as("docs_out"))))
         .select(lit((i + 1).toLong).as("stage"),
           lit(name).as("stage_name"),
           col("docs_in"), col("docs_out"),
@@ -209,17 +232,19 @@ object CorpusPipeline {
     // batch (the 20% id-bucket split) against the standing corpus
     // without touching base text — quality gate (stateless), langid
     // confirm against the STORED standing profile, incremental dedup
-    // against the STORED postings/sizes/df artifacts (only the delta
-    // is shingled), benchmark decontamination against the STORED
-    // shingle registry — emitting the same per-stage audit ledger as
-    // j_pipeline_audit. Mix downsampling is deliberately absent: source
+    // consuming the STORED batch-verify pair table (storedDeltaPairs —
+    // the one pair derivation per session that the stored-dedup and
+    // cluster entries also read; r10), benchmark decontamination
+    // against the STORED shingle registry — emitting the same
+    // per-stage audit ledger as j_pipeline_audit. Mix downsampling is deliberately absent: source
     // rebalancing is a corpus-wide periodic operation, not a per-batch
     // one. The DuckDB oracle twins all four stages in SQL.
     "j_pipeline_incremental" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val prefix = incrementalPrefix(s, d)
+      val pairs = s.table(LlmOps.storedDeltaPairs(s, d))
       incAudit(incStages(s, prefix, LlmOps.dedupDocs(s, d)
-        .filter(TextOps.splitBucket(col("doc_id")) >= 80)))
+        .filter(TextOps.splitBucket(col("doc_id")) >= 80), Some(pairs)))
     }
   )
 
@@ -378,7 +403,7 @@ object CorpusPipeline {
          |shb AS (SELECT doc_id, $shSql AS s FROM base),
          |sizesb AS (SELECT doc_id, len(s) AS n_sh FROM shb),
          |exb AS (SELECT doc_id, unnest(s) AS shingle FROM shb),
-         |shd AS (SELECT doc_id, $shSql AS s FROM s2),
+         |shd AS (SELECT doc_id, $shSql AS s FROM d0),
          |sizesd AS (SELECT doc_id, len(s) AS n_sh FROM shd),
          |exd AS (SELECT doc_id, unnest(s) AS shingle FROM shd),
          |dfc AS (
@@ -409,7 +434,10 @@ object CorpusPipeline {
          |  JOIN sizesd sa ON sa.doc_id = doc
          |  JOIN sizesall sz ON sz.doc_id = partner
          |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sz.n_sh - n_common)
-         |        >= 0.6),
+         |        >= 0.6
+         |    AND doc IN (SELECT doc_id FROM s2)
+         |    AND partner NOT IN (SELECT doc_id FROM d0
+         |      WHERE doc_id NOT IN (SELECT doc_id FROM s2))),
          |s3 AS (
          |  SELECT s2.* FROM s2
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),

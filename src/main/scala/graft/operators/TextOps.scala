@@ -391,7 +391,7 @@ object TextOps {
       val totals = bySource.agg(
         sum("n_docs").cast(LongType).as("n_total"),
         min("n_docs").cast(LongType).as("n_min"))
-      bySource.crossJoin(totals)
+      bySource.crossJoin(broadcast(totals))
         .withColumn("keep_rate_bp", expr("(n_min * 10000) div n_docs"))
         .withColumn("mix_weight",
           Det.r4(sqrt(col("n_docs").cast("double") / col("n_total"))))
@@ -467,7 +467,7 @@ object TextOps {
       val total = tok.agg(count(lit(1)).as("n"))
       tok.join(broadcast(cand), "token")
         .groupBy("token").agg(count(lit(1)).as("cnt"))
-        .crossJoin(total)
+        .crossJoin(broadcast(total))
         .filter(col("cnt") > expr("n div 256"))
         .select(col("token"), col("cnt"))
         .orderBy(desc("cnt"), asc("token"))
@@ -675,13 +675,17 @@ object TextOps {
 
     // Vocabulary Zipf report (§2.Q): the corpus-health dashboard
     // query — top-50 tokens with frequency and corpus share. The
-    // vocabulary aggregate shuffles vocab-sized data; the top-50 is
-    // TakeOrderedAndProject (never a global sort), and the rank
-    // window runs over 50 rows, not the vocabulary.
+    // vocabulary aggregate shuffles vocab-sized data ONCE — tf is
+    // persisted because both the grand total and the top-50 consume
+    // it (unpersisted, the corpus explode+shuffle ran twice; VERDICT
+    // r9 item 4). The top-50 is TakeOrderedAndProject (never a global
+    // sort), and the rank window runs over 50 rows, not the
+    // vocabulary.
     "j_text_zipf" -> { (s, d) =>
-      val tf = Tables.documents(s, d)
-        .select(explode(split(col("text"), " ")).as("term"))
-        .groupBy("term").agg(count(lit(1)).as("freq"))
+      val tf = graft.Caches.persisted(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("freq")))
       val total = tf.agg(sum("freq").as("total"))
       val top = tf.orderBy(desc("freq"), asc("term")).limit(50)
       top.crossJoin(broadcast(total))

@@ -63,6 +63,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains(s"GreaterThan(ts,$cursor)"), p)
   }
 
+  test("funnel computes all three stages over ONE hash exchange — " +
+    "no join back to the corpus (r9 plan defect)") {
+    val p = plan("e_funnel_sessions")
+    // one hashpartitioning(user_id) feeds the session window, both
+    // funnel windows AND the final (user_id, sid) aggregate (subset
+    // rule); the only other exchange is the output-order range sort
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p)
+    assert("hashpartitioning\\(".r.findAllIn(p).size == 1, p)
+    assert(p.contains("rangepartitioning"), p) // the output-order sort
+    assert(!p.contains("Join"), "funnel re-joined the corpus:\n" + p)
+  }
+
   test("IVF search equi-joins on the cell key, never all-pairs") {
     val p = plan("j_ann_ivf_topk")
     assert(p.contains("BroadcastHashJoin"), p)
