@@ -13,12 +13,15 @@ class CachesSpec extends SparkSpec {
   test("LLM-family queries leave no cached frames behind after release") {
     graft.functions.VectorExprs.register(spark)
     // the persist-heavy family: blocked pair stats, the cascades, the
-    // incremental paths (in-flight + stored), minhash candidates,
-    // tf-idf, and the 5-stage pipeline audit
+    // incremental paths (in-flight + cluster fold), minhash
+    // candidates, tf-idf, and the 5-stage pipeline audit. (The stored
+    // dedup entry left this list in r10: its per-run plan is a stored-
+    // pair-table read that persists nothing — the batch-verify persists
+    // happen once inside storedDeltaPairs, which releases them itself.)
     val names = Seq(
       "j_jaccard_shingle_pairs", "j_dedup_cascade", "j_dedup_cascade_lsh",
       "j_dedup_near_minhash", "j_dedup_incremental",
-      "j_dedup_incremental_stored", "j_tfidf_topterms", "j_pipeline_audit")
+      "j_dedup_clusters_incremental", "j_tfidf_topterms", "j_pipeline_audit")
     spark.catalog.clearCache()
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).count()

@@ -43,7 +43,9 @@ class PipelineIncSpec extends SparkSpec {
       s"benchmark docs scanned in-flight:\n${conds.mkString("\n")}")
     val prefix = LlmOps.storedArtifactPrefix(spark, sfDir)
     val an = out.queryExecution.analyzed.toString
-    Seq(s"${prefix}_langprof", s"${prefix}_benchsh", s"${prefix}_post")
+    // r10: the dedup stage reads the stored batch-verify pair table
+    // instead of re-deriving pairs from the postings per run
+    Seq(s"${prefix}_langprof", s"${prefix}_benchsh", s"${prefix}_dpairs")
       .foreach(t => assert(an.contains(t), s"missing stored table $t"))
     Caches.release(spark)
   }

@@ -28,8 +28,10 @@ class StoredDedupSpec extends SparkSpec {
       }) => lr
     }
 
-  test("stored-artifact entry matches the in-flight entry; documents " +
-    "is scanned once; no Exchange directly over the bucketed postings") {
+  test("stored-artifact entry matches the in-flight entry; the " +
+    "batch-verify derivation scans documents once (delta split) with " +
+    "no Exchange directly over the bucketed postings; the per-run " +
+    "query touches only the stored pair table") {
     graft.functions.VectorExprs.register(spark)
     val inFlight = SparkEntry.queries("j_dedup_incremental")(spark, sfDir)
       .collect().toSeq
@@ -42,12 +44,30 @@ class StoredDedupSpec extends SparkSpec {
         SparkEntry.queries("j_dedup_incremental_stored")(spark, sfDir)
       assert(stored.collect().toSeq == inFlight)
 
+      // the per-run query is the dup DECISION over the stored pair
+      // table: the corpus (and the artifact store) never enter its plan
+      assert(docScans(stored).isEmpty,
+        "per-run stored-dedup query re-scanned documents")
+      val pairTable = LlmOps.pairsTable(
+        LlmOps.storedArtifactPrefix(spark, sfDir))
+      assert(stored.queryExecution.analyzed.toString.contains(pairTable))
+
+      // the plan properties of the batch-verify derivation itself (what
+      // storedDeltaPairs ran once at build time): reconstruct the
+      // identical frame and pin it
+      val prefix = LlmOps.storedArtifactPrefix(spark, sfDir)
+      val (bp, bs, bd) = DedupArtifacts.read(spark, prefix)
+      val delta = LlmOps.dedupDocs(spark, sfDir)
+        .filter(operators.TextOps.splitBucket(col("doc_id")) >= 80)
+      val deriv = LlmOps.incrementalDedup(bp, bs, bd, delta,
+        LlmOps.dedupDfCutoff(spark), LlmOps.cascadeTau(spark))
+
       // (a) base text can never be re-shingled: every documents access
-      // in the whole plan is the delta split (`bucket >= 80`) — the
-      // base split's `< 80` predicate appears nowhere (contrast the
-      // in-flight entry, which carries both), so the base side enters
-      // ONLY through the stored tables (which carry no text column)
-      assert(docScans(stored).nonEmpty)
+      // in the whole derivation is the delta split (`bucket >= 80`) —
+      // the base split's `< 80` predicate appears nowhere (contrast
+      // the in-flight entry, which carries both), so the base side
+      // enters ONLY through the stored tables (no text column)
+      assert(docScans(deriv).nonEmpty)
       // the analyzed plan is inspected (not optimizedPlan): the delta
       // postings are persisted at build time, so cache substitution
       // would hide the filter inside an InMemoryRelation
@@ -56,7 +76,7 @@ class StoredDedupSpec extends SparkSpec {
           case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
             f.condition.toString
         }
-      val filterConds = conds(stored)
+      val filterConds = conds(deriv)
       assert(filterConds.exists(_.contains(">= cast(80")), filterConds.toString)
       assert(!filterConds.exists(_.contains("< cast(80")),
         s"base-split scan present:\n${filterConds.mkString("\n")}")
@@ -65,11 +85,10 @@ class StoredDedupSpec extends SparkSpec {
       assert(inFlightConds.exists(_.contains("< cast(80")),
         "discriminator lost its teeth: the in-flight entry no longer " +
           "shows a base-split filter, update this spec")
-      val postTable = DedupArtifacts.postTable(
-        LlmOps.storedArtifactPrefix(spark, sfDir))
+      val postTable = DedupArtifacts.postTable(prefix)
       assert(spark.table(postTable).columns.toSeq ==
         Seq("doc_id", "shingle"))
-      val analyzedStr = stored.queryExecution.analyzed.toString
+      val analyzedStr = deriv.queryExecution.analyzed.toString
       assert(analyzedStr.contains(postTable), analyzedStr)
 
       // (b) no shuffle whose entire subtree is just the stored
@@ -77,7 +96,7 @@ class StoredDedupSpec extends SparkSpec {
       // bucket layout (the verify-stage exchange over the semi-
       // filtered candidate union is allowed — it carries candidates'
       // postings, never the corpus)
-      val exec = stored.queryExecution.executedPlan
+      val exec = deriv.queryExecution.executedPlan
       val badExchanges = exec.collect {
         case e: ShuffleExchangeExec
           if e.collectLeaves().nonEmpty && e.collectLeaves().forall {
