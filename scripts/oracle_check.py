@@ -8,7 +8,7 @@ files), sort columns by name, then compare row-by-row values.
 
 Usage: python3 scripts/oracle_check.py SFDIR OUTDIR [query ...]
 """
-import decimal, json, math, os, sys
+import decimal, hashlib, json, math, os, sys
 
 import duckdb
 import pyarrow.parquet as pq
@@ -31,6 +31,19 @@ def norm(v):
     return str(v)
 
 
+def fp_file(p):
+    """Mirror of graft.Verify's content fingerprint: size + MD5 of the
+    last 64 KiB (the parquet footer — row counts / column stats change
+    with any material regen). Content-based so an mtime/size-preserving
+    regen is still caught (ADVICE r9)."""
+    size = os.path.getsize(p)
+    n = min(65536, size)
+    with open(p, "rb") as f:
+        f.seek(size - n)
+        tail = f.read(n)
+    return {"size": size, "tail_md5": hashlib.md5(tail).hexdigest()}
+
+
 def check_fingerprint(sfdir, outdir):
     """Refuse to report green if the fixtures changed since the Verify
     dump (r8: the driver regenerated /root/testdata between the local
@@ -41,6 +54,11 @@ def check_fingerprint(sfdir, outdir):
               "(old Verify dump?) — cannot prove fixtures unchanged")
         return True
     recorded = json.load(open(fp_path))
+    if not recorded:
+        print(f"WARN  empty fixture fingerprint map — nothing under "
+              f"the dump-time sfdir matched *.parquet; drift guard is "
+              f"toothless for this sweep")
+        return True
     ok = True
     for name, fp in sorted(recorded.items()):
         p = os.path.join(sfdir, name)
@@ -48,8 +66,12 @@ def check_fingerprint(sfdir, outdir):
             print(f"FIXTURE DRIFT {name}: file gone since the dump")
             ok = False
             continue
-        st = os.stat(p)
-        now = {"mtime_ms": st.st_mtime_ns // 1_000_000, "size": st.st_size}
+        if "tail_md5" not in fp:  # pre-r10 dump: mtime+size form
+            st = os.stat(p)
+            now = {"mtime_ms": st.st_mtime_ns // 1_000_000,
+                   "size": st.st_size}
+        else:
+            now = fp_file(p)
         if now != fp:
             print(f"FIXTURE DRIFT {name}: dump-time {fp} vs now {now} "
                   "— re-run graft.Verify before trusting this sweep")

@@ -92,9 +92,21 @@ object Tables {
       }
     })
 
-  /** events.ts unit (see [[footerTsUnit]]). */
-  def tsNsPerTick(s: SparkSession, d: String): Long =
-    footerTsUnit(s, s"$d/events.parquet", "ts")
+  /** events.ts unit (see [[footerTsUnit]]). Fails fast on the -1
+    * sentinel (non-INT64 physical type or a non-timestamp annotation):
+    * every caller divides or multiplies by this value, and a silent -1
+    * would corrupt every derived timestamp instead of erroring
+    * (ADVICE r9) — if a future regen changes events.ts to such a type,
+    * the events readers need a new native-read path, not a unit. */
+  def tsNsPerTick(s: SparkSession, d: String): Long = {
+    val tick = footerTsUnit(s, s"$d/events.parquet", "ts")
+    if (tick <= 0L) sys.error(
+      s"events.ts under $d is not an INT64 timestamp/raw-nano column " +
+        "(footer sniff returned the native-read sentinel); the tick-" +
+        "normalizing readers cannot handle this layout — extend " +
+        "Tables.events with a native read for it")
+    tick
+  }
 
   /** events with `ts` as the RAW int64 tick value (unit per
     * tsNsPerTick) — for callers that need a predicate pushed down onto

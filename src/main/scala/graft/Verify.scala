@@ -46,17 +46,40 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // fixture fingerprint (mtime+size per table file) taken at DUMP
-    // time: the r8 lesson — the driver regenerated /root/testdata
-    // between the local sweep and the round close, and the stale
-    // "green" claim shipped. oracle_check.py recomputes this and
-    // refuses to report PASS if the fixtures drifted since the dump.
-    val fp = new java.io.File(sfDir).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
-      .map { f =>
-        s"${q(f.getName)}: {\"mtime_ms\": ${f.lastModified}, \"size\": ${f.length}}"
-      }.mkString("{", ",", "}")
+    // fixture fingerprint taken at DUMP time: the r8 lesson — the
+    // driver regenerated /root/testdata between the local sweep and
+    // the round close, and the stale "green" claim shipped.
+    // oracle_check.py recomputes this and refuses to report PASS if
+    // the fixtures drifted since the dump. CONTENT-based (size + MD5
+    // of the last 64 KiB — the parquet footer, whose row counts and
+    // column stats change with any material regen), not mtime+size,
+    // and recursive, so directory-shaped fixtures are covered too
+    // (ADVICE r9: an mtime/size-preserving regen slipped through, and
+    // directory fixtures fingerprinted as nothing).
+    def fpOf(f: java.io.File): String = {
+      val len = f.length
+      val n = math.min(65536L, len).toInt
+      val buf = new Array[Byte](n)
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try { raf.seek(len - n); raf.readFully(buf) } finally raf.close()
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(buf).map("%02x".format(_)).mkString
+      s"""{"size": $len, "tail_md5": ${q(h)}}"""
+    }
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+      else Option(f.listFiles()).toSeq.flatten.sortBy(_.getName)
+        .flatMap(parquetFiles)
+    val sfRoot = Paths.get(sfDir)
+    val entries = parquetFiles(new java.io.File(sfDir))
+      .map(f => sfRoot.relativize(f.toPath).toString -> f)
+      .sortBy(_._1)
+    if (entries.isEmpty) System.err.println(
+      s"[verify] WARN: no parquet fixtures found under $sfDir — the " +
+        "drift guard has nothing to fingerprint")
+    val fp = entries
+      .map { case (rel, f) => s"${q(rel)}: ${fpOf(f)}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/fixtures_fingerprint.json"), fp)
     spark.stop()
   }
