@@ -112,6 +112,27 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    // Linear-regression aggregates (r10): slope/intercept/R² of
+    // extendedprice on quantity per return flag — the trend-fit shape
+    // analytics dashboards push into the engine instead of exporting
+    // points. Both engines compute from the same closed-form moment
+    // sums; r4 absorbs the last-ulp FP divergence (the d_agg_stats
+    // convention). One partial-aggregable groupBy — scale-free.
+    "d_agg_regression" -> { (s, d) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          r4(regr_slope(y, x)).as("slope"),
+          r4(regr_intercept(y, x)).as("intercept"),
+          r4(regr_r2(y, x)).as("r2"),
+          r4(regr_avgx(y, x)).as("avg_qty"),
+          r4(regr_avgy(y, x)).as("avg_price"))
+        .orderBy("l_returnflag")
+    },
+
     // Exact interpolating percentile (sort-based agg on both engines).
     "d_agg_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -291,6 +312,16 @@ object Aggregations {
         |  round(var_samp(l_quantity), 4) AS var_qty,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d_agg_regression" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d_agg_percentile" ->

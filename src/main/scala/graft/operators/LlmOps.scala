@@ -786,6 +786,39 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // Canonical selection per duplicate cluster (r10): the curation
+    // decision that FOLLOWS clustering — don't keep min-id, keep the
+    // BEST document of each near-dup cluster by quality score
+    // (argmax q4, ties to the smaller id). The cluster labels are the
+    // j_dedup_clusters closure; quality is the j_text_quality integer
+    // score. Scale shape: labels are pair-set-sized (tiny vs corpus),
+    // the quality join touches only clustered docs, and the argmax is
+    // a first() over a labels-sized window — the corpus is scanned
+    // once for the quality projection, nothing corpus-sized shuffles
+    // on the cluster key.
+    "j_dedup_canonical" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val pairs = blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
+        .filter(col("jac") >= cascadeTau(s))
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val labels = connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+      val q = Tables.documents(s, d)
+        .withColumn("num", TextOps.qualityNum)
+        .withColumn("q4",
+          expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
+        .select(col("doc_id"), col("q4"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(desc("q4"), asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      labels.join(q, "doc_id")
+        .withColumn("canonical_id", first("doc_id").over(w))
+        .select(col("doc_id"), col("cluster_id"), col("q4"),
+          col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+
     // The same cascade driven by MinHash-LSH banding candidates — the
     // sub-quadratic blocking a 100 TB corpus actually uses (shuffle
     // carries 8-byte band signatures, never text). No oracle
@@ -1137,6 +1170,65 @@ object LlmOps {
          |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r)
          |SELECT doc AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "j_dedup_canonical" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $shSql AS s FROM documents),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (
+         |  SELECT ex.doc_id, ex.shingle FROM ex
+         |  JOIN dfreq ON dfreq.shingle = ex.shingle
+         |  WHERE dfreq.df <= ${DfCutoff}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |        >= 0.6),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM ver
+         |  UNION ALL SELECT doc_b, doc_a FROM ver),
+         |reach(doc, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r),
+         |lab AS (
+         |  SELECT doc AS doc_id, min(r) AS cluster_id
+         |  FROM reach GROUP BY doc),
+         |tc AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+         |    CAST(len(list_filter(string_split(text,' '),
+         |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS nstop,
+         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndist,
+         |    n_chars
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    (4 * least(n_chars, 500) * ntok + 1500 * (ntok - nstop)
+         |     + 1500 * ndist) * 10000 // (5000 * ntok) AS q4
+         |  FROM tc),
+         |sel AS (
+         |  SELECT l.doc_id, l.cluster_id, q.q4,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY q.q4 DESC, l.doc_id ASC) AS rk
+         |  FROM lab l JOIN q USING (doc_id)),
+         |canon AS (SELECT cluster_id, doc_id AS canonical_id
+         |          FROM sel WHERE rk = 1)
+         |SELECT s.doc_id, s.cluster_id, s.q4, c.canonical_id,
+         |  s.doc_id = c.canonical_id AS is_canonical
+         |FROM sel s JOIN canon c USING (cluster_id)
+         |ORDER BY s.doc_id""".stripMargin,
     // two-stage pair derivation (base pairs under base-df blocking,
     // delta-incident pairs under combined-df blocking — exactly the
     // semantics of a standing clustered store + an incremental batch),

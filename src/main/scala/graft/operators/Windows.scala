@@ -134,6 +134,26 @@ object Windows {
         .orderBy("user_id")
     },
 
+    // Quartile banding (r10): ntile(4) per order priority over the
+    // price ordering, plus each order's band bounds via min/max over
+    // the (priority, quartile) partition — the price-tier segmentation
+    // shape. Ordering is fully tie-broken (price desc, key asc) so the
+    // band assignment is deterministic on both engines. One shuffle on
+    // o_orderpriority; the second window refines the same partitioning
+    // (subset rule — no extra exchange).
+    "e_window_ntile" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val wq = Window.partitionBy("o_orderpriority", "quartile")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"),
+          ntile(4).over(w).as("quartile"))
+        .withColumn("band_hi", max("o_totalprice").over(wq))
+        .withColumn("band_lo", min("o_totalprice").over(wq))
+        .orderBy("o_orderkey")
+    },
+
     // Ordered-event funnel per session (the MATCH_RECOGNIZE niche,
     // Spark-native): sessions = 30-min-gap cuts per user (same
     // sessionization as k_window_session); within each session the
@@ -254,6 +274,19 @@ object Windows {
         |ORDER BY user_id""".stripMargin,
     // same sessionization as k_window_session, then the three-stage
     // conditional-min funnel chain
+    "e_window_ntile" ->
+      """WITH q AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |    CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT)
+        |      AS quartile
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, quartile,
+        |  max(o_totalprice) OVER wq AS band_hi,
+        |  min(o_totalprice) OVER wq AS band_lo
+        |FROM q
+        |WINDOW wq AS (PARTITION BY o_orderpriority, quartile)
+        |ORDER BY o_orderkey""".stripMargin,
     "e_funnel_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
