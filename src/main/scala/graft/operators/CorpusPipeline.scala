@@ -60,23 +60,25 @@ object CorpusPipeline {
 
     // 3. dedup cascade: drop every doc the blocked cascade decides is
     //    a duplicate (rare-shingle blocking → exact verify → min-
-    //    partner decision, fixture-default cutoff/τ)
-    val ex2 = s2
+    //    partner decision, fixture-default cutoff/τ). The exploded
+    //    shingles persist because stage 4 reuses them — shingling the
+    //    same survivor text twice was the audit's one redundant
+    //    corpus-sized stage (r10).
+    val ex2 = graft.Caches.persisted(s2
       .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode(col("sh")).as("shingle")))
     val dups = LlmOps.dedupCascadeBlocked(ex2, LlmOps.dedupDfCutoff(s),
       LlmOps.cascadeTau(s)).select("doc_id")
     val s3 = graft.Caches.persisted(s2.join(dups, Seq("doc_id"), "left_anti"))
 
     // 4. decontaminate: drop docs sharing ANY shingle with the
     //    benchmark set (docs 0–4 of the ORIGINAL corpus — eval suites
-    //    are fixed, not themselves subject to the earlier gates)
+    //    are fixed, not themselves subject to the earlier gates);
+    //    survivor shingles come from the persisted stage-3 explode
     val benchSh = d0.filter(col("doc_id") < 5)
       .select(explode(expr("graft_shingles(text, 3)")).as("shingle"))
       .distinct()
-    val ex3 = s3
-      .select(col("doc_id"), explode(expr("graft_shingles(text, 3)"))
-        .as("shingle"))
+    val ex3 = ex2.join(s3.select("doc_id"), "doc_id")
     val contaminated = ex3.join(broadcast(benchSh), "shingle")
       .select("doc_id").distinct()
     val s4 = graft.Caches.persisted(s3.join(contaminated, Seq("doc_id"), "left_anti"))

@@ -786,6 +786,28 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // Blocked fuzzy record-linkage (r10): near-identical entity names
+    // within edit distance ≤ 2 — the OTHER dedup modality (record
+    // linkage on short keys, vs the shingle/minhash family on long
+    // text). Scale shape: candidates come from PREFIX BLOCKING (the
+    // standard record-linkage block — names sharing their first 17
+    // chars), never an all-pairs cross join, so pair count grows with
+    // block size × blocks, not n²; levenshtein verifies candidates
+    // only. Both engines compute the identical integer distance.
+    "j_dedup_fuzzy_names" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 1, 17).as("blk"))
+      c.as("a").join(c.as("b"),
+          col("a.blk") === col("b.blk") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+        .filter(col("dist") <= 2)
+        .select(col("a.c_custkey").as("key_a"),
+          col("b.c_custkey").as("key_b"), col("dist"))
+        .orderBy("key_a", "key_b")
+    },
+
     // Canonical selection per duplicate cluster (r10): the curation
     // decision that FOLLOWS clustering — don't keep min-id, keep the
     // BEST document of each near-dup cluster by quality score
@@ -1170,6 +1192,14 @@ object LlmOps {
          |  SELECT reach.doc, e.b FROM reach JOIN edges e ON e.a = reach.r)
          |SELECT doc AS doc_id, min(r) AS cluster_id
          |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin,
+    "j_dedup_fuzzy_names" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON substring(a.c_name, 1, 17) = substring(b.c_name, 1, 17)
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
     "j_dedup_canonical" ->
       s"""WITH RECURSIVE sh AS (SELECT doc_id, $shSql AS s FROM documents),
          |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),

@@ -63,6 +63,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains(s"GreaterThan(ts,$cursor)"), p)
   }
 
+  test("partitioned-layout read prunes at the file listing") {
+    val p = plan("a_partitioned_prune")
+    // the lang predicate must be a PartitionFilter on the scan (pruned
+    // directories never opened), not a post-scan Filter
+    assert(p.contains("PartitionFilters"), p)
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined, p)
+  }
+
   test("funnel computes all three stages over ONE hash exchange — " +
     "no join back to the corpus (r9 plan defect)") {
     val p = plan("e_funnel_sessions")
