@@ -635,6 +635,44 @@ object AnnOps {
           (lit(64L) + pmod(col("n_bytes"), lit(64L))).as("fake_width"),
           (lit(64L) + pmod(col("n_bytes") * 7L, lit(64L))).as("fake_height"))
         .orderBy("doc_id")
+    },
+
+    // Symmetric int8 embedding quantization (r10): the storage-side op
+    // the PQ index uses internally, surfaced standalone — per-vector
+    // scale = max|x|/127, codes = round(x/scale), plus the exact mean
+    // reconstruction error. Everything is per-ROW array arithmetic
+    // (no cross-row FP aggregation), so the result is bit-stable under
+    // any partitioning; the codes ship as to_json (driver compare
+    // rejects nested columns), r4 on the two derived doubles. At scale
+    // this is a narrow projection — 4× cheaper storage for ANN
+    // candidate passes with the error bound carried alongside.
+    "j_embed_quantize" -> { (s, d) =>
+      // internal name `ma` ≠ output name `max_abs`: a same-select
+      // reference would LATERALLY resolve against the r4-ROUNDED alias
+      // (spark.sql.lateralColumnAlias implicit resolution) and skew
+      // every reconstruction error — caught by the oracle in r10
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      e.withColumn("ma",
+          aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
+        .withColumn("q", transform(col("v"),
+          x => round(x * 127.0 / col("ma")).cast("int")))
+        // reconstruction error as an EXACT integer (sum of per-element
+        // |err| in 1e-12 units): per-element doubles are bit-identical
+        // across engines, but a double mean ran into r4's half-way
+        // boundary (DuckDB's list_sum is not a naive sequential fold)
+        // — integerize BEFORE summing instead
+        .withColumn("sae_e12", aggregate(
+          zip_with(col("v"), col("q"), (x, qq) =>
+            round(abs(x - qq.cast("double") * col("ma") / 127.0)
+              * 1e12).cast(LongType)),
+          lit(0L), (a, x) => a + x))
+        .select(
+          col("vec_id"),
+          Det.r4(col("ma")).as("max_abs"),
+          to_json(col("q")).as("q8"),
+          col("sae_e12"))
+        .orderBy("vec_id")
     }
   )
 
@@ -782,6 +820,28 @@ object AnnOps {
         |  hex(encode(substring(text, 1, 4))) AS magic,
         |  64 + CAST(strlen(text) AS BIGINT) % 64 AS fake_width,
         |  64 + (CAST(strlen(text) AS BIGINT) * 7) % 64 AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "j_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v,
+        |    list_aggregate(list_transform(v, x -> abs(x)), 'max') AS max_abs
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, max_abs,
+        |    list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS INT))
+        |      AS qv
+        |  FROM m)
+        |SELECT vec_id,
+        |  round(max_abs, 4) AS max_abs,
+        |  CAST(to_json(qv) AS VARCHAR) AS q8,
+        |  CAST(list_sum(list_transform(
+        |    list_zip(v, qv),
+        |    p -> CAST(round(abs(p[1] - CAST(p[2] AS DOUBLE) * max_abs
+        |      / 127.0) * 1e12) AS BIGINT))) AS BIGINT) AS sae_e12
+        |FROM q ORDER BY vec_id""".stripMargin
   )
 }

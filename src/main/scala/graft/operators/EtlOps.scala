@@ -158,6 +158,35 @@ object EtlOps {
     },
 
     // Post-load reconciliation audit: per-table row count + key checksum.
+    // Dataset snapshot diff (r10): the corpus-versioning op — compare
+    // two corpus snapshots by content fingerprint and classify every
+    // doc as added / removed / changed, the CDC shape for training
+    // corpora (what changed between yesterday's crawl freeze and
+    // today's). Snapshots are derived deterministically from the
+    // fixture (v1 = buckets <90, v2 = buckets ≥10 with every 7th doc's
+    // text edited) so both engines build identical inputs; the diff
+    // itself is one full outer join on doc_id carrying md5 fingerprints
+    // — never text — so the exchange is fingerprint-sized at any
+    // corpus scale.
+    "i_dataset_diff" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val v1 = docs.filter(TextOps.splitBucket(col("doc_id")) < 90)
+        .select(col("doc_id"), md5(col("text")).as("fp_a"))
+      val v2 = docs.filter(TextOps.splitBucket(col("doc_id")) >= 10)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(7L)) === 0,
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text"))).as("fp_b"))
+      v1.join(v2, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          when(col("fp_a").isNull, "added")
+            .when(col("fp_b").isNull, "removed")
+            .when(col("fp_a") =!= col("fp_b"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
+    },
+
     "i_validate_rowcounts" -> { (s, d) =>
       def audit(name: String, df: DataFrame, key: String) =
         df.agg(count(lit(1)).as("n_rows"),
@@ -238,6 +267,23 @@ object EtlOps {
         |  event_type
         |FROM events
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+    "i_dataset_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, md5(text) AS fp FROM documents
+         |  WHERE ${TextOps.splitBucketSql("doc_id")} < 90),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+         |        ELSE text END) AS fp
+         |  FROM documents
+         |  WHERE ${TextOps.splitBucketSql("doc_id")} >= 10)
+         |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         |  CASE WHEN v1.fp IS NULL THEN 'added'
+         |       WHEN v2.fp IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS status
+         |FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id
+         |WHERE v1.fp IS NULL OR v2.fp IS NULL OR v1.fp <> v2.fp
+         |ORDER BY doc_id""".stripMargin,
     "i_validate_rowcounts" ->
       """SELECT 'customer' AS table_name, count(*) AS n_rows,
         |  CAST(sum(c_custkey) AS BIGINT) AS key_sum FROM customer
