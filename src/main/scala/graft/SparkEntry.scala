@@ -21,7 +21,7 @@ object SparkEntry {
       Aggregations.queries ++ Windows.queries ++ ScalarFuncs.queries ++
       EtlOps.queries ++ LlmOps.queries ++ TextOps.queries ++
       AnnOps.queries ++ ScaleOps.queries ++ StreamingOps.queries ++
-      UdfOps.queries ++ CorpusPipeline.queries
+      UdfOps.queries ++ CorpusPipeline.queries ++ GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +30,5 @@ object SparkEntry {
       Aggregations.oracles ++ Windows.oracles ++ ScalarFuncs.oracles ++
       EtlOps.oracles ++ LlmOps.oracles ++ TextOps.oracles ++
       AnnOps.oracles ++ ScaleOps.oracles ++ StreamingOps.oracles ++
-      UdfOps.oracles ++ CorpusPipeline.oracles
+      UdfOps.oracles ++ CorpusPipeline.oracles ++ GraphOps.oracles
 }

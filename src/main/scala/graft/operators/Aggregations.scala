@@ -133,6 +133,31 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    // Median + mode (r10): the two order statistics dashboards reach
+    // for after mean. Median is the interpolating 0.5-percentile on
+    // both engines; mode is stated as a portable argmax (count desc,
+    // value asc) rather than the engines' native `mode`, whose
+    // tie-breaking is unspecified — determinism wins at the oracle
+    // boundary. Cost: one value-count groupBy (partial-aggregable,
+    // output is |distinct values| per flag — tiny) + a per-flag
+    // row_number over that tiny frame + a 3-row join. The median's
+    // sort-based agg is the only corpus-sized stage.
+    "d_agg_mode_median" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy("l_returnflag")
+        .agg(r4(median(col("l_quantity"))).as("med_qty"))
+      val counts = li.groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(desc("n"), asc("l_quantity"))
+      val mode = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("n").as("mode_n"))
+      med.join(mode, "l_returnflag").orderBy("l_returnflag")
+    },
+
     // Exact interpolating percentile (sort-based agg on both engines).
     "d_agg_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -323,6 +348,22 @@ object Aggregations {
         |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
         |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "d_agg_mode_median" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty
+        |  FROM lineitem GROUP BY l_returnflag),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity),
+        |m AS (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY n DESC, l_quantity ASC) AS rn
+        |  FROM c)
+        |SELECT med.l_returnflag, med.med_qty, m.mode_qty, m.mode_n
+        |FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND m.rn = 1
+        |ORDER BY med.l_returnflag""".stripMargin,
 
     "d_agg_percentile" ->
       """SELECT l_returnflag,

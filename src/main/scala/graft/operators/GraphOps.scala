@@ -1,0 +1,136 @@
+package graft.operators
+
+import graft.{Caches, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.U (r10) — iterative graph analytics over a relational edge set.
+  *
+  * The graph is the part↔supplier bipartite sourcing network implied by
+  * lineitem (distinct (l_partkey, l_suppkey) pairs, symmetrized), the
+  * same shape as a web/link or doc-citation graph: PageRank-style
+  * centrality over such graphs is a published pretraining-data quality
+  * signal (link-graph weighting of Common Crawl), and the dedup
+  * cluster ops (LlmOps.connectedComponents) already cover the
+  * reachability side of graph work — this adds the fixed-point
+  * iteration side.
+  *
+  * Determinism contract: ranks are 10⁻¹² fixed-point BIGINTs and every
+  * per-iteration step is integer arithmetic (`div` floors, sums of
+  * longs are exact and order-independent) — float PageRank would drift
+  * at the last ulp under Spark's nondeterministic reduce order and
+  * diverge from the oracle after five iterations. The DuckDB twin is
+  * the same five iterations unrolled as CTEs.
+  *
+  * Scale notes: edges are persisted once and pre-joined with their
+  * source outdegree, so each iteration is one co-partitioned
+  * (src = node) join + one partial-aggregable groupBy(dst) — the
+  * classic Pregel superstep as two exchanges over edge-count-sized
+  * data; rank frames are persisted per iteration and the previous one
+  * released (lineage truncation, so the 5-round plan never re-derives
+  * round k-1 from scratch). The node count is the one driver-side
+  * scalar (a metadata-sized count job, k·0 bytes shipped). Payloads
+  * in the shuffles are 24-byte (key, long) rows at every scale.
+  */
+object GraphOps {
+
+  /** Distinct part→supplier edges from lineitem, symmetrized so every
+    * node has outdegree ≥ 1 (no dangling-mass redistribution needed —
+    * the oracle and the Spark side agree by construction). Supplier
+    * ids are offset into their own node-id range. */
+  private def edges(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + 1000000L).as("dst"))
+      .distinct()
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Five exact fixed-point PageRank iterations (damping 0.85) over
+    * the symmetric edge set; all-integer arithmetic, see scaladoc. */
+  private[graft] def pagerank(s: SparkSession, d: String,
+                              iterations: Int = 5): DataFrame = {
+    val e = edges(s, d)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // (src, dst, outdeg) — the per-iteration join input, built once
+    val edgesDeg = Caches.persisted(
+      e.join(deg, "src").repartition(col("src")))
+    val n = edgesDeg.select(col("src")).distinct().count()
+    val base = 150000000000L / n // 0.15 damping share per node
+    var ranks = Caches.persisted(
+      deg.select(col("src").as("node"),
+        lit(1000000000000L / n).as("r")))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+      val next = Caches.persisted(
+        contrib.groupBy("dst")
+          .agg(sum(col("c")).as("sc"))
+          .select(col("dst").as("node"),
+            (lit(base) + expr("(85 * sc) div 100")).as("r")))
+      next.count() // materialize before releasing the parent iteration
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    ranks
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-20 nodes by 5-iteration fixed-point PageRank.
+    "j_graph_pagerank" -> { (s, d) =>
+      pagerank(s, d)
+        .select(col("node"), col("r").as("rank_pico"))
+        .orderBy(desc("rank_pico"), asc("node"))
+        .limit(20)
+    },
+
+    // Degree histogram of the same graph — the 1-pass structural
+    // profile read before choosing a partitioning/skew strategy
+    // (a node with degree ≫ p99 is tomorrow's hot reducer).
+    "j_graph_degree" -> { (s, d) =>
+      edges(s, d)
+        .groupBy("src").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }
+  )
+
+  private val edgesSql =
+    """e0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+      |       FROM lineitem),
+      |edges AS (SELECT src, dst FROM e0
+      |          UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)""".stripMargin
+
+  /** One unrolled PageRank iteration reading ranks from CTE `prev`. */
+  private def iterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT e.dst AS node,
+       |    CAST(150000000000 // max(nn.n)
+       |      + (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+       |  FROM edges e
+       |  JOIN $prev r ON e.src = r.node
+       |  JOIN deg d ON e.src = d.src, nn
+       |  GROUP BY e.dst)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "j_graph_pagerank" ->
+      s"""WITH $edgesSql,
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, CAST(1000000000000 // n AS BIGINT) AS r
+         |       FROM deg, nn),
+         |${iterSql("r0", "it1")},
+         |${iterSql("it1", "it2")},
+         |${iterSql("it2", "it3")},
+         |${iterSql("it3", "it4")},
+         |${iterSql("it4", "it5")}
+         |SELECT node, r AS rank_pico FROM it5
+         |ORDER BY rank_pico DESC, node ASC LIMIT 20""".stripMargin,
+
+    "j_graph_degree" ->
+      s"""WITH $edgesSql
+         |SELECT outdeg AS degree, count(*) AS n_nodes
+         |FROM deg GROUP BY outdeg ORDER BY degree""".stripMargin
+  )
+}

@@ -964,6 +964,25 @@ object LlmOps {
         .orderBy("label")
     },
 
+    // Per-DIMENSION embedding stats (r10): mean/min/max of every
+    // coordinate — the profile that feeds whitening, quantization-range
+    // selection (j_embed_quantize's scale basis), and dead-dimension
+    // detection. posexplode turns the corpus into (dim, value) pairs
+    // and one partial-aggregable groupBy(dim) reduces them: the shuffle
+    // carries at most n_partitions × 64 partial rows, independent of
+    // corpus size. Mean goes through Det.davg (order-independent
+    // decimal sum); min/max are exact under any order.
+    "j_embed_dim_stats" -> { (s, d) =>
+      emb(s, d)
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(Det.davg(col("x")).as("avg_v"),
+          min(col("x")).as("min_v"),
+          max(col("x")).as("max_v"),
+          count(lit(1)).as("n"))
+        .orderBy("dim")
+    },
+
     // Token statistics rolled up per language.
     "j_text_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1367,6 +1386,18 @@ object LlmOps {
          |  ${Det.davgSql("CAST(embedding[1] AS DOUBLE)")} AS avg_dim0,
          |  count(*) AS n
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "j_embed_dim_stats" ->
+      s"""WITH x AS (
+         |  SELECT unnest(generate_series(1, len(embedding))) AS dpos,
+         |    embedding
+         |  FROM embeddings)
+         |SELECT CAST(dpos - 1 AS INT) AS dim,
+         |  ${Det.davgSql("CAST(embedding[CAST(dpos AS INT)] AS DOUBLE)")}
+         |    AS avg_v,
+         |  CAST(min(embedding[CAST(dpos AS INT)]) AS DOUBLE) AS min_v,
+         |  CAST(max(embedding[CAST(dpos AS INT)]) AS DOUBLE) AS max_v,
+         |  count(*) AS n
+         |FROM x GROUP BY dpos ORDER BY dim""".stripMargin,
     "j_text_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  ${Det.davgSql("len(string_split(text,' '))")} AS avg_tok,

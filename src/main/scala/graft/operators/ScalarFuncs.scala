@@ -275,6 +275,31 @@ object ScalarFuncs {
           element_at(col("keys_arr"), -1).as("last_key"),
           col("n_orders"))
         .orderBy("o_custkey")
+    },
+
+    // Long→wide pivot (r10), the inverse of h_unpivot: order counts and
+    // revenue per priority, one column pair per status. Values are
+    // DECLARED (`pivot(col, Seq("F","O","P"))`) — an undeclared pivot
+    // adds a distinct-collect driver round-trip before planning, which
+    // is the wrong shape at 100 TB; with declared values this is one
+    // partial-aggregable groupBy, same cost as the flat aggregation.
+    // Empty cells are made explicit (count 0 / revenue 0.0) because
+    // Spark's pivot yields NULL for absent groups while a conditional-
+    // aggregation twin yields 0 — the oracle pins the coalesced form.
+    "h_pivot" -> { (s, d) =>
+      val piv = Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("rev"))
+      piv.select(
+        col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"),
+        coalesce(col("F_rev"), lit(0.0)).as("f_rev"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"),
+        coalesce(col("O_rev"), lit(0.0)).as("o_rev"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"),
+        coalesce(col("P_rev"), lit(0.0)).as("p_rev"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -416,6 +441,19 @@ object ScalarFuncs {
         |  min(o_orderkey) AS first_key,
         |  max(o_orderkey) AS last_key,
         |  count(*) AS n_orders
-        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "h_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
+        |  coalesce(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+        |    THEN o_totalprice END AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS f_rev,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
+        |  coalesce(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O'
+        |    THEN o_totalprice END AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS o_rev,
+        |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
+        |  coalesce(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'
+        |    THEN o_totalprice END AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS p_rev
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

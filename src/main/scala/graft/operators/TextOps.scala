@@ -822,6 +822,49 @@ object TextOps {
         chargramProfile(docs.filter(isBase), 40),
         docs.filter(!isBase), 40)
         .orderBy("doc_id")
+    },
+
+    // Overlapping document chunking (r10): fixed 120-char windows at
+    // stride 90 — the context-window segmentation step between raw
+    // documents and j_pack_sequences (chunk → tokenize → pack). Pure
+    // in-scan work: sequence+explode derive the chunk index list from
+    // each row alone, so the operator is a narrow transformation with
+    // ZERO shuffles beyond the presentation sort — at 100 TB it
+    // streams. A short doc (≤120 chars) yields exactly one chunk.
+    "j_doc_chunk" -> { (s, d) =>
+      val nIdx = greatest(lit(0L),
+        ceil((length(col("text")) - lit(120)).cast(DoubleType) / 90.0)
+          .cast(LongType))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), nIdx)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          col("text").substr(
+            (col("chunk_idx") * 90 + 1).cast(IntegerType),
+            lit(120)).as("chunk_text"))
+        .withColumn("chunk_len", length(col("chunk_text")))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Corpus health report (r10): the per-source dashboard a curation
+    // run opens with — doc counts, language spread, token volume, mean
+    // length, and the exact-dup count (docs beyond the first per md5
+    // fingerprint). Everything partial-aggregates except the two exact
+    // count-distincts; lang is ~5-valued, and the md5 distinct is the
+    // deliberate exactness choice (d_agg_approx_distinct is the
+    // sketch-tier alternative when 100 TB can tolerate ±2%). The
+    // exchange carries 16-byte fingerprints, never text.
+    "j_corpus_report" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(toks).as("n_tok"), md5(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_tok").cast(LongType)).as("total_tok"),
+          Det.davg(col("n_chars").cast(DoubleType)).as("avg_chars"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+        .orderBy("source")
     }
   )
 
@@ -1366,6 +1409,29 @@ object TextOps {
          |      ORDER BY dist ASC, p_lang ASC) AS rk
          |  FROM dist)
          |SELECT doc_id, lang, p_lang AS pred_lang, dist
-         |FROM pred WHERE rk = 1 ORDER BY doc_id""".stripMargin
+         |FROM pred WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "j_doc_chunk" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, greatest(0,
+        |      CAST(ceil((length(text) - 120) / 90.0) AS BIGINT))))
+        |      AS chunk_idx
+        |  FROM documents)
+        |SELECT doc_id, chunk_idx,
+        |  substring(text, CAST(chunk_idx * 90 + 1 AS INT), 120)
+        |    AS chunk_text,
+        |  CAST(length(substring(text, CAST(chunk_idx * 90 + 1 AS INT),
+        |    120)) AS INT) AS chunk_len
+        |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "j_corpus_report" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tok,
+         |  ${Det.davgSql("n_chars")} AS avg_chars,
+         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+         |    AS n_exact_dups
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }

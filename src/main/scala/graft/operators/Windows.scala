@@ -196,6 +196,36 @@ object Windows {
             .otherwise(0).as("funnel_stage"))
         .select("user_id", "session_start", "n_events", "funnel_stage")
         .orderBy("user_id", "session_start")
+    },
+
+    // Last-touch revenue attribution (r10): each purchase is credited
+    // to the most recent view/click by the same user within a 7-day
+    // lookback, else 'direct' — the marketing-attribution shape, and a
+    // second MATCH_RECOGNIZE-niche pattern after the funnel. The
+    // carried state is last(conditional, ignoreNulls) OVER the user
+    // timeline — ONE hash exchange on user_id, no join back to the
+    // corpus; the final channel rollup is a 3-row aggregate.
+    "e_attribution_last_touch" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("view", "click"),
+        col("event_type"))
+      Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("lt_type", last(touch, ignoreNulls = true).over(w))
+        .withColumn("lt_us",
+          last(when(touch.isNotNull, col("ts_us")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          coalesce(when(col("lt_us").isNotNull &&
+            col("ts_us") - col("lt_us") <= 604800000000L, col("lt_type")),
+            lit("direct")).as("channel"),
+          col("value"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          Det.dsum(col("value")).as("attributed_value"))
+        .orderBy("channel")
     }
   )
 
@@ -319,6 +349,27 @@ object Windows {
         |       WHEN c.c_ts IS NOT NULL THEN 2
         |       WHEN b.v_ts IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
         |FROM base b JOIN c USING (user_id, sid) JOIN p USING (user_id, sid)
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "e_attribution_last_touch" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         |    value,
+         |    last_value(CASE WHEN event_type IN ('view', 'click')
+         |        THEN event_type END IGNORE NULLS)
+         |      OVER w AS lt_type,
+         |    last_value(CASE WHEN event_type IN ('view', 'click')
+         |        THEN epoch_us(ts) END IGNORE NULLS)
+         |      OVER w AS lt_us
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT coalesce(CASE WHEN lt_us IS NOT NULL
+         |    AND ts_us - lt_us <= 604800000000 THEN lt_type END,
+         |    'direct') AS channel,
+         |  count(*) AS n_purchases,
+         |  ${Det.dsumSql("value")} AS attributed_value
+         |FROM ev WHERE event_type = 'purchase'
+         |GROUP BY channel ORDER BY channel""".stripMargin
   )
 }

@@ -62,4 +62,52 @@ object Layout {
       .sortBy(sorts.head, sorts.tail: _*)
       .saveAsTable(table)
   }
+
+  /** Small-file compaction (r10): rewrite a fragmented parquet
+    * directory into ~`targetRowsPerFile`-row files, range-clustered on
+    * `sortCol` so each output file covers a contiguous key range
+    * (min/max footer stats stay selective — a post-compaction range
+    * predicate still skips whole files).
+    *
+    * This is the maintenance operator every streaming/incremental sink
+    * eventually needs: micro-batch and per-partition appends leave
+    * thousands of KB-sized files, and at 100 TB the resulting listing +
+    * footer + task-schedule overhead dominates scan cost long before
+    * the bytes do. Compaction is one range exchange (sampling pass +
+    * shuffle) and a rewrite of only the fragmented directory — never a
+    * table-wide rewrite; pair with [[overwritePartitions]] to compact
+    * partition-by-partition.
+    *
+    * Returns (files_before, files_after). LayoutSpec pins: row-set
+    * equality, file-count collapse, and per-file key-range
+    * disjointness. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              sortCol: String, targetRowsPerFile: Long): (Int, Int) = {
+    def dataFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = dataFiles(path).length
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val nFiles = math.max(1, math.ceil(rows.toDouble / targetRowsPerFile).toInt)
+    val tmp = path.stripSuffix("/") + "_compacting"
+    df.repartitionByRange(nFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap: the rewrite lands complete before the original moves away
+    val fs = new java.io.File(path)
+    val bak = new java.io.File(path.stripSuffix("/") + "_pre_compact")
+    if (!fs.renameTo(bak))
+      sys.error(s"compact: could not move $path aside")
+    if (!new java.io.File(tmp).renameTo(fs)) {
+      bak.renameTo(fs) // restore
+      sys.error(s"compact: could not publish $tmp")
+    }
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(bak)
+    (before, dataFiles(path).length)
+  }
 }

@@ -114,4 +114,36 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == orders.count())
     assert(files(1995) == untouched)
   }
+
+  test("compact collapses a fragmented directory into range-disjoint " +
+    "files with the same rows") {
+    val dir = Files.createTempDirectory("graft-layout-compact")
+      .resolve("t").toString
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    // simulate micro-batch fragmentation: 64 hash-scattered files
+    orders.repartition(64).write.parquet(dir)
+    val expected = orders.orderBy("o_orderkey").collect()
+    val (before, after) = Layout.compact(spark, dir, "o_orderkey",
+      targetRowsPerFile = math.max(1L, expected.length / 4L))
+    assert(before >= 64, s"fragmentation setup wrote $before files")
+    assert(after <= 5, s"compaction left $after files")
+    val reread = spark.read.parquet(dir)
+    assert(reread.orderBy("o_orderkey").collect().sameElements(expected),
+      "compaction changed the row set")
+    // each output file covers a disjoint o_orderkey range (footer
+    // min/max stays selective for post-compaction range predicates)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map { f =>
+        val one = spark.read.parquet(f.getAbsolutePath)
+          .agg(min("o_orderkey"), max("o_orderkey")).head
+        (one.getLong(0), one.getLong(1))
+      }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file key ranges overlap: $hi > $lo2")
+      case _ =>
+    }
+  }
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Semantic invariants for the round-10 session-2 widenings (the
+  * oracle pins exact values at sf0.01; these pin the algebra at
+  * sf0.001 so refactors can't change meaning without tripping a spec).
+  */
+class R10WideningSpec extends SparkSpec {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("j_doc_chunk tiles every document: stride-aligned, bounded, " +
+    "covering") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).as("len"))
+    val cov = q("j_doc_chunk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        max(col("chunk_idx") * 90 + col("chunk_len")).as("covered"),
+        max("chunk_len").as("max_len"))
+      .join(docs, "doc_id")
+    assert(cov.filter(col("max_len") > 120).count() == 0,
+      "chunk longer than the 120-char window")
+    assert(cov.filter(col("covered") < col("len")).count() == 0,
+      "tail of a document not covered by any chunk")
+    // short docs yield exactly one chunk
+    assert(cov.filter(col("len") <= 120 && col("n_chunks") =!= 1)
+      .count() == 0)
+    // chunking is in-scan work: no hash exchange anywhere (the only
+    // exchange is the presentation sort's range partitioning)
+    val p = q("j_doc_chunk").queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("e_attribution_last_touch conserves purchases and only emits " +
+    "known channels") {
+    val out = q("e_attribution_last_touch").collect()
+    val channels = out.map(_.getString(0)).toSet
+    assert(channels.subsetOf(Set("view", "click", "direct")), channels)
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.map(_.getLong(1)).sum == purchases,
+      "attribution dropped or duplicated purchases")
+  }
+
+  test("h_pivot cells partition the orders table") {
+    val row = q("h_pivot")
+      .agg(sum(col("f_n") + col("o_n") + col("p_n"))).head
+    assert(row.getLong(0) == Tables.orders(spark, sfDir).count())
+  }
+
+  test("a_source_schema_merge: the pre-evolution snapshot surfaces " +
+    "NULL source, the post-evolution one is fully populated") {
+    val out = q("a_source_schema_merge")
+    assert(out.filter(col("snap") === 1 && col("n_with_source") =!= 0)
+      .count() == 0)
+    assert(out.filter(col("snap") === 2 &&
+      col("n_with_source") =!= col("n_docs")).count() == 0)
+  }
+
+  test("d_agg_mode_median: mode is the argmax count, median within " +
+    "the value range") {
+    val li = Tables.lineitem(spark, sfDir)
+    val out = q("d_agg_mode_median").collect()
+    val maxCounts = li.groupBy("l_returnflag", "l_quantity")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("l_returnflag").agg(max("n").as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val range = li.groupBy("l_returnflag")
+      .agg(min("l_quantity").as("lo"), max("l_quantity").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    out.foreach { r =>
+      val flag = r.getString(0)
+      assert(r.getLong(3) == maxCounts(flag), s"mode_n wrong for $flag")
+      val (lo, hi) = range(flag)
+      val med = r.getDouble(1)
+      assert(med >= lo && med <= hi, s"median $med outside [$lo,$hi]")
+    }
+  }
+
+  test("j_corpus_report accounts for every document exactly once") {
+    val n = q("j_corpus_report").agg(sum("n_docs")).head.getLong(0)
+    assert(n == Tables.documents(spark, sfDir).count())
+  }
+
+  test("j_embed_dim_stats covers all 64 dimensions with consistent " +
+    "bounds") {
+    val out = q("j_embed_dim_stats").collect()
+    assert(out.length == 64, s"expected 64 dims, got ${out.length}")
+    out.foreach { r =>
+      val (avg, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(lo <= avg && avg <= hi, s"dim ${r.getInt(0)}: $lo/$avg/$hi")
+    }
+  }
+}
