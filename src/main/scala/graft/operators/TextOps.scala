@@ -865,6 +865,37 @@ object TextOps {
           Det.davg(col("n_chars").cast(DoubleType)).as("avg_chars"),
           (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
         .orderBy("source")
+    },
+
+    // Corpus-wide repeated-segment profile (r10) — the C4-style
+    // boilerplate pass (C4 drops any line occurring ≥3 times in the
+    // corpus; these documents have no newlines, so the "line" is a
+    // disjoint 5-token segment). Per doc: total segments and how many
+    // the ≥3-occurrence rule would remove. Two aggregations over ONE
+    // persisted segment explode (count per fingerprint, then the
+    // per-doc rollup through a fingerprint join) — the exchanges carry
+    // 32-byte fingerprints + doc ids, never segment text; at 100 TB
+    // the fingerprint frame is the stored artifact an incremental run
+    // would merge into, exactly like the dedup postings stores.
+    "j_dedup_lines" -> { (s, d) =>
+      val tk = split(col("text"), " ")
+      val segs = graft.Caches.persisted(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(sequence(lit(0L),
+              floor((size(tk) - 1).cast(DoubleType) / 5.0)
+                .cast(LongType))).as("si"),
+            tk.as("tk"))
+          .select(col("doc_id"),
+            md5(array_join(slice(col("tk"),
+              (col("si") * 5 + 1).cast(IntegerType), lit(5)), " "))
+              .as("fp")))
+      val cnt = segs.groupBy("fp").agg(count(lit(1)).as("c"))
+      segs.join(cnt, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          count(when(col("c") >= 3, 1)).as("n_removed"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1432,6 +1463,25 @@ object TextOps {
          |  ${Det.davgSql("n_chars")} AS avg_chars,
          |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
          |    AS n_exact_dups
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "j_dedup_lines" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,
+        |      CAST(floor((len(string_split(text, ' ')) - 1) / 5.0)
+        |        AS BIGINT))) AS si,
+        |    string_split(text, ' ') AS tk
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(tk, CAST(si*5 + 1 AS INT),
+        |      CAST(si*5 + 5 AS INT)), ' ')) AS fp
+        |  FROM segs),
+        |cnt AS (SELECT fp, count(*) AS c FROM seg GROUP BY fp)
+        |SELECT seg.doc_id, count(*) AS n_segments,
+        |  count(CASE WHEN cnt.c >= 3 THEN 1 END) AS n_removed
+        |FROM seg JOIN cnt USING (fp)
+        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin
   )
 }

@@ -226,6 +226,39 @@ object Windows {
         .agg(count(lit(1)).as("n_purchases"),
           Det.dsum(col("value")).as("attributed_value"))
         .orderBy("channel")
+    },
+
+    // Rolling z-score anomaly detection (r10): each event scored
+    // against the mean/stddev of that user's previous ≤20 values
+    // (current row excluded — no self-contamination); |z| > 2 with at
+    // least 10 samples flags. The moments come from exact decimal
+    // window sums (Σx, Σx² — both 2/4-decimal-exact in the fixture),
+    // converted to double only in the final closed-form z, so the
+    // result is identical under any evaluation order on both engines
+    // (a double stddev window would flicker at the last ulp under
+    // DuckDB's segment-tree accumulation). One hash exchange on
+    // user_id; bounded O(1) state per row at any scale.
+    "e_anomaly_zscore" -> { (s, d) =>
+      val win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-20, -1)
+      Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .withColumn("sw",
+          sum(col("value").cast(DecimalType(20, 6))).over(win)
+            .cast(DoubleType))
+        .withColumn("sq",
+          sum((col("value") * col("value")).cast(DecimalType(24, 6)))
+            .over(win).cast(DoubleType))
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("variance",
+          (col("sq") - col("sw") * col("sw") / col("n")) / (col("n") - 1))
+        .filter(col("n") >= 10 && col("variance") > 0)
+        .withColumn("z",
+          (col("value") - col("sw") / col("n")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), col("user_id"), col("value"),
+          Det.r4(col("z")).as("z"))
+        .orderBy("event_id")
     }
   )
 
@@ -370,6 +403,24 @@ object Windows {
          |  count(*) AS n_purchases,
          |  ${Det.dsumSql("value")} AS attributed_value
          |FROM ev WHERE event_type = 'purchase'
-         |GROUP BY channel ORDER BY channel""".stripMargin
+         |GROUP BY channel ORDER BY channel""".stripMargin,
+
+    "e_anomaly_zscore" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    CAST(SUM(CAST(value AS DECIMAL(20,6))) OVER win AS DOUBLE)
+        |      AS s,
+        |    CAST(SUM(CAST(value*value AS DECIMAL(24,6))) OVER win
+        |      AS DOUBLE) AS sq,
+        |    CAST(count(*) OVER win AS BIGINT) AS n
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value,
+        |  round((value - s/n) / sqrt((sq - s*s/n) / (n-1)), 4) AS z
+        |FROM w
+        |WHERE n >= 10 AND (sq - s*s/n) / (n-1) > 0
+        |  AND abs((value - s/n) / sqrt((sq - s*s/n) / (n-1))) > 2
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -71,6 +71,15 @@ class PlanSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined, p)
   }
 
+  test("dim join prunes the partitioned fact scan dynamically (DPP)") {
+    val p = plan("c_join_dpp")
+    // the dim's runtime values must reach the fact scan as a
+    // dynamicpruning subquery in its PartitionFilters — the star-join
+    // partition-elimination mechanism; a static literal can't do this
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning subquery on the fact scan:\n$p")
+  }
+
   test("funnel computes all three stages over ONE hash exchange — " +
     "no join back to the corpus (r9 plan defect)") {
     val p = plan("e_funnel_sessions")

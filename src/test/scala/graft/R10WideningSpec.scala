@@ -87,6 +87,37 @@ class R10WideningSpec extends SparkSpec {
     assert(n == Tables.documents(spark, sfDir).count())
   }
 
+  test("e_anomaly_zscore only flags |z| > 2 with a warm window") {
+    val out = q("e_anomaly_zscore").collect()
+    assert(out.forall(r => math.abs(r.getDouble(3)) > 2))
+    // an event inside its user's first 10 can never have n >= 10
+    import org.apache.spark.sql.expressions.Window
+    val rankW = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val early = Tables.eventsWithNanos(spark, sfDir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("pos", row_number().over(rankW))
+      .filter(col("pos") <= 10)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(out.forall(r => !early.contains(r.getLong(0))),
+      "an event with a cold window was scored")
+  }
+
+  test("j_dedup_lines segments every doc completely and bounds " +
+    "removals") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = q("j_dedup_lines").collect()
+    assert(out.length == toks.size, "a document lost its profile row")
+    out.foreach { r =>
+      val (id, nSeg, nRem) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val expect = (toks(id) + 4) / 5 // ceil(n_tok / 5): disjoint tiling
+      assert(nSeg == expect, s"doc $id: $nSeg segments, expected $expect")
+      assert(nRem <= nSeg)
+    }
+  }
+
   test("j_embed_dim_stats covers all 64 dimensions with consistent " +
     "bounds") {
     val out = q("j_embed_dim_stats").collect()
