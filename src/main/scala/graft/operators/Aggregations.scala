@@ -158,6 +158,22 @@ object Aggregations {
       med.join(mode, "l_returnflag").orderBy("l_returnflag")
     },
 
+    // Equi-width histogram (r10): 20 fixed $25k buckets over order
+    // totalprice, top bucket open — the distribution profile behind
+    // every dashboard histogram, stated as pure integer bucket
+    // arithmetic (floor of a double division is deterministic on both
+    // engines) so it partial-aggregates: the shuffle carries ≤20 rows
+    // per map partition at any scale, unlike a sort-based percentile.
+    "d_agg_histogram" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(least(floor(col("o_totalprice") / 25000.0), lit(19.0))
+          .cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", col("bucket") * 25000L)
+        .orderBy("bucket")
+    },
+
     // Exact interpolating percentile (sort-based agg on both engines).
     "d_agg_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -364,6 +380,15 @@ object Aggregations {
         |SELECT med.l_returnflag, med.med_qty, m.mode_qty, m.mode_n
         |FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND m.rn = 1
         |ORDER BY med.l_returnflag""".stripMargin,
+
+    "d_agg_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n,
+        |  CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT)
+        |    * 25000 AS lo
+        |FROM orders
+        |GROUP BY 1, 3 ORDER BY bucket""".stripMargin,
 
     "d_agg_percentile" ->
       """SELECT l_returnflag,

@@ -259,6 +259,31 @@ object Windows {
         .select(col("event_id"), col("user_id"), col("value"),
           Det.r4(col("z")).as("z"))
         .orderBy("event_id")
+    },
+
+    // Cohort retention (r10): users grouped by first-active epoch-week
+    // (the cohort), then each later week's distinct-active count and
+    // retention share per cohort — the product-analytics table every
+    // events warehouse serves. All-integer week arithmetic; the
+    // retention share is integer basis points (exact on both
+    // engines). Cost: one distinct over (user, week) — corpus-sized
+    // but partial-aggregable — then everything downstream is
+    // user-count-sized; the cohort-size join is broadcast-shaped.
+    "e_retention_cohorts" -> { (s, d) =>
+      val uw = Tables.eventsWithNanos(s, d)
+        .select(col("user_id"),
+          expr("(ts_ns div 1000) div 604800000000").as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("wk").as("cw"))
+      val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("k"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cw")
+        .select(col("cw").as("cohort_week"), col("k").as("week_offset"),
+          col("n_active"), col("cohort_size"),
+          expr("n_active * 10000 div cohort_size").as("retention_bp"))
+        .orderBy("cohort_week", "week_offset")
     }
   )
 
@@ -421,6 +446,21 @@ object Windows {
         |FROM w
         |WHERE n >= 10 AND (sq - s*s/n) / (n-1) > 0
         |  AND abs((value - s/n) / sqrt((sq - s*s/n) / (n-1))) > 2
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "e_retention_cohorts" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+        |sizes AS (SELECT cw, count(*) AS cohort_size FROM cohort
+        |          GROUP BY cw),
+        |act AS (
+        |  SELECT c.cw, u.wk - c.cw AS k, count(*) AS n_active
+        |  FROM uw u JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT act.cw AS cohort_week, act.k AS week_offset, n_active,
+        |  cohort_size, n_active * 10000 // cohort_size AS retention_bp
+        |FROM act JOIN sizes USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

@@ -118,6 +118,35 @@ class R10WideningSpec extends SparkSpec {
     }
   }
 
+  test("e_retention_cohorts: week-0 retention is total, offsets never " +
+    "exceed cohort size") {
+    val out = q("e_retention_cohorts").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (k, active, size, bp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(active <= size, s"active $active > cohort $size")
+      assert(bp == active * 10000 / size)
+      if (k == 0) assert(active == size,
+        "every cohort member is active in their first week by definition")
+    }
+    // cohort sizes sum to the distinct-user count
+    val users = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    val sizeSum = out.filter(_.getLong(1) == 0).map(_.getLong(3)).sum
+    assert(sizeSum == users)
+  }
+
+  test("d_agg_histogram buckets partition the orders table") {
+    val out = q("d_agg_histogram").collect()
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.orders(spark, sfDir).count())
+    out.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 19)
+      assert(r.getLong(2) == r.getLong(0) * 25000L)
+    }
+  }
+
   test("j_embed_dim_stats covers all 64 dimensions with consistent " +
     "bounds") {
     val out = q("j_embed_dim_stats").collect()
