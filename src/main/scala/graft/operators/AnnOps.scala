@@ -290,7 +290,87 @@ object AnnOps {
       prefix
     })
 
+  /** Top principal component of the embedding corpus: ONE distributed
+    * pass builds the centered 64×64 Gram/covariance matrix (per-row
+    * outer products, decimal-summed per cell so the reduction is exact
+    * and order-independent — a double accumulation would drift at the
+    * last ulp under partition-order changes), then the eigensolve runs
+    * to convergence on the driver (power iteration over a dims² = 4 KB
+    * matrix — microseconds).
+    *
+    * This is the right 100 TB shape for tall-and-SKINNY embeddings:
+    * corpus size only affects the one aggregation pass (partial
+    * aggregation reduces each task to ≤ dims² cells before the
+    * exchange), while iteration count — where a distributed per-step
+    * matvec would pay a full corpus pass each round, 40+ of them on a
+    * near-flat spectrum like this fixture's — costs nothing. The
+    * distributed-matvec variant only wins when dims² outgrows driver
+    * memory (≳50k dims), which embedding pipelines don't approach.
+    *
+    * Sign fixed (largest-|loading| coordinate positive). Declared
+    * no-oracle (SURVEY §0.2 rule 4: iterative linear algebra has no
+    * step-identical SQL twin); AnnOpsSpec gates it against an exact
+    * driver-side eigensolve of the same corpus. */
+  private[graft] def pcaPower(s: SparkSession, d: String,
+                              iters: Int = 300)
+      : (Array[Double], Double, Long) = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val x = Par.spread(Tables.embeddings(s, d))
+      .select(col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    val n = x.count()
+    val dims = 64
+    def litArr(a: Array[Double]) = array(a.map(lit): _*)
+    // per-dimension mean (decimal-exact)
+    val mu = x.select(posexplode(col("v")).as(Seq("dim", "e")))
+      .groupBy("dim")
+      .agg((sum(col("e").cast(DecimalType(28, 12))).cast(DoubleType) /
+        lit(n)).as("m"))
+      .orderBy("dim").collect().map(_.getDouble(1))
+    // one pass: flattened outer product x'x'ᵀ per row → exact per-cell
+    // decimal sums; idx = i*dims + j
+    val xc = x.select(
+      zip_with(col("v"), litArr(mu), (a, b) => a - b).as("vc"))
+    val cells = xc
+      .select(posexplode(flatten(transform(col("vc"),
+        a => transform(col("vc"), b => a * b)))).as(Seq("idx", "p")))
+      .groupBy("idx")
+      .agg(sum(col("p").cast(DecimalType(28, 12))).cast(DoubleType)
+        .as("s"))
+      .orderBy("idx").collect().map(_.getDouble(1))
+    val c = Array.tabulate(dims, dims)((i, j) => cells(i * dims + j) / n)
+    // driver-side power iteration to convergence (4 KB matrix)
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(e => e * e).sum)
+      v = w.map(_ / nrm)
+    }
+    val rayleigh = (0 until dims).map(i =>
+      v(i) * (0 until dims).map(j => c(i)(j) * v(j)).sum).sum
+    // fix the sign: largest-|loading| coordinate positive
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    val vOut = if (v(pivot) < 0) v.map(-_) else v
+    (vOut, rayleigh, n)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top principal component (see [[pcaPower]]): per-dimension
+    // loadings of the corpus's first PC plus the explained variance —
+    // the embedding-space profile behind whitening and drift
+    // monitoring. No-oracle (SURVEY §0.2 rule 4); AnnOpsSpec-gated.
+    "j_embed_pca_power" -> { (s, d) =>
+      val (v, lambda, n) = pcaPower(s, d)
+      import s.implicits._
+      v.zipWithIndex
+        .map { case (l, i) =>
+          (i, math.rint(l * 10000) / 10000,
+            math.rint(lambda * 10000) / 10000, n)
+        }.toSeq
+        .toDF("dim", "loading", "eigenvalue", "n")
+        .orderBy("dim")
+    },
+
     // Incremental ANN — delta vs standing index (VERDICT r5 ask #3):
     // the 20% id-bucket delta split is assigned to the STANDING
     // k-means centroids (broadcast of 16 stored rows — no re-cluster;

@@ -232,6 +232,33 @@ object Joins {
         .agg(Det.dsum(rev).as("revenue"))
         .orderBy(desc("revenue"), asc("c_custkey"))
         .limit(20)
+    },
+
+    // TPC-H Q18 shape (r10): large-volume orders — the
+    // IN-(aggregated-HAVING-subquery) pattern. The qualifying-order
+    // set is itself an aggregation over the fact table, so the plan is
+    // fact-agg → semi-filter → fact re-join — two passes over
+    // lineitem, both partial-aggregable, with the qualifier reused as
+    // the join's build side. Quantities are integer-valued doubles, so
+    // the HAVING threshold is exact under any accumulation order.
+    "c_join_q18_large_orders" -> { (s, d) =>
+      val qual = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sq"))
+        .filter(col("sq") > 150)
+        .select("l_orderkey")
+      Tables.lineitem(s, d)
+        .join(qual, "l_orderkey")
+        .join(Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(min(col("o_orderdate").cast("date")).as("odate"),
+          Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(100)
     }
   )
 
@@ -333,6 +360,19 @@ object Joins {
          |WHERE r_name = 'ASIA'
          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-         |GROUP BY n_name ORDER BY n_name""".stripMargin
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "c_join_q18_large_orders" ->
+      s"""SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+         |  CAST(min(o_orderdate) AS DATE) AS odate,
+         |  ${Det.dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE l_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem
+         |  GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+         |GROUP BY c_custkey, c_name, o_orderkey, o_totalprice
+         |ORDER BY o_totalprice DESC, o_orderkey ASC
+         |LIMIT 100""".stripMargin
   )
 }

@@ -318,4 +318,48 @@ class AnnOpsSpec extends SparkSpec {
         s"$flag p90 rank ${rankOf(p90)}")
     }
   }
+
+  test("j_embed_pca_power: unit component, sign-fixed, matching an " +
+    "exact driver-side eigensolve") {
+    val (v, lambda, n) = graft.operators.AnnOps.pcaPower(spark, sfDir)
+    assert(n > 0)
+    val nrm = math.sqrt(v.map(e => e * e).sum)
+    assert(math.abs(nrm - 1.0) < 1e-9, s"component norm $nrm")
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    assert(v(pivot) > 0, "sign convention violated")
+
+    // exact reference: collect the (tiny at sf0.001) corpus, build the
+    // covariance on the driver, run power iteration to convergence
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = rows.head.length
+    val mu = Array.tabulate(dims)(j => rows.map(_(j)).sum / rows.length)
+    val xc = rows.map(r => r.indices.map(j => r(j) - mu(j)).toArray)
+    def matvec(u: Array[Double]): Array[Double] = {
+      val out = Array.fill(dims)(0.0)
+      xc.foreach { x =>
+        val d = x.indices.map(j => x(j) * u(j)).sum
+        for (j <- 0 until dims) out(j) += x(j) * d
+      }
+      out.map(_ / rows.length)
+    }
+    var u = Array.fill(dims)(1.0 / math.sqrt(dims))
+    for (_ <- 1 to 300) {
+      val w = matvec(u)
+      val wn = math.sqrt(w.map(e => e * e).sum)
+      u = w.map(_ / wn)
+    }
+    val lambdaExact = matvec(u).zip(u).map { case (a, b) => a * b }.sum
+    val align = math.abs(v.zip(u).map { case (a, b) => a * b }.sum)
+    assert(align > 0.99, s"PC misaligned with exact eigensolve: $align")
+    assert(math.abs(lambda - lambdaExact) / lambdaExact < 0.01,
+      s"eigenvalue $lambda vs exact $lambdaExact")
+    // the top eigenvalue dominates every single-dimension variance
+    val maxVar = (0 until dims).map { j =>
+      xc.map(x => x(j) * x(j)).sum / rows.length
+    }.max
+    assert(lambda >= maxVar * 0.99, s"$lambda < max per-dim var $maxVar")
+    Caches.release(spark)
+  }
 }
