@@ -200,6 +200,25 @@ object EtlOps {
         .unionByName(audit("region", Tables.region(s, d), "r_regionkey"))
         .unionByName(audit("supplier", Tables.supplier(s, d), "s_suppkey"))
         .orderBy("table_name")
+    },
+
+    // Keyed pseudonymization (r10): replace user ids with a salted
+    // SHA-256 prefix — the GDPR-style export step that keeps joins and
+    // group-bys working (the pseudonym is deterministic per id) while
+    // the raw identifier never leaves the pipeline. The output audits
+    // itself: n_ids = distinct source ids per pseudonym must be 1
+    // everywhere (a 64-bit prefix collision across user ids would
+    // surface here, not silently merge two users downstream). Pure
+    // projection + one partial-aggregable groupBy on the pseudonym.
+    "i_anonymize_hash" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(substring(sha2(concat(lit("graft-salt-v1:"),
+          col("user_id").cast(StringType)), 256), 1, 16).as("pseudo_id"),
+          col("user_id"))
+        .groupBy("pseudo_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_ids"))
+        .orderBy("pseudo_id")
     }
   )
 
@@ -297,6 +316,12 @@ object EtlOps {
         |  CAST(sum(r_regionkey) AS BIGINT) FROM region
         |UNION ALL SELECT 'supplier', count(*),
         |  CAST(sum(s_suppkey) AS BIGINT) FROM supplier
-        |ORDER BY table_name""".stripMargin
+        |ORDER BY table_name""".stripMargin,
+    "i_anonymize_hash" ->
+      """SELECT substring(sha256('graft-salt-v1:'
+        |    || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_id,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_ids
+        |FROM events GROUP BY pseudo_id ORDER BY pseudo_id""".stripMargin
   )
 }

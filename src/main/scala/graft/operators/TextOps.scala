@@ -896,6 +896,39 @@ object TextOps {
         .agg(count(lit(1)).as("n_segments"),
           count(when(col("c") >= 3, 1)).as("n_removed"))
         .orderBy("doc_id")
+    },
+
+    // The APPLY step of j_dedup_lines (r10): emit each document with
+    // its ≥3-occurrence segments REMOVED (content witnessed as an md5
+    // so the oracle pins the exact cleaned text without shipping it).
+    // Scale shape: the banned-fingerprint set — segments repeated ≥3
+    // times corpus-wide, a tiny fraction of distinct segments at any
+    // realistic threshold — is aggregated once and BROADCAST back,
+    // so the reconstruction is pure in-scan work per document (filter
+    // HOF over the row's own segment array): document text never
+    // crosses an exchange, only fingerprints do. If the banned set
+    // ever outgrew broadcast, the fallback is the fp-join formulation
+    // j_dedup_lines uses for its counts.
+    "j_dedup_lines_apply" -> { (s, d) =>
+      val tk = split(col("text"), " ")
+      val nSeg = ((size(tk) - lit(1)) / lit(5)).cast(IntegerType)
+      val segArr = transform(sequence(lit(0), nSeg),
+        i => array_join(slice(tk, i * 5 + 1, lit(5)), " "))
+      val banned = Tables.documents(s, d)
+        .select(explode(segArr).as("seg"))
+        .groupBy(md5(col("seg")).as("fp"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+        .agg(collect_list(col("fp")).as("banned"))
+      Tables.documents(s, d)
+        .crossJoin(broadcast(banned))
+        .select(col("doc_id"),
+          filter(segArr, sEl =>
+            !array_contains(col("banned"), md5(sEl))).as("kept"))
+        .select(col("doc_id"),
+          size(col("kept")).as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("cleaned_md5"))
+        .orderBy("doc_id")
     }
   )
 
@@ -1482,6 +1515,27 @@ object TextOps {
         |SELECT seg.doc_id, count(*) AS n_segments,
         |  count(CASE WHEN cnt.c >= 3 THEN 1 END) AS n_removed
         |FROM seg JOIN cnt USING (fp)
+        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin,
+
+    "j_dedup_lines_apply" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,
+        |      CAST(floor((len(string_split(text, ' ')) - 1) / 5.0)
+        |        AS BIGINT))) AS si,
+        |    string_split(text, ' ') AS tk
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, si,
+        |    array_to_string(list_slice(tk, CAST(si*5 + 1 AS INT),
+        |      CAST(si*5 + 5 AS INT)), ' ') AS s
+        |  FROM segs),
+        |cnt AS (SELECT md5(s) AS fp, count(*) AS c FROM seg GROUP BY fp)
+        |SELECT seg.doc_id,
+        |  CAST(count(CASE WHEN cnt.c < 3 THEN 1 END) AS INT) AS n_kept,
+        |  coalesce(md5(string_agg(CASE WHEN cnt.c < 3 THEN seg.s END,
+        |    ' ' ORDER BY seg.si)), md5('')) AS cleaned_md5
+        |FROM seg JOIN cnt ON md5(seg.s) = cnt.fp
         |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin
   )
 }

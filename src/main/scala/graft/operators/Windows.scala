@@ -284,6 +284,27 @@ object Windows {
           col("n_active"), col("cohort_size"),
           expr("n_active * 10000 div cohort_size").as("retention_bp"))
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // Gaps and islands (r10): maximal runs of consecutive active DAYS
+    // per user — the canonical streak/sequence-detection SQL pattern
+    // (the row_number-difference trick: day − rank is constant within
+    // a consecutive run). All-integer day arithmetic; one distinct
+    // over (user, day) — partial-aggregable, output user-activity-
+    // sized — then one window over that small frame. The engagement-
+    // streak twin of e_retention_cohorts.
+    "e_window_gap_islands" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("day")
+      Tables.eventsWithNanos(s, d)
+        .select(col("user_id"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(min("day").as("island_start"), max("day").as("island_end"),
+          count(lit(1)).as("island_len"))
+        .select("user_id", "island_start", "island_end", "island_len")
+        .orderBy("user_id", "island_start")
     }
   )
 
@@ -461,6 +482,20 @@ object Windows {
         |SELECT act.cw AS cohort_week, act.k AS week_offset, n_active,
         |  cohort_size, n_active * 10000 // cohort_size AS retention_bp
         |FROM act JOIN sizes USING (cw)
-        |ORDER BY cohort_week, week_offset""".stripMargin
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "e_window_gap_islands" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |num AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM days)
+        |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
+        |  count(*) AS island_len
+        |FROM num GROUP BY user_id, grp
+        |ORDER BY user_id, island_start""".stripMargin
   )
 }

@@ -147,6 +147,55 @@ class R10WideningSpec extends SparkSpec {
     }
   }
 
+  test("e_window_gap_islands: islands tile the active days, are " +
+    "separated by real gaps, and lengths are exact") {
+    val out = q("e_window_gap_islands").collect()
+    val activeDays = Tables.eventsWithNanos(spark, sfDir)
+      .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000"))
+      .distinct().count()
+    // every active day is in exactly one island
+    assert(out.map(_.getLong(3)).sum == activeDays)
+    out.groupBy(_.getLong(0)).foreach { case (_, islands) =>
+      val sorted = islands.sortBy(_.getLong(1))
+      sorted.foreach { r =>
+        assert(r.getLong(2) - r.getLong(1) + 1 == r.getLong(3),
+          "island not consecutive")
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) > a.getLong(2) + 1,
+            "adjacent islands not separated by a gap")
+        case _ =>
+      }
+    }
+  }
+
+  test("i_anonymize_hash: collision-free, event-conserving, id-free") {
+    val out = q("i_anonymize_hash").collect()
+    assert(out.forall(_.getLong(2) == 1), "pseudonym collision")
+    assert(out.map(_.getLong(1)).sum ==
+      Tables.events(spark, sfDir).count())
+    assert(out.length ==
+      Tables.events(spark, sfDir).select("user_id").distinct().count())
+  }
+
+  test("j_dedup_lines_apply agrees with the j_dedup_lines profile " +
+    "and witnesses real content") {
+    val profile = q("j_dedup_lines").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = q("j_dedup_lines_apply").collect()
+    assert(out.length == profile.size)
+    out.foreach { r =>
+      val (nSeg, nRem) = profile(r.getLong(0))
+      assert(r.getInt(1) == nSeg - nRem,
+        s"doc ${r.getLong(0)}: kept ${r.getInt(1)} vs $nSeg-$nRem")
+      assert(r.getString(2).length == 32)
+    }
+    // untouched docs witness their original (re-tiled) text
+    val untouched = out.filter(r => profile(r.getLong(0))._2 == 0)
+    assert(untouched.nonEmpty)
+  }
+
   test("j_embed_dim_stats covers all 64 dimensions with consistent " +
     "bounds") {
     val out = q("j_embed_dim_stats").collect()
