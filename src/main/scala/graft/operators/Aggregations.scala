@@ -158,6 +158,52 @@ object Aggregations {
       med.join(mode, "l_returnflag").orderBy("l_returnflag")
     },
 
+    // Robust statistics (r10): median absolute deviation per return
+    // flag — the outlier-resistant dispersion twin of d_agg_stats'
+    // stddev. Two sort-based aggregations (the median, then the
+    // median of absolute residuals) with a broadcast-sized join of
+    // the 3 per-flag medians in between; both engines interpolate the
+    // 0.5-percentile identically and r4 absorbs the last ulp.
+    "d_agg_mad_robust" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("m"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(r4(max(col("m"))).as("med_qty"),
+          r4(median(abs(col("l_quantity") - col("m")))).as("mad_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Same-day audience overlap (r10): user-days on which BOTH halves
+    // of each behavior pair occurred — the exact-set-intersection
+    // counting the sketch entries (d_agg_sketch_union) approximate.
+    // One pass builds per-(user, day) behavior flags (partial-
+    // aggregable), then the three intersections are flag products in
+    // a single tiny aggregate; `stack` reshapes the 1×3 result long.
+    "d_agg_audience_overlap" -> { (s, d) =>
+      Tables.eventsWithNanos(s, d)
+        .select(col("user_id"),
+          expr("(ts_ns div 1000) div 86400000000").as("day"),
+          col("event_type"))
+        .groupBy("user_id", "day")
+        .agg(
+          max(when(col("event_type") === "view", 1).otherwise(0)).as("v"),
+          max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("p"))
+        .agg(sum(col("v") * col("c")).as("vc"),
+          sum(col("v") * col("p")).as("vp"),
+          sum(col("c") * col("p")).as("cp"))
+        .selectExpr("""stack(3,
+          'click_and_purchase', cp,
+          'view_and_click', vc,
+          'view_and_purchase', vp) AS (pair, n_user_days)""")
+        .select(col("pair"), col("n_user_days").cast("long")
+          .as("n_user_days"))
+        .orderBy("pair")
+    },
+
     // Equi-width histogram (r10): 20 fixed $25k buckets over order
     // totalprice, top bucket open — the distribution profile behind
     // every dashboard histogram, stated as pure integer bucket
@@ -380,6 +426,31 @@ object Aggregations {
         |SELECT med.l_returnflag, med.med_qty, m.mode_qty, m.mode_n
         |FROM med JOIN m ON med.l_returnflag = m.l_returnflag AND m.rn = 1
         |ORDER BY med.l_returnflag""".stripMargin,
+
+    "d_agg_mad_robust" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, median(l_quantity) AS m
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  round(max(med.m), 4) AS med_qty,
+        |  round(median(abs(l.l_quantity - med.m)), 4) AS mad_qty
+        |FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "d_agg_audience_overlap" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY user_id, day)
+        |SELECT 'click_and_purchase' AS pair,
+        |  CAST(sum(c * p) AS BIGINT) AS n_user_days FROM u
+        |UNION ALL SELECT 'view_and_click', CAST(sum(v * c) AS BIGINT)
+        |FROM u
+        |UNION ALL SELECT 'view_and_purchase', CAST(sum(v * p) AS BIGINT)
+        |FROM u
+        |ORDER BY pair""".stripMargin,
 
     "d_agg_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT)

@@ -219,6 +219,29 @@ object EtlOps {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_ids"))
         .orderBy("pseudo_id")
+    },
+
+    // Right-to-be-forgotten propagation (r10): purge every event of
+    // the users on a forget list (deterministic stand-in: ids ≡ 0
+    // mod 97) and audit the purge per event type. The kept set is a
+    // LEFT ANTI join against the broadcast forget list — the shape a
+    // GDPR delete takes at 100 TB (the forget list is always tiny
+    // relative to the corpus; pair with Layout.overwritePartitions to
+    // rewrite only the partitions containing a forgotten user). The
+    // audit emits kept + dropped so downstream reconciliation can
+    // assert kept + dropped = previous total.
+    "i_forget_users" -> { (s, d) =>
+      val events = Tables.events(s, d)
+      val forget = events.select("user_id").distinct()
+        .filter(pmod(col("user_id"), lit(97L)) === 0)
+      val kept = events
+        .join(broadcast(forget), Seq("user_id"), "left_anti")
+        .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+      events.groupBy("event_type").agg(count(lit(1)).as("n_total"))
+        .join(kept, "event_type")
+        .select(col("event_type"), col("n_kept"),
+          (col("n_total") - col("n_kept")).as("n_dropped"))
+        .orderBy("event_type")
     }
   )
 
@@ -322,6 +345,17 @@ object EtlOps {
         |    || CAST(user_id AS VARCHAR)), 1, 16) AS pseudo_id,
         |  count(*) AS n_events,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_ids
-        |FROM events GROUP BY pseudo_id ORDER BY pseudo_id""".stripMargin
+        |FROM events GROUP BY pseudo_id ORDER BY pseudo_id""".stripMargin,
+    "i_forget_users" ->
+      """WITH kept AS (
+        |  SELECT event_type, count(*) AS n_kept FROM events
+        |  WHERE user_id % 97 <> 0 GROUP BY event_type),
+        |tot AS (
+        |  SELECT event_type, count(*) AS n_total FROM events
+        |  GROUP BY event_type)
+        |SELECT tot.event_type, kept.n_kept,
+        |  tot.n_total - kept.n_kept AS n_dropped
+        |FROM tot JOIN kept USING (event_type)
+        |ORDER BY tot.event_type""".stripMargin
   )
 }

@@ -929,6 +929,34 @@ object TextOps {
           size(col("kept")).as("n_kept"),
           md5(array_join(col("kept"), " ")).as("cleaned_md5"))
         .orderBy("doc_id")
+    },
+
+    // Collocation mining (r10): top-20 adjacent-token pairs by PMI
+    // (pointwise mutual information, min count 5) — the phrase-mining
+    // pass that seeds tokenizer merge candidates and corpus phrase
+    // lists. One persisted bigram explode feeds all three count
+    // frames (the j_text_bigram_lm discipline); PMI's doubles come
+    // from exact integer counts through the identical expression on
+    // both engines, so even the top-20 ordering is reproducible. The
+    // unigram join keys are tokens — bounded by vocabulary, not
+    // corpus size.
+    "j_text_collocations" -> { (s, d) =>
+      val tp = graft.Caches.persisted(
+        bigramPairs(Tables.documents(s, d)))
+      val uni = tp.groupBy("cur").agg(count(lit(1)).as("uc"))
+      val tot = tp.agg(count(lit(1)).as("n"))
+      val big = tp.filter(col("prev").isNotNull)
+        .groupBy("prev", "cur").agg(count(lit(1)).as("bc"))
+      big.filter(col("bc") >= 5)
+        .join(uni.select(col("cur").as("prev"), col("uc").as("ucp")),
+          "prev")
+        .join(uni.select(col("cur"), col("uc").as("ucc")), "cur")
+        .crossJoin(broadcast(tot))
+        .select(col("prev"), col("cur"), col("bc"),
+          Det.r4(log(col("bc").cast(DoubleType) * col("n") /
+            (col("ucp").cast(DoubleType) * col("ucc")))).as("pmi"))
+        .orderBy(desc("pmi"), asc("prev"), asc("cur"))
+        .limit(20)
     }
   )
 
@@ -1536,6 +1564,30 @@ object TextOps {
         |  coalesce(md5(string_agg(CASE WHEN cnt.c < 3 THEN seg.s END,
         |    ' ' ORDER BY seg.si)), md5('')) AS cleaned_md5
         |FROM seg JOIN cnt ON md5(seg.s) = cnt.fp
-        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin
+        |GROUP BY seg.doc_id ORDER BY seg.doc_id""".stripMargin,
+
+    "j_text_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |pairs AS (
+        |  SELECT tk[CAST(i AS INT)] AS prev, tk[CAST(i + 1 AS INT)] AS cur
+        |  FROM toks,
+        |    LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) g),
+        |uni AS (
+        |  SELECT cur AS tok, count(*) AS uc FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS cur FROM documents)
+        |  GROUP BY tok),
+        |tot AS (SELECT count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) FROM documents)),
+        |big AS (
+        |  SELECT prev, cur, count(*) AS bc FROM pairs GROUP BY prev, cur)
+        |SELECT b.prev, b.cur, b.bc,
+        |  round(ln(CAST(b.bc AS DOUBLE) * t.n /
+        |    (CAST(u1.uc AS DOUBLE) * u2.uc)), 4) AS pmi
+        |FROM big b
+        |JOIN uni u1 ON b.prev = u1.tok
+        |JOIN uni u2 ON b.cur = u2.tok, tot t
+        |WHERE b.bc >= 5
+        |ORDER BY pmi DESC, b.prev, b.cur LIMIT 20""".stripMargin
   )
 }

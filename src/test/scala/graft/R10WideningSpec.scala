@@ -196,6 +196,51 @@ class R10WideningSpec extends SparkSpec {
     assert(untouched.nonEmpty)
   }
 
+  test("j_text_collocations: counts honest, PMI ordered, threshold " +
+    "respected") {
+    val out = q("j_text_collocations").collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getLong(2) >= 5), "min-count threshold leaked")
+    val pmis = out.map(_.getDouble(3))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b },
+      "PMI not descending")
+  }
+
+  test("d_agg_mad_robust: MAD is non-negative and at most the range") {
+    val out = q("d_agg_mad_robust").collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      val (med, mad) = (r.getDouble(1), r.getDouble(2))
+      assert(mad >= 0 && med > 0)
+      assert(mad <= med, "MAD of positive quantities exceeds median")
+    }
+  }
+
+  test("d_agg_audience_overlap is bounded by user-day count and " +
+    "symmetric in its construction") {
+    val out = q("d_agg_audience_overlap").collect()
+    assert(out.length == 3)
+    val userDays = Tables.eventsWithNanos(spark, sfDir)
+      .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000"))
+      .distinct().count()
+    out.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) <= userDays))
+  }
+
+  test("i_forget_users: kept + dropped = total, forgotten ids fully " +
+    "purged") {
+    val out = q("i_forget_users").collect()
+    val totals = Tables.events(spark, sfDir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == totals(r.getString(0)))
+    }
+    val forgotten = Tables.events(spark, sfDir)
+      .filter(pmod(col("user_id"), lit(97L)) === 0).count()
+    assert(out.map(_.getLong(2)).sum == forgotten,
+      "dropped count does not equal the forget set's events")
+  }
+
   test("j_embed_dim_stats covers all 64 dimensions with consistent " +
     "bounds") {
     val out = q("j_embed_dim_stats").collect()
