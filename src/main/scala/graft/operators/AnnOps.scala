@@ -651,6 +651,30 @@ object AnnOps {
         .orderBy("doc_id")
     },
 
+    // Class-balanced downsampling (r10): every label kept at exactly
+    // the MINORITY class's count — the rebalancing step before
+    // training a classifier on skewed labels. Selection is a
+    // deterministic per-class ranking by the Lehmer id hash (never
+    // rand()), so the kept SET is stable under repartitioning and
+    // re-runs; kept_id_sum witnesses membership, not just counts.
+    // One tiny count aggregate broadcasts the floor; the ranking is
+    // one hash exchange on label (bounded-cardinality partitions —
+    // salt the rank window per class at extreme label skew).
+    "j_sample_class_balance" -> { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val floor = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("m"))
+      val w = Window.partitionBy("label")
+        .orderBy(TextOps.splitBucket(col("vec_id")), col("vec_id"))
+      e.crossJoin(broadcast(floor))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= col("m"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("vec_id")).as("kept_id_sum"))
+        .orderBy("label")
+    },
+
     // REAL image decode through the correctness gate (r8 — replaces
     // the byte-tiling stub): payloads are actual PNGs (JDK-encoded
     // grayscale, pixel j = (media_id + j) mod 256), decoded by
@@ -845,6 +869,19 @@ object AnnOps {
         |FROM documents
         |WHERE ${TextOps.splitBucketSql("doc_id")} < 10
         |ORDER BY doc_id""".stripMargin,
+    "j_sample_class_balance" ->
+      s"""WITH m AS (SELECT min(n) AS m FROM (
+         |  SELECT label, count(*) AS n FROM embeddings GROUP BY label)),
+         |r AS (
+         |  SELECT vec_id, label,
+         |    row_number() OVER (PARTITION BY label
+         |      ORDER BY ${TextOps.splitBucketSql("vec_id")}, vec_id)
+         |      AS rk
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_kept,
+         |  CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+         |FROM r, m WHERE rk <= m.m
+         |GROUP BY label ORDER BY label""".stripMargin,
     // closed form of the planted-PNG pixel sum: pixels are the
     // consecutive run (s, s+1, …) mod 256 with s = media_id mod 256,
     // so the sum is full-cycles · 32640 plus a remainder-run sum that

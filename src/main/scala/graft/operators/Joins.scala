@@ -144,6 +144,36 @@ object Joins {
         .orderBy("p_id")
     },
 
+    // Nearest as-of (merge_asof direction='nearest' — completes the
+    // backward/forward/nearest triple): for each purchase, the same
+    // user's click minimizing |Δt| within the 2-hour band, EITHER
+    // direction, ties to the earlier click; LEFT so unmatched
+    // purchases surface. Same scale shape as the siblings: the band
+    // bounds the fan-in and the watermark state, and the argmin is a
+    // per-purchase top-1 window — never a global sort.
+    "c_join_asof_nearest" -> { (s, d) =>
+      val e = Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts_us").as("c_ts"))
+      val tolUs = 7200000000L // 2 hours
+      val w = Window.partitionBy("p_id")
+        .orderBy(asc_nulls_last("adt"), asc_nulls_last("c_ts"),
+          asc_nulls_last("c_id"))
+      p.join(c,
+          col("user_id") === col("c_user") &&
+            abs(col("c_ts") - col("p_ts")) <= tolUs, "left")
+        .withColumn("adt", abs(col("c_ts") - col("p_ts")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("p_id", "user_id", "p_ts", "c_id", "c_ts")
+        .orderBy("p_id")
+    },
+
     // TPC-H Q5 shape: revenue by nation for ASIA, 1996. The plan is
     // hint-deterministic (the Bench runs AQE-off): region→nation is a
     // broadcast chain pushed into customer BEFORE the fact joins, so
@@ -347,6 +377,19 @@ object Joins {
         |               ORDER BY c_ts ASC NULLS LAST, c_id ASC NULLS LAST) AS rn
         |           FROM p LEFT JOIN c ON user_id = c_user
         |             AND c_ts > p_ts AND c_ts <= p_ts + 7200000000)
+        |SELECT p_id, user_id, p_ts, c_id, c_ts FROM j WHERE rn = 1
+        |ORDER BY p_id""".stripMargin,
+    "c_join_asof_nearest" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p_id, user_id, p_ts, c_id, c_ts,
+        |             row_number() OVER (PARTITION BY p_id
+        |               ORDER BY abs(c_ts - p_ts) ASC NULLS LAST,
+        |                 c_ts ASC NULLS LAST, c_id ASC NULLS LAST) AS rn
+        |           FROM p LEFT JOIN c ON user_id = c_user
+        |             AND abs(c_ts - p_ts) <= 7200000000)
         |SELECT p_id, user_id, p_ts, c_id, c_ts FROM j WHERE rn = 1
         |ORDER BY p_id""".stripMargin,
     "c_join_multiway_q5" ->

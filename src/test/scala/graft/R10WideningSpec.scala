@@ -241,6 +241,49 @@ class R10WideningSpec extends SparkSpec {
       "dropped count does not equal the forget set's events")
   }
 
+  test("c_join_asof_nearest picks the closer of the backward/forward " +
+    "candidates and keeps every purchase") {
+    val near = q("c_join_asof_nearest").collect()
+    val purchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(near.length == purchases, "a purchase was dropped")
+    val back = q("c_join_asof").collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val fwd = q("c_join_asof_forward").collect()
+      .filter(!_.isNullAt(4)).map(r => r.getLong(0) -> r.getLong(4)).toMap
+    near.filter(!_.isNullAt(4)).foreach { r =>
+      val (pId, pTs, cTs) = (r.getLong(0), r.getLong(2), r.getLong(4))
+      val dt = math.abs(cTs - pTs)
+      assert(dt <= 7200000000L, "outside the tolerance band")
+      // nearest must be at least as close as either directional pick
+      // that falls inside the band
+      back.get(pId).filter(b => pTs - b <= 7200000000L)
+        .foreach(b => assert(dt <= pTs - b))
+      fwd.get(pId).foreach(f => assert(dt <= f - pTs))
+    }
+  }
+
+  test("j_sample_class_balance: every class at the minority count, " +
+    "selection deterministic") {
+    val out = q("j_sample_class_balance").collect()
+    val counts = Tables.embeddings(spark, sfDir)
+      .groupBy("label").count().collect().map(_.getLong(1))
+    val m = counts.min
+    assert(out.length == counts.length)
+    assert(out.forall(_.getLong(1) == m), "a class missed the floor")
+    // re-derive the kept set independently and match the witness sum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("label")
+      .orderBy(graft.operators.TextOps.splitBucket(col("vec_id")),
+        col("vec_id"))
+    val expect = Tables.embeddings(spark, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .groupBy("label").agg(sum("vec_id").as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(2) == expect(r.getInt(0))))
+  }
+
   test("j_embed_dim_stats covers all 64 dimensions with consistent " +
     "bounds") {
     val out = q("j_embed_dim_stats").collect()
