@@ -125,6 +125,99 @@ class PropertySpec extends SparkSpec {
     assert(naive == 19900L, s"expected 19900 naive pairs, got $naive")
   }
 
+  test("streaming attribution equals the window formulation on " +
+    "randomized event timelines") {
+    import graft.streaming.{AttributionStream, TouchEvent}
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 4L),                       // user
+      Gen.chooseNum(0L, 12L * 86400000000L),       // ts_us over 12 days
+      Gen.oneOf("view", "click", "purchase", "error")))
+    samples(evGen, 8).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, t), i) =>
+        TouchEvent(u, ts, i.toLong, t, (i % 7).toDouble)
+      }
+      val stateful = AttributionStream
+        .attributionBatch(rows.toDS())
+        .select("event_id", "channel").as[(Long, String)]
+        .collect().toSet
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type").isin("view", "click"),
+        col("event_type"))
+      val windowed = rows.toDS().toDF()
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .withColumn("lu",
+          last(when(touch.isNotNull, col("ts_us")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          coalesce(when(col("lu").isNotNull && col("ts_us") - col("lu")
+            <= AttributionStream.LookbackUs, col("lt")), lit("direct"))
+            .as("channel"))
+        .as[(Long, String)].collect().toSet
+      assert(stateful == windowed, s"diverged on ${evs.take(5)}...")
+    }
+  }
+
+  test("streaming z-score equals the decimal-window formulation on " +
+    "randomized value series") {
+    import graft.streaming.{ValueEvent, ZscoreStream}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 3L),
+      Gen.chooseNum(0L, 1000000L),
+      Gen.chooseNum(0, 99999)))
+    samples(evGen, 8).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, cents), i) =>
+        ValueEvent(u, ts, i.toLong, cents / 100.0) // exact 2-decimal
+      }
+      val stateful = ZscoreStream.zscoreBatch(rows.toDS())
+        .select("event_id", "z").as[(Long, Double)].collect().toSet
+      val win = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(-20, -1)
+      val windowed = rows.toDS().toDF()
+        .withColumn("sw", sum(col("value").cast(DecimalType(20, 6)))
+          .over(win).cast(DoubleType))
+        .withColumn("sq",
+          sum((col("value") * col("value")).cast(DecimalType(24, 6)))
+            .over(win).cast(DoubleType))
+        .withColumn("n", count(lit(1)).over(win))
+        .withColumn("variance",
+          (col("sq") - col("sw") * col("sw") / col("n")) / (col("n") - 1))
+        .filter(col("n") >= 10 && col("variance") > 0)
+        .withColumn("z", (col("value") - col("sw") / col("n")) /
+          sqrt(col("variance")))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), round(col("z"), 4).as("z"))
+        .as[(Long, Double)].collect().toSet
+      assert(stateful == windowed, s"diverged on ${evs.take(5)}...")
+    }
+  }
+
+  test("doc chunking tiles any string: bounded windows, stride " +
+    "alignment, full coverage") {
+    val txtGen = Gen.chooseNum(0, 400).flatMap(n =>
+      Gen.stringOfN(n, Gen.alphaNumChar))
+    samples(txtGen, 15).foreach { txt =>
+      val nIdx = math.max(0L, math.ceil((txt.length - 120) / 90.0).toLong)
+      val chunks = (0L to nIdx).map(i =>
+        txt.slice((i * 90).toInt, (i * 90).toInt + 120))
+      // same derivation the j_doc_chunk operator makes in-plan
+      val df = Seq(txt).toDF("text")
+        .select(explode(sequence(lit(0L), greatest(lit(0L),
+          ceil((length(col("text")) - lit(120)).cast("double") / 90.0)
+            .cast("long")))).as("i"), col("text"))
+        .select(col("text").substr((col("i") * 90 + 1).cast("int"),
+          lit(120)).as("c"))
+        .as[String].collect().toSeq
+      assert(df == chunks)
+      assert(chunks.forall(_.length <= 120))
+      if (txt.nonEmpty)
+        assert(chunks.map(_.length).sum >= txt.length,
+          "tiling lost characters")
+    }
+  }
+
   test("upsert latest-wins keeps exactly the highest version per key") {
     val kv = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)))
     samples(kv).foreach { kvs =>
