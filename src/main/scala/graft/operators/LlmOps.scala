@@ -753,6 +753,27 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Asymmetric CONTAINMENT pairs (r10): n_common / |smaller side| —
+    // the subset/quote-detection metric jaccard structurally misses (a
+    // short doc fully inside a long one scores jac ≈ |A|/|B| → 0 but
+    // containment 1.0). Same rare-shingle blocked candidates and exact
+    // verification as the jaccard entry; the oracle runs the SAME
+    // blocked derivation (the j_dedup_cascade convention — at τ=0.8
+    // a pair sharing only hot shingles is out of blocking recall by
+    // construction, so the claim is exactness ON the blocked
+    // candidate set, disclosed here).
+    "j_dedup_containment" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
+        .withColumn("cont", col("n_common").cast(DoubleType) /
+          least(col("sh_a"), col("sh_b")))
+        .filter(col("cont") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          least(col("sh_a"), col("sh_b")).as("n_small"),
+          Det.r4(col("cont")).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // The full dedup cascade as one operator: rare-shingle blocking →
     // exact-jaccard verify on candidates only → deterministic dup
     // decision (each duplicate points at its smallest verified partner
@@ -1139,6 +1160,36 @@ object LlmOps {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // same blocked-candidate derivation as the cascade oracle below,
+    // with the containment projection instead of the dup decision
+    "j_dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (
+         |  SELECT ex.doc_id, ex.shingle FROM ex
+         |  JOIN dfreq ON dfreq.shingle = ex.shingle
+         |  WHERE dfreq.df <= ${DfCutoff}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex a ON a.doc_id = c.doc_a
+         |  JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, n_common,
+         |  CAST(least(sa.n_sh, sb.n_sh) AS INT) AS n_small,
+         |  round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4)
+         |    AS containment
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
     // The oracle mirrors the cascade stage for stage — rare-shingle
     // blocking (same df cutoff), exact verify on candidates, min-partner

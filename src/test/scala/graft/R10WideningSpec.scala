@@ -284,6 +284,32 @@ class R10WideningSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) == expect(r.getInt(0))))
   }
 
+  test("j_dedup_containment dominates jaccard pairwise and catches " +
+    "every exact-dup pair") {
+    val cont = q("j_dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // containment >= jaccard always; any jac >= 0.8 pair must appear
+    q("j_jaccard_shingle_pairs").collect().foreach { r =>
+      val (key, jac) = ((r.getLong(0), r.getLong(1)), r.getDouble(3))
+      cont.get(key).foreach(c => assert(c >= jac - 1e-9))
+      if (jac >= 0.8) assert(cont.contains(key),
+        s"jac-$jac pair $key missing from containment")
+    }
+    // identical-text docs (the fixture's exact dups) score 1.0
+    val texts = Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id"), col("ids")).collect()
+    val dupPairs = texts.flatMap { r =>
+      val ids = r.getSeq[Long](1).sorted
+      ids.combinations(2).map(p => (p(0), p(1)))
+    }.toSet
+    dupPairs.foreach { p =>
+      assert(cont.get(p).contains(1.0), s"exact-dup pair $p not 1.0")
+    }
+    Caches.release(spark)
+  }
+
   test("j_embed_dim_stats covers all 64 dimensions with consistent " +
     "bounds") {
     val out = q("j_embed_dim_stats").collect()
