@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 import graft.Det._
 
 /** §2.D — aggregations. Each entry returns a totally-ordered DataFrame
@@ -202,6 +203,36 @@ object Aggregations {
         .select(col("pair"), col("n_user_days").cast("long")
           .as("n_user_days"))
         .orderBy("pair")
+    },
+
+    // Gini concentration (r10): revenue-inequality coefficient per
+    // market segment from the rank formulation
+    // G = 2·Σ(i·vᵢ)/(n·Σvᵢ) − (n+1)/n over ascending-ranked customer
+    // revenues — the concentration metric behind "is this segment
+    // whale-driven". Both moment sums go through exact decimals (the
+    // ranks are integers, the revenues exact 2-decimal sums), so the
+    // double division at the end is identical on both engines. One
+    // customer-level aggregation + one rank window per segment.
+    "d_agg_gini" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+        .agg(Det.dsum(col("o_totalprice")).as("v"))
+      val w = Window.partitionBy("seg").orderBy(asc("v"), asc("c_custkey"))
+      rev.withColumn("i", row_number().over(w))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"),
+          sum((col("i") * col("v")).cast(DecimalType(24, 6)))
+            .cast(DoubleType).as("s1"),
+          sum(col("v").cast(DecimalType(20, 6)))
+            .cast(DoubleType).as("s2"))
+        .select(col("seg"),
+          r4(lit(2.0) * col("s1") / (col("n") * col("s2")) -
+            (col("n") + lit(1.0)) / col("n")).as("gini"),
+          col("n").as("n_customers"))
+        .orderBy("seg")
     },
 
     // Equi-width histogram (r10): 20 fixed $25k buckets over order
@@ -451,6 +482,25 @@ object Aggregations {
         |UNION ALL SELECT 'view_and_purchase', CAST(sum(v * p) AS BIGINT)
         |FROM u
         |ORDER BY pair""".stripMargin,
+
+    "d_agg_gini" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY seg, c_custkey),
+        |rk AS (
+        |  SELECT seg, v,
+        |    row_number() OVER (PARTITION BY seg ORDER BY v, c_custkey)
+        |      AS i,
+        |    count(*) OVER (PARTITION BY seg) AS n
+        |  FROM rev)
+        |SELECT seg,
+        |  round(2.0 * CAST(SUM(CAST(i * v AS DECIMAL(24,6))) AS DOUBLE)
+        |    / (max(n) * CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE))
+        |    - (max(n) + 1.0) / max(n), 4) AS gini,
+        |  CAST(max(n) AS BIGINT) AS n_customers
+        |FROM rk GROUP BY seg ORDER BY seg""".stripMargin,
 
     "d_agg_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT)

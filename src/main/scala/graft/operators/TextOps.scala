@@ -957,6 +957,40 @@ object TextOps {
             (col("ucp").cast(DoubleType) * col("ucc")))).as("pmi"))
         .orderBy(desc("pmi"), asc("prev"), asc("cur"))
         .limit(20)
+    },
+
+    // Corpus drift (r10): Jensen-Shannon divergence between the
+    // unigram distributions of the 80/20 id-hash splits — the
+    // train-vs-validation skew monitor (0 nats = identical
+    // distributions; ln 2 = disjoint). Each vocabulary term's JS
+    // contribution is computed from exact count ratios through the
+    // identical expression on both engines and decimal-cast before
+    // the sum, so the scalar is order-independent. Cost: one token
+    // explode → (half, token) counts — vocabulary-sized everything
+    // after the first partial-aggregated exchange.
+    "j_corpus_drift" -> { (s, d) =>
+      val half = when(splitBucket(col("doc_id")) < 80, "a").otherwise("b")
+      val c = Tables.documents(s, d)
+        .select(half.as("half"), explode(toks).as("tok"))
+        .groupBy("half", "tok").agg(count(lit(1)).as("c"))
+      val tot = c.groupBy("half").agg(sum(col("c")).as("t"))
+      val p = c.join(tot, "half")
+        .groupBy("tok")
+        .agg(max(when(col("half") === "a",
+          col("c").cast(DoubleType) / col("t"))).as("pa"),
+          max(when(col("half") === "b",
+            col("c").cast(DoubleType) / col("t"))).as("pb"))
+      val m = (coalesce(col("pa"), lit(0.0)) +
+        coalesce(col("pb"), lit(0.0))) / lit(2)
+      val contrib =
+        lit(0.5) * when(col("pa").isNull || col("pa") === 0, lit(0.0))
+          .otherwise(col("pa") * log(col("pa") / m)) +
+        lit(0.5) * when(col("pb").isNull || col("pb") === 0, lit(0.0))
+          .otherwise(col("pb") * log(col("pb") / m))
+      p.agg(
+        Det.r4(sum(contrib.cast(DecimalType(24, 12))).cast(DoubleType))
+          .as("js_nats"),
+        count(lit(1)).as("vocab"))
     }
   )
 
@@ -1588,6 +1622,31 @@ object TextOps {
         |JOIN uni u1 ON b.prev = u1.tok
         |JOIN uni u2 ON b.cur = u2.tok, tot t
         |WHERE b.bc >= 5
-        |ORDER BY pmi DESC, b.prev, b.cur LIMIT 20""".stripMargin
+        |ORDER BY pmi DESC, b.prev, b.cur LIMIT 20""".stripMargin,
+
+    "j_corpus_drift" ->
+      s"""WITH tk AS (
+         |  SELECT CASE WHEN ${splitBucketSql("doc_id")} < 80
+         |      THEN 'a' ELSE 'b' END AS half,
+         |    unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |c AS (SELECT half, tok, count(*) AS c FROM tk GROUP BY half, tok),
+         |tot AS (SELECT half, sum(c) AS t FROM c GROUP BY half),
+         |p AS (
+         |  SELECT tok,
+         |    max(CASE WHEN c.half = 'a'
+         |      THEN CAST(c AS DOUBLE) / t END) AS pa,
+         |    max(CASE WHEN c.half = 'b'
+         |      THEN CAST(c AS DOUBLE) / t END) AS pb
+         |  FROM c JOIN tot ON c.half = tot.half GROUP BY tok)
+         |SELECT round(CAST(SUM(CAST(
+         |    0.5 * (CASE WHEN pa IS NULL OR pa = 0 THEN 0
+         |      ELSE pa * ln(pa / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END)
+         |  + 0.5 * (CASE WHEN pb IS NULL OR pb = 0 THEN 0
+         |      ELSE pb * ln(pb / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END) AS DECIMAL(24,12))) AS DOUBLE), 4) AS js_nats,
+         |  count(*) AS vocab
+         |FROM p""".stripMargin
   )
 }

@@ -305,6 +305,36 @@ object Windows {
           count(lit(1)).as("island_len"))
         .select("user_id", "island_start", "island_end", "island_len")
         .orderBy("user_id", "island_start")
+    },
+
+    // Pareto concentration (r10): per segment, how many top customers
+    // carry 80% of revenue (and their share of the customer base in
+    // basis points) — the 80/20 analysis next to d_agg_gini's single
+    // coefficient. Running share via exact decimal window sums over
+    // the revenue-ranked customers; a customer counts while the
+    // cumulative revenue BEFORE them is still under the threshold.
+    // One customer-level aggregation + one ranked window per segment.
+    "e_window_pareto" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+        .agg(Det.dsum(col("o_totalprice")).as("v"))
+      val w = Window.partitionBy("seg").orderBy(desc("v"), asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wSeg = Window.partitionBy("seg")
+      rev
+        .withColumn("cum",
+          sum(col("v").cast(DecimalType(20, 6))).over(w).cast(DoubleType))
+        .withColumn("tot",
+          sum(col("v").cast(DecimalType(20, 6))).over(wSeg)
+            .cast(DoubleType))
+        .groupBy("seg")
+        .agg(count(when(col("cum") - col("v") < lit(0.8) * col("tot"), 1))
+          .as("n_top80"),
+          count(lit(1)).as("n_customers"))
+        .select(col("seg"), col("n_top80"), col("n_customers"),
+          expr("n_top80 * 10000 div n_customers").as("share_bp"))
+        .orderBy("seg")
     }
   )
 
@@ -496,6 +526,29 @@ object Windows {
         |SELECT user_id, min(day) AS island_start, max(day) AS island_end,
         |  count(*) AS island_len
         |FROM num GROUP BY user_id, grp
-        |ORDER BY user_id, island_start""".stripMargin
+        |ORDER BY user_id, island_start""".stripMargin,
+
+    "e_window_pareto" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment AS seg, c_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY seg, c_custkey),
+        |rk AS (
+        |  SELECT seg, c_custkey, v,
+        |    CAST(SUM(CAST(v AS DECIMAL(20,6))) OVER (PARTITION BY seg
+        |      ORDER BY v DESC, c_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS cum,
+        |    CAST(SUM(CAST(v AS DECIMAL(20,6))) OVER (PARTITION BY seg)
+        |      AS DOUBLE) AS tot,
+        |    count(*) OVER (PARTITION BY seg) AS n
+        |  FROM rev)
+        |SELECT seg,
+        |  count(CASE WHEN cum - v < 0.8 * tot THEN 1 END) AS n_top80,
+        |  CAST(max(n) AS BIGINT) AS n_customers,
+        |  CAST(count(CASE WHEN cum - v < 0.8 * tot THEN 1 END) * 10000
+        |    // max(n) AS BIGINT) AS share_bp
+        |FROM rk GROUP BY seg ORDER BY seg""".stripMargin
   )
 }

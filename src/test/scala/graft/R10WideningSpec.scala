@@ -310,6 +310,41 @@ class R10WideningSpec extends SparkSpec {
     Caches.release(spark)
   }
 
+  test("d_agg_gini lies in [0, 1) and counts every ordering customer") {
+    val out = q("d_agg_gini").collect()
+    assert(out.nonEmpty)
+    val custs = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "c_custkey").distinct()
+      .groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0,
+        s"gini out of range: ${r.getDouble(1)}")
+      assert(r.getLong(2) == custs(r.getString(0)))
+    }
+  }
+
+  test("e_window_pareto: the top-80% cohort is minimal and bounded") {
+    val out = q("e_window_pareto").collect()
+    out.foreach { r =>
+      val (top, n, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(top >= 1 && top <= n)
+      assert(bp == top * 10000 / n)
+    }
+  }
+
+  test("j_corpus_drift: JS divergence within [0, ln 2] on a shared " +
+    "vocabulary") {
+    val r = q("j_corpus_drift").head
+    val js = r.getDouble(0)
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"js $js")
+    assert(r.getLong(1) >= 1)
+    // the fixture's two halves share a template vocabulary → low drift
+    assert(js < 0.1, s"unexpectedly high drift $js on the fixture")
+  }
+
   test("j_embed_dim_stats covers all 64 dimensions with consistent " +
     "bounds") {
     val out = q("j_embed_dim_stats").collect()
