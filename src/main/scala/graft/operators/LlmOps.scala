@@ -974,6 +974,31 @@ object LlmOps {
         .orderBy("vec_id")
     },
 
+    // Hard-negative mining (r10): for every vector, the most-similar
+    // vector with a DIFFERENT label — the negatives a contrastive/
+    // metric-learning trainer wants (near the anchor but across the
+    // class boundary). Same broadcast unit-vector + native-dot shape
+    // as the kNN family with a label-inequality predicate and a
+    // per-anchor top-1 window; at index scale the IVF path
+    // (j_knn_ivf) supplies candidates the same filter applies to.
+    "j_sample_hard_negative" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val u = unitVectors(s, d)
+      val a = u.select(col("vec_id").as("a_id"),
+        col("label").as("a_label"), col("u").as("ua"))
+      val b = u.select(col("vec_id").as("b_id"),
+        col("label").as("b_label"), col("u").as("ub"))
+      val w = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
+      a.join(broadcast(b), col("a_label") =!= col("b_label"))
+        .withColumn("cos", expr("graft_dot(ua, ub)"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a_id").as("vec_id"), col("a_label").as("label"),
+          col("b_id").as("neg_id"), col("b_label").as("neg_label"),
+          Det.r4(col("cos")).as("cos"))
+        .orderBy("vec_id")
+    },
+
     // Per-label embedding stats via array higher-order reduce.
     "j_embed_norm_stats" -> { (s, d) =>
       emb(s, d)
@@ -1410,6 +1435,25 @@ object LlmOps {
         |                             CAST(b.embedding AS DOUBLE[])))), 4) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
+    "j_sample_hard_negative" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS a_id, a.label AS a_label,
+        |    b.vec_id AS b_id, b.label AS b_label,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                     CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[]))))
+        |      AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label <> b.label)
+        |SELECT a_id AS vec_id, a_label AS label, b_id AS neg_id,
+        |  b_label AS neg_label, round(cos, 4) AS cos
+        |FROM pairs
+        |QUALIFY row_number() OVER (PARTITION BY a_id
+        |  ORDER BY cos DESC, b_id ASC) = 1
+        |ORDER BY vec_id""".stripMargin,
     "j_knn_per_vector" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id, b.label AS b_label,

@@ -345,6 +345,34 @@ class R10WideningSpec extends SparkSpec {
     assert(js < 0.1, s"unexpectedly high drift $js on the fixture")
   }
 
+  test("j_sample_hard_negative crosses the label boundary with the " +
+    "true argmax") {
+    val out = q("j_sample_hard_negative").collect()
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    assert(out.length == vecs.length)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.indices.map(i => a(i) * b(i)).sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    val byId = vecs.map(v => v._1 -> v).toMap
+    out.take(40).foreach { r =>
+      val (id, lab, negId, negLab) =
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))
+      assert(lab != negLab, s"$id mined a same-label negative")
+      val (_, _, va) = byId(id)
+      val best = vecs.filter(_._2 != lab)
+        .map { case (bid, _, vb) => (cos(va, vb), bid) }
+        .maxBy { case (c, bid) => (c, -bid) }
+      assert(best._2 == negId,
+        s"$id: picked $negId, exact argmax is ${best._2}")
+    }
+  }
+
   test("j_embed_dim_stats covers all 64 dimensions with consistent " +
     "bounds") {
     val out = q("j_embed_dim_stats").collect()
