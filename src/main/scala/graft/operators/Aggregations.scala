@@ -205,6 +205,20 @@ object Aggregations {
         .orderBy("pair")
     },
 
+    // Boolean aggregate family (r10): every/some/count_if — the
+    // assertion-style aggregates a data-quality rule engine compiles
+    // to ("EVERY order above the floor", "ANY whale present").
+    // Partial-aggregable short-circuiting AND/OR trees; booleans
+    // serialize identically on both engines.
+    "d_agg_bool" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_whale"),
+          count_if(col("o_orderstatus") === "F").as("n_f"))
+        .orderBy("o_orderpriority")
+    },
+
     // Gini concentration (r10): revenue-inequality coefficient per
     // market segment from the rank formulation
     // G = 2·Σ(i·vᵢ)/(n·Σvᵢ) − (n+1)/n over ascending-ranked customer
@@ -482,6 +496,15 @@ object Aggregations {
         |UNION ALL SELECT 'view_and_purchase', CAST(sum(v * p) AS BIGINT)
         |FROM u
         |ORDER BY pair""".stripMargin,
+
+    "d_agg_bool" ->
+      """SELECT o_orderpriority,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_whale,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+        |    AS n_f
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "d_agg_gini" ->
       """WITH rev AS (

@@ -88,6 +88,22 @@ object Filters {
         .limit(20)
     },
 
+    // OFFSET pagination (r10): page 3 of the key-ordered orders
+    // (rows 41–60) — the API-results shape. Spark plans
+    // offset+limit as a global limit of offset+pageSize then a skip;
+    // honest scale note: deep pagination (offset ≫ page) still sorts
+    // the prefix, so a 100 TB service paginates by KEY-SET
+    // (WHERE key > last_seen ORDER BY key LIMIT n — exactly the
+    // incremental-extract cursor shape in i_incremental_extract);
+    // this entry covers the SQL surface itself.
+    "f_offset_pagination" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(40)
+        .limit(20)
+    },
+
     // §2.G set operations over 1995-vs-1996 active customer keys.
     "g_union_all" -> { (s, d) =>
       val o = Tables.orders(s, d)
@@ -187,6 +203,9 @@ object Filters {
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 20""".stripMargin,
+    "f_offset_pagination" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 40""".stripMargin,
     "g_union_all" ->
       """SELECT o_custkey, 'y1995' AS yr FROM orders WHERE year(o_orderdate) = 1995
         |UNION ALL

@@ -300,6 +300,24 @@ object ScalarFuncs {
         coalesce(col("P_n"), lit(0L)).as("p_n"),
         coalesce(col("P_rev"), lit(0.0)).as("p_rev"))
         .orderBy("o_orderpriority")
+    },
+
+    // Data-masking scalar family (r10): format-preserving `mask()`
+    // (upper→X, lower→x, digit→n, punctuation kept — the shape-
+    // preserving redaction that keeps length/format validations
+    // working downstream) plus edge-revealing partial masking (first
+    // 2 + last 2 visible). The display-tier privacy layer next to
+    // i_anonymize_hash's join-preserving pseudonyms and j_pii_scrub's
+    // pattern scrubber. Pure projections, in-scan at any scale.
+    "h_mask_funcs" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          mask(col("c_name")).as("masked"),
+          concat(substring(col("c_name"), 1, 2),
+            expr("repeat('*', greatest(0, length(c_name) - 4))"),
+            expr("substring(c_name, length(c_name) - 1, 2)"))
+            .as("partial"))
+        .orderBy("c_custkey")
     }
   )
 
@@ -454,6 +472,15 @@ object ScalarFuncs {
         |  coalesce(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'
         |    THEN o_totalprice END AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS p_rev
         |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "h_mask_funcs" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |    AS masked,
+        |  concat(substring(c_name, 1, 2),
+        |    repeat('*', greatest(0, length(c_name) - 4)),
+        |    substring(c_name, length(c_name) - 1, 2)) AS partial
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 }
