@@ -29,7 +29,7 @@ object GraphScale {
     def edges(replicas: Int): DataFrame = {
       val e0 = Tables.lineitem(spark, src)
         .select(col("l_partkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
+          (col("l_suppkey") + graft.operators.GraphOps.SupplierOffset).as("dst"))
         .distinct()
       val rep = (0 until replicas).map { k =>
         e0.select((col("src") + lit(k * 10000000L)).as("src"),

@@ -237,10 +237,14 @@ object EtlOps {
       val kept = events
         .join(broadcast(forget), Seq("user_id"), "left_anti")
         .groupBy("event_type").agg(count(lit(1)).as("n_kept"))
+      // LEFT join kept onto totals: an event_type whose events all
+      // belong to forgotten users must still appear with n_kept = 0,
+      // or the kept + dropped = total reconciliation silently skips it.
       events.groupBy("event_type").agg(count(lit(1)).as("n_total"))
-        .join(kept, "event_type")
-        .select(col("event_type"), col("n_kept"),
-          (col("n_total") - col("n_kept")).as("n_dropped"))
+        .join(kept, Seq("event_type"), "left")
+        .select(col("event_type"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
         .orderBy("event_type")
     }
   )
@@ -353,9 +357,10 @@ object EtlOps {
         |tot AS (
         |  SELECT event_type, count(*) AS n_total FROM events
         |  GROUP BY event_type)
-        |SELECT tot.event_type, kept.n_kept,
-        |  tot.n_total - kept.n_kept AS n_dropped
-        |FROM tot JOIN kept USING (event_type)
+        |SELECT tot.event_type,
+        |  coalesce(kept.n_kept, 0) AS n_kept,
+        |  tot.n_total - coalesce(kept.n_kept, 0) AS n_dropped
+        |FROM tot LEFT JOIN kept USING (event_type)
         |ORDER BY tot.event_type""".stripMargin
   )
 }

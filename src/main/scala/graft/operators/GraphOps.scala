@@ -37,11 +37,15 @@ object GraphOps {
   /** Distinct part→supplier edges from lineitem, symmetrized so every
     * node has outdegree ≥ 1 (no dangling-mass redistribution needed —
     * the oracle and the Spark side agree by construction). Supplier
-    * ids are offset into their own node-id range. */
+    * ids are offset into their own node-id range: 10¹² sits beyond any
+    * realistic l_partkey (200k×SF — SF would need to hit 5M to reach
+    * it), so part and supplier nodes can never merge. */
+  private[graft] val SupplierOffset = 1000000000000L
+
   private def edges(s: SparkSession, d: String): DataFrame = {
     val e0 = Tables.lineitem(s, d)
       .select(col("l_partkey").as("src"),
-        (col("l_suppkey") + 1000000L).as("dst"))
+        (col("l_suppkey") + SupplierOffset).as("dst"))
       .distinct()
     e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
@@ -102,7 +106,7 @@ object GraphOps {
   )
 
   private val edgesSql =
-    """e0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst
+    """e0 AS (SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000000000 AS dst
       |       FROM lineitem),
       |edges AS (SELECT src, dst FROM e0
       |          UNION ALL SELECT dst AS src, src AS dst FROM e0),

@@ -78,14 +78,26 @@ object Layout {
     * table-wide rewrite; pair with [[overwritePartitions]] to compact
     * partition-by-partition.
     *
+    * Publish protocol (LOCAL-FS semantics — this operator targets the
+    * local/posix layout path; an object-store deployment would swap the
+    * two renames for a manifest commit): rewrite lands complete in
+    * `_compacting`, then a double rename via `_pre_compact`. The window
+    * between the renames is not atomic for concurrent readers, and a
+    * crash inside it strands the data in `_pre_compact` — so entry
+    * RECOVERS first: a leftover `_pre_compact` with no live `path` is
+    * restored (crash between the renames), a leftover alongside a live
+    * `path` is discarded (crash after publish, before cleanup), and any
+    * stale `_compacting` from an aborted rewrite is removed.
+    *
     * Returns (files_before, files_after). LayoutSpec pins: row-set
-    * equality, file-count collapse, and per-file key-range
-    * disjointness. */
+    * equality, file-count collapse, per-file key-range disjointness,
+    * and both crash-recovery branches. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               sortCol: String, targetRowsPerFile: Long): (Int, Int) = {
     def dataFiles(p: String): Array[java.io.File] =
       new java.io.File(p).listFiles()
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    recover(path)
     val before = dataFiles(path).length
     val df = spark.read.parquet(path)
     val rows = df.count()
@@ -103,11 +115,28 @@ object Layout {
       bak.renameTo(fs) // restore
       sys.error(s"compact: could not publish $tmp")
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     rm(bak)
     (before, dataFiles(path).length)
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
+  }
+
+  /** Crash recovery for [[compact]]'s double-rename publish — see its
+    * scaladoc for the three branches. Idempotent; safe to call on a
+    * clean directory. */
+  private[graft] def recover(path: String): Unit = {
+    val live = new java.io.File(path)
+    val bak = new java.io.File(path.stripSuffix("/") + "_pre_compact")
+    val tmp = new java.io.File(path.stripSuffix("/") + "_compacting")
+    if (bak.exists()) {
+      if (!live.exists()) {
+        if (!bak.renameTo(live))
+          sys.error(s"compact.recover: could not restore $bak to $path")
+      } else rm(bak)
+    }
+    if (tmp.exists()) rm(tmp)
   }
 }

@@ -69,13 +69,19 @@ object AttributionStream {
 
   /** Streaming process: touch state persists with an event-time
     * timeout at touch + lookback (stale state can only ever yield
-    * 'direct', which is also what NO state yields). */
+    * 'direct', which is also what NO state yields). A touch whose
+    * lookback horizon is already at-or-behind the watermark is removed
+    * outright — Spark rejects timeout timestamps ≤ the current
+    * watermark, and such state is semantically dead anyway (any future
+    * purchase would attribute 'direct' with or without it). */
   def processStreaming(uid: Long, events: Iterator[TouchEvent],
                        state: GroupState[TouchState])
       : Iterator[AttributedPurchase] = {
     val out = process(uid, events, state)
     state.getOption.foreach { s =>
-      state.setTimeoutTimestamp(s.tsUs / 1000 + LookbackUs / 1000)
+      val horizonMs = s.tsUs / 1000 + LookbackUs / 1000
+      if (horizonMs <= state.getCurrentWatermarkMs()) state.remove()
+      else state.setTimeoutTimestamp(horizonMs)
     }
     out
   }

@@ -146,4 +146,31 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("compact recovers from a crash stranded between the publish " +
+    "renames and from leftover temp/backup dirs") {
+    val base = Files.createTempDirectory("graft-layout-recover")
+    val dir = base.resolve("t").toString
+    val nations = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    nations.write.parquet(dir)
+    val rows = spark.read.parquet(dir).count()
+    // branch 1: crash BETWEEN the renames — live dir moved aside to
+    // _pre_compact, nothing published yet
+    val live = new java.io.File(dir)
+    val bak = new java.io.File(dir + "_pre_compact")
+    assert(live.renameTo(bak))
+    val (_, after1) = Layout.compact(spark, dir, "n_nationkey", rows)
+    assert(after1 >= 1)
+    assert(spark.read.parquet(dir).count() == rows, "restore lost rows")
+    assert(!bak.exists(), "recovery left the backup behind")
+    // branch 2: crash AFTER publish, before cleanup — stale backup and
+    // an aborted _compacting dir alongside a live path
+    nations.limit(3).write.parquet(bak.getAbsolutePath)
+    nations.limit(2).write.parquet(dir + "_compacting")
+    val (_, after2) = Layout.compact(spark, dir, "n_nationkey", rows)
+    assert(after2 >= 1)
+    assert(spark.read.parquet(dir).count() == rows)
+    assert(!bak.exists() && !new java.io.File(dir + "_compacting").exists(),
+      "recovery left stale dirs behind")
+  }
 }
