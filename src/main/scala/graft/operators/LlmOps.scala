@@ -671,24 +671,61 @@ object LlmOps {
       t
     })
 
+  /** Modulus of the portable hash family (2³¹−1, same as
+    * graft_polyhash's internal arithmetic). */
+  private[graft] val HashM = 2147483647L
+
+  /** Per-hash multipliers of the k=12 MinHash functions: Lehmer power
+    * sequences 48271^(i+1) / 16807^(i+1) mod 2³¹−1, materialized as
+    * literals so both engines inline identical constants. */
+  private[graft] val MinhashA: IndexedSeq[Long] = {
+    var v = 1L; (0 until 12).map { _ => v = v * 48271L % HashM; v }
+  }
+  private[graft] val MinhashB: IndexedSeq[Long] = {
+    var v = 1L; (0 until 12).map { _ => v = v * 16807L % HashM; v }
+  }
+
   /** MinHash banding candidates (k=12 hashes, 4 bands × 3 rows) — the
     * sub-quadratic blocking stage behind j_dedup_near_minhash and the
-    * LSH-driven cascade variant. */
+    * LSH-driven cascade variant.
+    *
+    * ORACLED since r11 (VERDICT r10 ask #1): the k hash functions are
+    * the 2-universal family h_i(x1,x2) = ((a_i·x1)%M + (b_i·x2)%M + i)
+    * % M over the two independent halves of the portable
+    * graft_polyhash (the same construction that made SimHash
+    * oracle-able in r8), and the band signature packs two such combos
+    * into a 62-bit value — every step is bounded int64 arithmetic a
+    * DuckDB twin reproduces verbatim, unlike the seeded xxhash64 this
+    * replaces. Every product stays < 2⁶² (each factor < 2³¹), so
+    * neither engine can overflow. PropertySpec pins the Spark/SQL
+    * equality of the whole string→band-signature chain symbolically. */
   private[graft] def minhashCandidates(docs: DataFrame): DataFrame = {
     val k = 12
+    val M = HashM
     val ds = docs
       .select(col("doc_id"), shingles.as("sh"))
       .filter(size(col("sh")) > 0)
     val exploded = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val hashed = exploded.select(col("doc_id") +:
+    val based = exploded
+      .withColumn("ph", expr("graft_polyhash(shingle)"))
+      .select(col("doc_id"),
+        shiftright(col("ph"), 31).as("x1"),
+        col("ph").bitwiseAND(lit(M)).as("x2"))
+    val hashed = based.select(col("doc_id") +:
       (0 until k).map(i =>
-        xxhash64(concat(lit(s"seed$i:"), col("shingle"))).as(s"h$i")): _*)
+        (((lit(MinhashA(i)) * col("x1")) % M
+          + (lit(MinhashB(i)) * col("x2")) % M + lit(i.toLong)) % M)
+          .as(s"h$i")): _*)
     val sig = hashed.groupBy("doc_id")
       .agg(array((0 until k).map(i => min(col(s"h$i"))): _*).as("minhash"))
+    // 62-bit portable band signature from the band's 3 minhash values
+    def bsig(m0: Column, m1: Column, m2: Column): Column =
+      shiftleft(((m0 * 48271L) % M + (m1 * 16807L) % M + m2) % M, 31)
+        .bitwiseOR(((m0 * 69621L) % M + (m2 * 48271L) % M + m1) % M)
     val bands = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("band"),
-          xxhash64(col("minhash")(b * 3), col("minhash")(b * 3 + 1),
+          bsig(col("minhash")(b * 3), col("minhash")(b * 3 + 1),
             col("minhash")(b * 3 + 2)).as("bsig")))).as("e"))
       .select(col("doc_id"), col("e.band"), col("e.bsig"))
     bands.as("x").join(bands.as("y"),
@@ -714,8 +751,9 @@ object LlmOps {
     },
 
     // MinHash-LSH near-dup candidates: k=12 hash functions, 4 bands × 3
-    // rows. No oracle (hash-seeded); ScalaTest asserts recall of planted
-    // exact dups and jaccard floor on emitted pairs.
+    // rows. ORACLED since r11: the portable 2-universal hash family
+    // (see minhashCandidates) makes the band derivation reproducible in
+    // SQL; ScalaTest still asserts recall of planted exact dups.
     "j_dedup_near_minhash" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       minhashCandidates(dedupDocs(s, d))
@@ -864,10 +902,11 @@ object LlmOps {
 
     // The same cascade driven by MinHash-LSH banding candidates — the
     // sub-quadratic blocking a 100 TB corpus actually uses (shuffle
-    // carries 8-byte band signatures, never text). No oracle
-    // (hash-seeded bands won't twin in SQL); LlmOpsSpec gates it:
-    // every emitted dup has verified jaccard ≥ τ (soundness), planted
-    // dups are found and routed to smaller partners (recall).
+    // carries 8-byte band signatures, never text). ORACLED since r11
+    // via the portable band derivation (the SQL twin runs candidate →
+    // exact verify → min-partner stage for stage); LlmOpsSpec also
+    // gates soundness (jaccard ≥ τ on every emitted dup) and planted
+    // recall.
     "j_dedup_cascade_lsh" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       dedupCascade(shingleEx(s, d), minhashCandidates(dedupDocs(s, d)),
@@ -1106,6 +1145,53 @@ object LlmOps {
   // Shared SQL fragment: distinct 3-token shingles (mirrors `shingles`).
   private[operators] val shSql = winSql(3)
 
+  /** DuckDB twin of [[minhashCandidates]] — CTEs ending in
+    * `mh_cand(doc_a, doc_b)`. Stage for stage: per-shingle polyhash
+    * halves (x1, x2) via list_reduce, the k=12 2-universal hashes with
+    * the same inlined Lehmer-power multipliers, per-doc min signature,
+    * 62-bit band signatures, band self-join. Every intermediate stays
+    * below 2⁶², so DuckDB's overflow-checking BIGINT arithmetic runs
+    * the identical computation Spark's wrapping arithmetic does. */
+  private[operators] lazy val minhashCandSql: String = {
+    val M = HashM
+    def poly(mult: Int, mix: Long): String =
+      s"""(list_reduce(list_transform(string_split(shingle, ''),
+         |      c -> CAST(ascii(c) AS BIGINT)),
+         |      (a, b) -> (a * $mult + b) % $M) * $mix) % $M""".stripMargin
+    val mins = (0 until 12).map(i =>
+      s"min(((${MinhashA(i)} * x1) % $M + (${MinhashB(i)} * x2) % $M + $i) % $M) AS m$i")
+      .mkString(",\n    ")
+    // single line: a multi-line fragment would lose its bitwise-| to
+    // the enclosing template's stripMargin
+    def bs(b: Int): String = {
+      val (m0, m1, m2) = (s"m${b * 3}", s"m${b * 3 + 1}", s"m${b * 3 + 2}")
+      s"(((($m0 * 48271) % $M + ($m1 * 16807) % $M + $m2) % $M) << 31) | " +
+        s"((($m0 * 69621) % $M + ($m2 * 48271) % $M + $m1) % $M)"
+    }
+    val bandRows = (0 until 4).map(b =>
+      s"""SELECT doc_id, $b AS band,
+         |    ${bs(b)} AS bsig FROM mh_sig""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""mh_sh AS (SELECT doc_id, $shSql AS s FROM documents),
+       |mh_ex AS (SELECT doc_id, unnest(s) AS shingle FROM mh_sh),
+       |mh_xy AS (
+       |  SELECT doc_id,
+       |    ${poly(31, 48271L)} AS x1,
+       |    ${poly(131, 16807L)} AS x2
+       |  FROM mh_ex),
+       |mh_sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM mh_xy GROUP BY doc_id),
+       |mh_bands AS (
+       |  $bandRows),
+       |mh_cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM mh_bands x JOIN mh_bands y
+       |    ON x.band = y.band AND x.bsig = y.bsig
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   /** DuckDB twin of the incremental dedup chain (combined-df rare
     * blocking over the 80/20 id-bucket split -> candidate pairs ->
     * exact verify -> min-partner decision). Shared by the in-flight
@@ -1145,6 +1231,32 @@ object LlmOps {
        |GROUP BY doc ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // twin of minhashCandidates — same portable hash family, same
+    // band join; the candidate set itself is the checked output
+    "j_dedup_near_minhash" ->
+      s"""WITH $minhashCandSql
+         |SELECT doc_a, doc_b FROM mh_cand
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // LSH candidates (same CTEs) → exact-jaccard verify on candidates
+    // only → min-partner decision, mirroring dedupCascade stage for
+    // stage (the verify/decision SQL matches the j_dedup_cascade twin)
+    "j_dedup_cascade_lsh" ->
+      s"""WITH $minhashCandSql,
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM mh_sh),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM mh_cand c
+         |  JOIN mh_ex ea ON ea.doc_id = c.doc_a
+         |  JOIN mh_ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |        >= 0.6)
+         |SELECT doc_b AS doc_id, min(doc_a) AS dup_of
+         |FROM ver GROUP BY doc_b ORDER BY doc_id""".stripMargin,
     "j_dedup_exact_text" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT text) AS n_kept,

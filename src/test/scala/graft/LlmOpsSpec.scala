@@ -17,33 +17,12 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("minhash-lsh: exact duplicates are always candidates (recall=1)") {
-    docsWithPlantedDups.createOrReplaceTempView("minhash_test_docs")
-    // run the same pipeline as j_dedup_near_minhash but on planted data
-    val toks = split(col("text"), " ")
-    val sh = when(size(toks) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i, lit(3))))))
-    val ds = docsWithPlantedDups.select(col("doc_id"), sh.as("sh"))
-      .filter(size(col("sh")) > 0)
-    val ex = ds.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val k = 12
-    val hashed = ex.select(col("doc_id") +:
-      (0 until k).map(i =>
-        xxhash64(concat(lit(s"seed$i:"), col("shingle"))).as(s"h$i")): _*)
-    val sig = hashed.groupBy("doc_id")
-      .agg(array((0 until k).map(i => min(col(s"h$i"))): _*).as("minhash"))
-    val bands = sig.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("band"),
-          xxhash64(col("minhash")(b * 3), col("minhash")(b * 3 + 1),
-            col("minhash")(b * 3 + 2)).as("bsig")))).as("e"))
-      .select(col("doc_id"), col("e.band"), col("e.bsig"))
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .distinct()
+    // production pipeline on planted data: an exact dup shares every
+    // shingle, hence every minhash value, hence every band signature —
+    // recall=1 holds for ANY hash family, including the portable one
+    graft.functions.VectorExprs.register(spark)
+    val cands = operators.LlmOps.minhashCandidates(docsWithPlantedDups)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
       .as[(Long, Long)].collect().toSet
     (0L until 10L).foreach { id =>
       assert(cands.contains((id, id + 10000)),

@@ -218,6 +218,83 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("portable-hash determinism envelope: the whole minhash " +
+    "string→band-signature chain equals a pure-Scala re-derivation of " +
+    "the DuckDB twin arithmetic over 10k generated docs") {
+    // The oracle for j_dedup_near_minhash / j_dedup_cascade_lsh (and
+    // j_dedup_simhash / j_quality_classifier before it) rests on one
+    // claim: graft_polyhash + the 2-universal h_i + the 62-bit band
+    // combine are pure bounded-int64 arithmetic both engines evaluate
+    // identically. This pins that claim symbolically: an independent
+    // Scala implementation of the SQL twin's formulas (list_reduce
+    // fold over ascii codes, same inlined constants) must reproduce
+    // the Spark pipeline's candidate set exactly on adversarial input.
+    // Envelope: ASCII printable, non-empty tokens — the twin equality
+    // is only claimed there (ascii(c) = UTF-16 unit only below 128;
+    // DuckDB's list_reduce rejects empty lists).
+    graft.functions.VectorExprs.register(spark)
+    import graft.operators.LlmOps.{HashM => M, MinhashA, MinhashB}
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(33.toChar, 126.toChar)).map(_.mkString))
+    val vocab = samples(word, 400).distinct
+    val doc = for {
+      n <- Gen.chooseNum(3, 15)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val texts0 = samples(doc, 9500)
+    // plant dups/near-dups so band collisions actually occur
+    val texts = texts0 ++ texts0.take(500)
+    assert(texts.size >= 10000)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+    // --- pure-Scala re-derivation of the SQL twin ---
+    def polyHalves(s: String): (Long, Long) = {
+      var h1 = 0L; var h2 = 0L
+      s.foreach { c => h1 = (h1 * 31 + c) % M; h2 = (h2 * 131 + c) % M }
+      ((h1 * 48271L) % M, (h2 * 16807L) % M)
+    }
+    def shinglesRef(t: String): Set[String] = {
+      val ts = t.split(" ", -1)
+      if (ts.length < 3) Set.empty
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def bsigRef(m: IndexedSeq[Long], b: Int): Long = {
+      val (m0, m1, m2) = (m(b * 3), m(b * 3 + 1), m(b * 3 + 2))
+      ((((m0 * 48271) % M + (m1 * 16807) % M + m2) % M) << 31) |
+        (((m0 * 69621) % M + ((m2 * 48271) % M) + m1) % M)
+    }
+    val sigs = docs.flatMap { case (id, t) =>
+      val sh = shinglesRef(t)
+      if (sh.isEmpty) None
+      else {
+        val xy = sh.toSeq.map(polyHalves)
+        Some(id -> (0 until 12).map { i =>
+          xy.map { case (x1, x2) =>
+            ((MinhashA(i) * x1) % M + (MinhashB(i) * x2) % M + i) % M
+          }.min
+        })
+      }
+    }
+    val expected = (0 until 4).flatMap { b =>
+      sigs.map { case (id, m) => (b, bsigRef(m, b)) -> id }
+        .groupBy(_._1).valuesIterator
+        .flatMap { g =>
+          val ids = g.map(_._2).sorted
+          for (i <- ids.indices; j <- (i + 1) until ids.length)
+            yield (ids(i), ids(j))
+        }
+    }.toSet
+
+    val got = graft.operators.LlmOps
+      .minhashCandidates(docs.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"spark=${got.size} ref=${expected.size}; " +
+        s"only-spark=${(got -- expected).take(3)} " +
+        s"only-ref=${(expected -- got).take(3)}")
+    assert(expected.nonEmpty, "degenerate fixture: no band collisions")
+  }
+
   test("upsert latest-wins keeps exactly the highest version per key") {
     val kv = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)))
     samples(kv).foreach { kvs =>
