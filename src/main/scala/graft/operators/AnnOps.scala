@@ -369,16 +369,21 @@ object AnnOps {
     // Top principal component (see [[pcaPower]]): per-dimension
     // loadings of the corpus's first PC plus the explained variance —
     // the embedding-space profile behind whitening and drift
-    // monitoring. No-oracle (SURVEY §0.2 rule 4); AnnOpsSpec-gated.
+    // monitoring. ORACLED since r11: the fixed-300-iteration power
+    // loop twins as a recursive CTE over the same decimal-exact Gram
+    // (every float op replicated in order), so the r8 "no-oracle by
+    // convention" classification no longer applies. Rounding goes
+    // through the standard Det.r4 column (was driver-side rint —
+    // half-even vs the repo-wide half-up; aligned when the oracle
+    // landed). AnnOpsSpec still gates vs the exact driver eigensolve.
     "j_embed_pca_power" -> { (s, d) =>
       val (v, lambda, n) = pcaPower(s, d)
       import s.implicits._
       v.zipWithIndex
-        .map { case (l, i) =>
-          (i, math.rint(l * 10000) / 10000,
-            math.rint(lambda * 10000) / 10000, n)
-        }.toSeq
-        .toDF("dim", "loading", "eigenvalue", "n")
+        .map { case (l, i) => (i, l, lambda, n) }.toSeq
+        .toDF("dim", "loading_raw", "eigenvalue_raw", "n")
+        .select(col("dim"), Det.r4(col("loading_raw")).as("loading"),
+          Det.r4(col("eigenvalue_raw")).as("eigenvalue"), col("n"))
         .orderBy("dim")
     },
 
@@ -388,10 +393,11 @@ object AnnOps {
     // AnnIndexSpec pins lloydRuns unchanged and no base-embedding scan
     // in the plan) and searched against the merged inverted lists
     // (stored cells ∪ the delta's own home assignments) with
-    // multi-probe 8/16, for the delta probes only. Declared no-oracle
-    // like the other k-means entries; AnnIndexSpec gates recall@3 vs
-    // brute force over base∪delta ≥ 0.8 plus the two-batch append
-    // composition.
+    // multi-probe 8/16, for the delta probes only. ORACLED since r11:
+    // the twin re-derives the stored index from the base split (Lloyd
+    // on the base sample) and searches the same merged lists;
+    // AnnIndexSpec still gates recall@3 vs brute force over base∪delta
+    // ≥ 0.8 plus the two-batch append composition.
     "j_ann_incremental" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val prefix = storedIndexPrefix(s, d)
@@ -427,7 +433,8 @@ object AnnOps {
     // u-free candidate scan), scores with the codegen'd graft_dot8
     // MAC, and only the top-32 survivors per probe touch the exact
     // vectors again for the double re-rank. Same standing centroids,
-    // zero Lloyd jobs; recall gated like the other pq/k-means entries.
+    // zero Lloyd jobs; ORACLED since r11 like j_ann_incremental, with
+    // the int8 candidate pass twinned in exact integer arithmetic.
     "j_ann_incremental_pq" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val prefix = storedIndexPrefix(s, d)
@@ -485,11 +492,11 @@ object AnnOps {
     // entry above. The fixture embeddings are near-uniform on the
     // sphere, so recall tracks the scanned fraction (measured: nprobe
     // 1→0.23, 8→0.81); clustered real-world embeddings reach the same
-    // recall at far smaller nprobe. Declared no-oracle in SURVEY §2
-    // (the Lloyd iteration won't twin step-identically in SQL); gated
-    // by AnnOpsSpec invariants instead: centroid determinism under
-    // repartitioning and measured recall@3 ≥ 0.8 vs brute force on
-    // sf0.01.
+    // recall at far smaller nprobe. ORACLED since r11 — the sampled
+    // Lloyd loop unrolls as CTEs (lloydSql) with order-replicated
+    // float arithmetic, so the full centroid→probe→re-rank chain
+    // hash-matches SQL; AnnOpsSpec still gates centroid determinism
+    // under repartitioning and recall@3 ≥ 0.8 vs brute force.
     "j_ann_ivf_kmeans" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       import s.implicits._
@@ -554,9 +561,9 @@ object AnnOps {
     // Semantic decontamination (§2.R): flag corpus embeddings within
     // cosine τ=0.4 of ANY benchmark vector (vec_id < 32 stands in for
     // the embedded eval set) via the multi-probe IVF scan of
-    // [[decontamPairs]]. Declared no-oracle (k-means centroids, the
-    // ANN-family convention); AnnOpsSpec gates planted-paraphrase
-    // recall ≥ 0.9 and exact-cosine soundness of every flag.
+    // [[decontamPairs]]. ORACLED since r11 via the Lloyd CTEs;
+    // AnnOpsSpec gates planted-paraphrase recall ≥ 0.9 and
+    // exact-cosine soundness of every flag.
     "j_decontam_embed" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val u = unit(s, d)
@@ -574,9 +581,10 @@ object AnnOps {
     // int8 codes (graft_dot8; 64 B/vector crosses the exchange instead
     // of 512 B), keeps the top-32 per probe by approximate score, and
     // only those survivors touch the full-precision vectors again
-    // (exact graft_dot re-rank → top-3). Declared no-oracle (Lloyd's
-    // won't twin in SQL); AnnOpsSpec gates recall@3 ≥ 0.8 vs brute
-    // force and PlanSpec pins the narrow int8 schema on the exchange.
+    // (exact graft_dot re-rank → top-3). ORACLED since r11 (the
+    // Lloyd CTEs + exact-integer int8 dots twin in SQL); AnnOpsSpec
+    // gates recall@3 ≥ 0.8 vs brute force and PlanSpec pins the
+    // narrow int8 schema on the exchange.
     "j_ann_ivf_pq" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       import s.implicits._
@@ -791,10 +799,322 @@ object AnnOps {
     }
   )
 
+  /** DuckDB twin of [[kmeansCentroids]] (r11, VERDICT r10 ask #3):
+    * the sampled Lloyd loop unrolled as CTEs, ending in `c<iters>`
+    * (cell_id, cu). Bit-equality with the driver loop holds because
+    * every float operation replicates in ORDER: the sample is the
+    * `maxSample` lowest vec_ids; per-cluster vector sums fold the
+    * members in vec_id order (`list(u ORDER BY vec_id)` +
+    * `list_reduce` — the driver accumulates in exactly that order);
+    * dots are `list_dot_product` (sequential, proven equal to
+    * graft_dot by the r7 IVF oracles); argmax ties break to the
+    * lowest cell on both sides; an emptied cluster keeps its previous
+    * centroid via the LEFT JOIN. `src` is the (vec_id, u) CTE the
+    * sample draws from — `uv` for the whole-corpus entries, the base
+    * split for the stored-index twins. */
+  private def lloydSql(k: Int, iters: Int, maxSample: Int,
+                       src: String = "uv"): String = {
+    val init =
+      s"""smp AS (SELECT vec_id, u FROM $src ORDER BY vec_id LIMIT $maxSample),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+         |      AS cell_id,
+         |    list_transform(u, x -> x / sqrt(list_dot_product(u, u))) AS cu
+         |  FROM (SELECT vec_id, u FROM smp ORDER BY vec_id LIMIT $k))""".stripMargin
+    val steps = (0 until iters).map { it =>
+      s"""a$it AS (
+         |  SELECT s.vec_id, s.u, c.cell_id
+         |  FROM smp s CROSS JOIN c$it c
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id
+         |    ORDER BY list_dot_product(s.u, c.cu) DESC, c.cell_id ASC) = 1),
+         |s$it AS (
+         |  SELECT cell_id,
+         |    list_reduce(list(u ORDER BY vec_id),
+         |      (a, b) -> list_transform(a, (x, i) -> x + b[i])) AS sv
+         |  FROM a$it GROUP BY cell_id),
+         |c${it + 1} AS (
+         |  SELECT c.cell_id,
+         |    CASE WHEN s.cell_id IS NULL THEN c.cu
+         |      ELSE list_transform(s.sv,
+         |        x -> x / sqrt(list_dot_product(s.sv, s.sv)))
+         |    END AS cu
+         |  FROM c$it c LEFT JOIN s$it s ON s.cell_id = c.cell_id)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Shared twin fragments of the r11 ANN oracles. */
+  private val uvSql =
+    """ec AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |un AS (
+      |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ec),
+      |uv AS (
+      |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM un)""".stripMargin
+
+  /** ivfRank twin: every (vector of `src`, centroid of `cents`) pair
+    * with the preference rank rn (ties to the lowest cell). */
+  private def rankSql(name: String, src: String, cents: String): String =
+    s"""$name AS (
+       |  SELECT e.vec_id, c.cell_id, e.u,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id ASC) AS rn
+       |  FROM $src e CROSS JOIN $cents c)""".stripMargin
+
+  /** top3 twin over a CTE `pr(vec_id, nn_id, cos)`. */
+  private val top3Sql =
+    """SELECT vec_id,
+      |  CAST(row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
+      |  nn_id, round(cos, 4) + 0 AS cos
+      |FROM pr
+      |QUALIFY rk <= 3
+      |ORDER BY vec_id, rk""".stripMargin
+
+  /** quantized twin: int8 codes as BIGINTs (the dot is exact integer
+    * arithmetic on both engines; doubles represent it exactly). */
+  private val qtSql =
+    """qt AS (
+      |  SELECT vec_id,
+      |    list_transform(u, x -> CAST(round(x * 127) AS BIGINT)) AS q
+      |  FROM uv)""".stripMargin
+
+  /** Matvec fragment of the PCA twin: w = C·v with the inner sums
+    * folded j = 0…63 in order, exactly as the driver loop adds them.
+    * Assumes `c` (the 64×64 matrix as list-of-rows) and `v` in scope. */
+  private val pcaMatvecSql =
+    """list_transform(range(64), i ->
+      |      list_reduce(list_transform(range(64),
+      |        j -> c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // DuckDB twin of pcaPower (r11): the same decimal-exact centered
+    // Gram (upper-triangle cells, DECIMAL(28,12) per-term casts,
+    // mirrored), then the FIXED-300-iteration power loop as a
+    // recursive CTE — each step binds w = C·v once via a one-element
+    // list_transform and normalizes with the same in-order float
+    // arithmetic the driver uses, so the iterate is bit-identical.
+    // Sign pivot (max |loading|, lowest dim) and Rayleigh quotient
+    // replicated; rounding is the standard r4 pair.
+    "j_embed_pca_power" ->
+      s"""WITH RECURSIVE ec AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nn AS (SELECT count(*) AS n FROM ec),
+         |idx AS (SELECT unnest(range(64)) AS i),
+         |mus AS (
+         |  SELECT i.i AS dim,
+         |    CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,12))) AS DOUBLE)
+         |      / nn.n AS m
+         |  FROM ec e, idx i, nn GROUP BY i.i, nn.n),
+         |mul AS (SELECT list(m ORDER BY dim) AS mu FROM mus),
+         |xc AS (
+         |  SELECT list_transform(e.v, (x, k) -> x - mu[k]) AS vc
+         |  FROM ec e, mul),
+         |prs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b
+         |        WHERE b.i >= a.i),
+         |cls AS (
+         |  SELECT p.i, p.j,
+         |    CAST(SUM(CAST(x.vc[p.i + 1] * x.vc[p.j + 1]
+         |      AS DECIMAL(28,12))) AS DOUBLE) AS s
+         |  FROM xc x, prs p GROUP BY p.i, p.j),
+         |fc AS (SELECT i, j, s FROM cls
+         |       UNION ALL SELECT j AS i, i AS j, s FROM cls WHERE i <> j),
+         |cm AS (
+         |  SELECT list(row ORDER BY i) AS c FROM (
+         |    SELECT f.i AS i, list(f.s / nn.n ORDER BY f.j) AS row
+         |    FROM fc f, nn GROUP BY f.i, nn.n)),
+         |pow AS (
+         |  SELECT 0 AS it,
+         |    list_transform(range(64), x -> CAST(0.125 AS DOUBLE)) AS v
+         |  UNION ALL
+         |  SELECT it + 1,
+         |    (list_transform([$pcaMatvecSql], w ->
+         |      list_transform(w, x -> x / sqrt(list_reduce(
+         |        list_transform(w, y -> y * y), (a, b) -> a + b)))))[1]
+         |  FROM pow, cm WHERE it < 300),
+         |fin AS (SELECT v FROM pow WHERE it = 300),
+         |ray AS (
+         |  SELECT v,
+         |    (list_transform([$pcaMatvecSql], w ->
+         |      list_reduce(list_transform(range(64),
+         |        i -> v[i + 1] * w[i + 1]), (a, b) -> a + b)))[1] AS lambda
+         |  FROM fin, cm),
+         |vi AS (SELECT t.i AS i, r.v[t.i + 1] AS lv, r.lambda AS lambda
+         |       FROM ray r, idx t),
+         |pv AS (SELECT lv < 0 AS neg FROM vi
+         |       ORDER BY abs(lv) DESC, i ASC LIMIT 1)
+         |SELECT CAST(vi.i AS INT) AS dim,
+         |  round(CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END, 4) + 0
+         |    AS loading,
+         |  round(vi.lambda, 4) + 0 AS eigenvalue, nn.n AS n
+         |FROM vi, pv, nn ORDER BY dim""".stripMargin,
     // Same arithmetic as the Spark side, step for step: cast to double,
     // unit-normalize elementwise, then plain dots (list_cosine_similarity
     // on FLOAT[] computes in float32 and diverges in the 8th digit).
+    // The Lloyd CTEs then twin the driver k-means loop (see lloydSql),
+    // and the multi-probe pairing mirrors ivfRank/pairAcrossBuckets:
+    // rn ≤ 8 probe cells × rn = 1 home cells.
+    "j_ann_ivf_kmeans" ->
+      s"""WITH ec AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |un AS (
+         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ec),
+         |uv AS (
+         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM un),
+         |${lloydSql(k = 16, iters = 5, maxSample = 256)},
+         |rk_all AS (
+         |  SELECT e.vec_id, c.cell_id, e.u,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_dot_product(e.u, c.cu) DESC, c.cell_id ASC)
+         |      AS rn
+         |  FROM uv e CROSS JOIN c5 c),
+         |probes AS (SELECT vec_id, cell_id AS cell, u FROM rk_all
+         |           WHERE rn <= 8),
+         |cands AS (SELECT vec_id, cell_id AS cell, u FROM rk_all
+         |          WHERE rn = 1),
+         |pr AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         list_dot_product(a.u, b.u) AS cos
+         |  FROM probes a JOIN cands b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT vec_id,
+         |  CAST(row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
+         |  nn_id, round(cos, 4) + 0 AS cos
+         |FROM pr
+         |QUALIFY rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin,
+    // the PQ variant: same Lloyd centroids, int8 candidate scoring
+    // (exact integer dot on both engines), top-32 survivors, exact
+    // double re-rank — stage for stage with the Spark entry
+    "j_ann_ivf_pq" ->
+      s"""WITH $uvSql,
+         |${lloydSql(k = 16, iters = 5, maxSample = 256)},
+         |$qtSql,
+         |${rankSql("rk_all", "uv", "c5")},
+         |probes AS (
+         |  SELECT r.vec_id, r.cell_id AS cell, q.q AS qa
+         |  FROM rk_all r JOIN qt q USING (vec_id) WHERE r.rn <= 8),
+         |cands AS (
+         |  SELECT r.vec_id, r.cell_id AS cell, q.q AS qb
+         |  FROM rk_all r JOIN qt q USING (vec_id) WHERE r.rn = 1),
+         |apx AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         list_dot_product(a.qa, b.qb) AS approx
+         |  FROM probes a JOIN cands b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |surv AS (
+         |  SELECT vec_id, nn_id FROM apx
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY approx DESC, nn_id ASC) <= 32),
+         |pr AS (
+         |  SELECT s.vec_id, s.nn_id, list_dot_product(ua.u, ub.u) AS cos
+         |  FROM surv s
+         |  JOIN uv ua ON ua.vec_id = s.vec_id
+         |  JOIN uv ub ON ub.vec_id = s.nn_id)
+         |$top3Sql""".stripMargin,
+    // ANN near-dup pairs: probe×home meetings, exact cosine gate,
+    // least/greatest canonicalization (both directions carry the same
+    // symmetric dot, so max(cos) == the Spark side's first(cos))
+    "j_dedup_embed_ann" ->
+      s"""WITH $uvSql,
+         |${lloydSql(k = 16, iters = 5, maxSample = 256)},
+         |${rankSql("rk_all", "uv", "c5")},
+         |probes AS (SELECT vec_id, cell_id AS cell, u FROM rk_all
+         |           WHERE rn <= 8),
+         |cands AS (SELECT vec_id, cell_id AS cell, u FROM rk_all
+         |          WHERE rn = 1),
+         |pr AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         list_dot_product(a.u, b.u) AS cos
+         |  FROM probes a JOIN cands b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT least(vec_id, nn_id) AS vec_a,
+         |  greatest(vec_id, nn_id) AS vec_b,
+         |  round(max(cos), 4) + 0 AS cos
+         |FROM pr WHERE cos >= 0.4
+         |GROUP BY 1, 2 ORDER BY vec_a, vec_b""".stripMargin,
+    // semantic decontamination: corpus probes × benchmark home cells
+    // (vec_id < 32), exact-cosine τ gate, per-corpus-doc hit counts
+    "j_decontam_embed" ->
+      s"""WITH $uvSql,
+         |${lloydSql(k = 16, iters = 5, maxSample = 256)},
+         |${rankSql("rk_all", "uv", "c5")},
+         |corpus AS (SELECT vec_id, cell_id AS cell, u FROM rk_all
+         |           WHERE rn <= 8 AND vec_id >= 32),
+         |bench AS (SELECT vec_id, cell_id AS cell, u FROM rk_all
+         |          WHERE rn = 1 AND vec_id < 32),
+         |pr AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         list_dot_product(a.u, b.u) AS cos
+         |  FROM corpus a JOIN bench b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |SELECT vec_id AS doc_id, count(*) AS n_bench_hits,
+         |  round(max(cos), 4) + 0 AS max_cos
+         |FROM pr WHERE cos >= 0.4
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // incremental index twin: Lloyd runs on the BASE split's sample
+    // only (the stored index's build input); base home cells are the
+    // stored inverted lists, the delta ranks against the standing
+    // centroids, and the search is probes × (stored cells ∪ delta
+    // homes) — the Spark side's two joins produce exactly these pairs
+    "j_ann_incremental" ->
+      s"""WITH $uvSql,
+         |buv AS (SELECT vec_id, u FROM uv
+         |        WHERE ${TextOps.splitBucketSql("vec_id")} < 80),
+         |duv AS (SELECT vec_id, u FROM uv
+         |        WHERE ${TextOps.splitBucketSql("vec_id")} >= 80),
+         |${lloydSql(k = 16, iters = 5, maxSample = 256, src = "buv")},
+         |${rankSql("rk_b", "buv", "c5")},
+         |${rankSql("rk_d", "duv", "c5")},
+         |cand AS (
+         |  SELECT vec_id, cell_id AS cell, u FROM rk_b WHERE rn = 1
+         |  UNION ALL
+         |  SELECT vec_id, cell_id AS cell, u FROM rk_d WHERE rn = 1),
+         |probes AS (SELECT vec_id, cell_id AS cell, u FROM rk_d
+         |           WHERE rn <= 8),
+         |pr AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         list_dot_product(a.u, b.u) AS cos
+         |  FROM probes a JOIN cand b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+         |$top3Sql""".stripMargin,
+    // the stored-index PQ search: int8 candidate pass over the same
+    // merged lists, top-32 survivors, exact re-rank
+    "j_ann_incremental_pq" ->
+      s"""WITH $uvSql,
+         |buv AS (SELECT vec_id, u FROM uv
+         |        WHERE ${TextOps.splitBucketSql("vec_id")} < 80),
+         |duv AS (SELECT vec_id, u FROM uv
+         |        WHERE ${TextOps.splitBucketSql("vec_id")} >= 80),
+         |${lloydSql(k = 16, iters = 5, maxSample = 256, src = "buv")},
+         |$qtSql,
+         |${rankSql("rk_b", "buv", "c5")},
+         |${rankSql("rk_d", "duv", "c5")},
+         |cand AS (
+         |  SELECT r.vec_id, r.cell_id AS cell, q.q AS qb
+         |  FROM rk_b r JOIN qt q USING (vec_id) WHERE r.rn = 1
+         |  UNION ALL
+         |  SELECT r.vec_id, r.cell_id AS cell, q.q AS qb
+         |  FROM rk_d r JOIN qt q USING (vec_id) WHERE r.rn = 1),
+         |probes AS (
+         |  SELECT r.vec_id, r.cell_id AS cell, q.q AS qa
+         |  FROM rk_d r JOIN qt q USING (vec_id) WHERE r.rn <= 8),
+         |apx AS (
+         |  SELECT a.vec_id, b.vec_id AS nn_id,
+         |         list_dot_product(a.qa, b.qb) AS approx
+         |  FROM probes a JOIN cand b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |surv AS (
+         |  SELECT vec_id, nn_id FROM apx
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY approx DESC, nn_id ASC) <= 32),
+         |pr AS (
+         |  SELECT s.vec_id, s.nn_id, list_dot_product(ua.u, ub.u) AS cos
+         |  FROM surv s
+         |  JOIN uv ua ON ua.vec_id = s.vec_id
+         |  JOIN uv ub ON ub.vec_id = s.nn_id)
+         |$top3Sql""".stripMargin,
     "j_ann_ivf_topk" ->
       """WITH ec AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
