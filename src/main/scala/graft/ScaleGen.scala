@@ -44,8 +44,31 @@ object ScaleGen {
     }.reduce(_ unionByName _)
     bigEmb.repartition(32).write.mode("overwrite")
       .parquet(s"$out/embeddings.parquet")
+    // events: user/event ids shift per replica (10× USERS, same
+    // per-user history depth — the right stress for per-user state
+    // and window ops), raw ts column untouched so the unit sniffing
+    // in Tables.events keeps working on the copy
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val bigEv = (0 until factor).map { k =>
+      ev.withColumn("user_id", col("user_id") + lit(k * 10000000L))
+        .withColumn("event_id", col("event_id") + lit(k * 1000000000L))
+    }.reduce(_ unionByName _)
+    bigEv.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+    // lineitem: part/supplier key spaces shift per replica (10× the
+    // graph's node AND edge count for the PageRank probe; the
+    // supplier node offset is 10¹², far above any shifted partkey)
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val bigLi = (0 until factor).map { k =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(k * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(k * 10000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(k * 10000000L))
+    }.reduce(_ unionByName _)
+    bigLi.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
     println(s"scalegen wrote ${bigDocs.count()} docs, " +
-      s"${bigEmb.count()} embeddings to $out")
+      s"${bigEmb.count()} embeddings, ${bigEv.count()} events, " +
+      s"${bigLi.count()} lineitems to $out")
     spark.stop()
   }
 }
