@@ -36,20 +36,63 @@ object CorpusPipeline {
   val StageNames: Seq[String] =
     Seq("quality", "langid", "dedup", "decontaminate", "mix_downsample")
 
+  /** Stage-1 selector (r11, VERDICT r10 ask #7): `heuristic` (default)
+    * is the integer quality score, `lm` is the CCNet-shaped bigram-LM
+    * perplexity gate — the LM trains on the corpus's 80% id-bucket
+    * split (the held-out-reference convention of j_quality_lm_filter),
+    * scores EVERY input doc, and keeps those at or above the 25th
+    * percentile. One conf flips the stage; both variants are oracled
+    * (j_pipeline_audit / j_pipeline_audit_lm share every downstream
+    * stage, so the ledgers differ only through stage 1's survivor
+    * set — CorpusPipelineSpec pins the flip equivalence). */
+  val QualityGateKey = "spark.graft.pipeline.qualityGate"
+
+  private def qualityStage(s: SparkSession, d0: DataFrame,
+                           gate: String): DataFrame = gate match {
+    case "lm" =>
+      val txt = d0.select(col("doc_id"), col("text"))
+      val scored = graft.Caches.persisted(TextOps.bigramLmScore(
+        txt.filter(TextOps.splitBucket(col("doc_id")) < 80), txt))
+      val thr = scored.agg(expr("percentile(lm_score, 0.25)").as("thr"))
+      val keep = scored.crossJoin(broadcast(thr))
+        .filter(col("lm_score") >= col("thr")).select("doc_id")
+      // The survivor frame is localCheckpoint'ed (materialized, lineage
+      // cut), unlike the heuristic branch's plain filter: the 5-stage
+      // chain + 6-row ledger reference stage 1 from many places, and
+      // carrying the LM subplan (itself a multi-reference tree) through
+      // each reference made the COMPOSITE plan tree explode — the
+      // optimizer walks trees, not DAGs, so analysis cost went
+      // exponential (measured: 2 GB plan strings, 60 s+ audits; with
+      // the cut the lm audit runs ≈ the heuristic one). This is also
+      // the production story — the object scaladoc's "persist maps to
+      // checkpointed stage tables". Spread first so the materialized
+      // layout keeps full parallelism (a join leaves shuffle-width
+      // partitions; the heuristic branch inherits the input's spread).
+      graft.Par.spread(d0.join(keep, "doc_id")).localCheckpoint(true)
+    case _ =>
+      // exact basis-point score ≥ 6000 (tier mid/high — the same
+      // integer arithmetic as j_text_quality)
+      d0.withColumn("num", TextOps.qualityNum)
+        .withColumn("q4",
+          expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
+        .filter(col("q4") >= 6000)
+        .drop("num", "q4")
+  }
+
   /** Survivor frames after each stage (same order as [[StageNames]]),
-    * given the raw corpus. Each frame keeps the full document schema. */
-  def stages(s: SparkSession, docs0: DataFrame): Seq[DataFrame] = {
+    * given the raw corpus. Each frame keeps the full document schema.
+    * `gate` overrides the session conf ([[QualityGateKey]]) when
+    * given — the registry entries pass it explicitly so their oracle
+    * hashes never depend on session state left by a sibling entry. */
+  def stages(s: SparkSession, docs0: DataFrame,
+             gate: Option[String] = None): Seq[DataFrame] = {
     graft.functions.VectorExprs.register(s)
     val d0 = graft.Caches.persisted(docs0)
 
-    // 1. quality: keep exact basis-point score ≥ 6000 (tier mid/high —
-    //    the same integer arithmetic as j_text_quality)
-    val s1 = d0.withColumn("num", TextOps.qualityNum)
-      .withColumn("q4",
-        expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
-      .filter(col("q4") >= 6000)
-      .drop("num", "q4")
-      .transform(graft.Caches.persisted)
+    // 1. quality gate — heuristic or bigram-LM, see [[qualityStage]]
+    val effGate = gate.getOrElse(
+      s.conf.getOption(QualityGateKey).getOrElse("heuristic"))
+    val s1 = graft.Caches.persisted(qualityStage(s, d0, effGate))
 
     // 2. langid: keep docs whose predicted language (profiles learned
     //    on the stage input) confirms the labeled lang
@@ -102,8 +145,9 @@ object CorpusPipeline {
   /** The audit table: one row per stage with docs in/out/dropped.
     * Fully lazy — each row is an aggregate over the persisted stage
     * frames, assembled with unions (no driver-side counting). */
-  def audit(s: SparkSession, docs0: DataFrame): DataFrame = {
-    val chain = docs0 +: stages(s, docs0)
+  def audit(s: SparkSession, docs0: DataFrame,
+            gate: Option[String] = None): DataFrame = {
+    val chain = docs0 +: stages(s, docs0, gate)
     val rows = StageNames.zipWithIndex.map { case (name, i) =>
       chain(i).agg(count(lit(1)).as("docs_in"))
         .crossJoin(broadcast(chain(i + 1).agg(count(lit(1)).as("docs_out"))))
@@ -227,7 +271,15 @@ object CorpusPipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j_pipeline_audit" -> { (s, d) =>
-      audit(s, Par.spread(Tables.documents(s, d)))
+      audit(s, Par.spread(Tables.documents(s, d)), Some("heuristic"))
+    },
+
+    // The same 5-stage ledger with the bigram-LM perplexity gate as
+    // stage 1 (see QualityGateKey) — stages 2-5 are shared code, so
+    // the two ledgers are provably the same pipeline differing only
+    // in the quality gate. Oracled stage for stage like the default.
+    "j_pipeline_audit_lm" -> { (s, d) =>
+      audit(s, Par.spread(Tables.documents(s, d)), Some("lm"))
     },
 
     // The incremental production loop as ONE operator: clean a DELTA
@@ -252,106 +304,168 @@ object CorpusPipeline {
 
   import LlmOps.shSql
 
+  /** Shared CTE pieces of the two audit oracles: the two stage-1
+    * variants below compose with [[pipeTailSql]] (stages 2…5 + the
+    * ledger), which is IDENTICAL for both — as on the Spark side,
+    * where stages 2…5 are shared code. */
+  private val heurS1Sql: String =
+    """|c AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
+       |    CAST(len(list_filter(string_split(text,' '),
+       |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS nstop,
+       |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndist,
+       |    n_chars
+       |  FROM d0),
+       |q AS (
+       |  SELECT doc_id,
+       |    (4 * least(n_chars, 500) * ntok + 1500 * (ntok - nstop)
+       |     + 1500 * ndist) * 10000 // (5000 * ntok) AS q4
+       |  FROM c),
+       |s1 AS MATERIALIZED (SELECT d0.* FROM d0 JOIN q USING (doc_id) WHERE q4 >= 6000)""".stripMargin
+
+  private val lmS1Sql: String =
+    s"""lpr AS (
+       |  SELECT doc_id, unnest(list_transform(string_split(text,' '),
+       |    (x, i) -> struct_pack(
+       |      prev := CASE WHEN i = 1 THEN NULL
+       |              ELSE string_split(text,' ')[i-1] END,
+       |      cur := x))) AS p
+       |  FROM d0),
+       |lpairs AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM lpr),
+       |ltrain AS (SELECT * FROM lpairs
+       |  WHERE ${TextOps.splitBucketSql("doc_id")} < 80),
+       |luni AS (SELECT cur AS w, count(*) AS uc FROM ltrain GROUP BY 1),
+       |lbig AS (SELECT prev, cur, count(*) AS bc FROM ltrain
+       |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+       |ltot AS (SELECT count(*) AS total FROM ltrain),
+       |lprobs AS (
+       |  SELECT sc.doc_id,
+       |    CASE WHEN sc.prev IS NULL THEN
+       |      CASE WHEN u.uc IS NOT NULL
+       |           THEN CAST(u.uc AS DOUBLE) / CAST(total AS DOUBLE)
+       |           ELSE CAST(1.0 AS DOUBLE) / CAST(total AS DOUBLE) END
+       |    ELSE
+       |      CASE WHEN b.bc IS NOT NULL
+       |           THEN CAST(b.bc AS DOUBLE) / CAST(up.uc AS DOUBLE)
+       |           WHEN u.uc IS NOT NULL
+       |           THEN CAST(0.4 AS DOUBLE) * CAST(u.uc AS DOUBLE)
+       |                / CAST(total AS DOUBLE)
+       |           ELSE CAST(0.4 AS DOUBLE) / CAST(total AS DOUBLE) END
+       |    END AS prob
+       |  FROM lpairs sc
+       |  LEFT JOIN lbig b ON b.prev = sc.prev AND b.cur = sc.cur
+       |  LEFT JOIN luni u ON u.w = sc.cur
+       |  LEFT JOIN luni up ON up.w = sc.prev
+       |  CROSS JOIN ltot),
+       |lscores AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    round(${graft.Det.dsumSql("ln(prob)")} / count(*), 4)
+       |      AS lm_score
+       |  FROM lprobs GROUP BY doc_id),
+       |lthr AS (SELECT quantile_cont(lm_score, 0.25) AS thr FROM lscores),
+       |s1 AS MATERIALIZED (
+       |  SELECT d0.* FROM d0 JOIN lscores USING (doc_id), lthr
+       |  WHERE lm_score >= thr)""".stripMargin
+
+  private val pipeTailSql: String =
+    s"""|tok1 AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
+       |  FROM s1),
+       |prof AS (
+       |  SELECT lang AS p_lang, token FROM (
+       |    SELECT lang, token, count(*) AS cnt,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY count(*) DESC, token ASC) AS rk
+       |    FROM tok1 GROUP BY lang, token)
+       |  WHERE rk <= 20),
+       |votes1 AS (
+       |  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS votes
+       |  FROM tok1 t JOIN prof p ON t.token = p.token
+       |  GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT doc_id, lang, p_lang FROM votes1
+       |  QUALIFY row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY votes DESC, p_lang ASC) = 1),
+       |s2 AS MATERIALIZED (
+       |  SELECT s1.* FROM s1
+       |  JOIN (SELECT doc_id FROM pred WHERE lang = p_lang) k
+       |    USING (doc_id)),
+       |sh2 AS (SELECT doc_id, $shSql AS s FROM s2),
+       |sizes2 AS (SELECT doc_id, len(s) AS n_sh FROM sh2),
+       |ex2 AS MATERIALIZED (SELECT doc_id, unnest(s) AS shingle FROM sh2),
+       |df2 AS (SELECT shingle, count(*) AS df FROM ex2 GROUP BY shingle),
+       |rare2 AS (
+       |  SELECT ex2.doc_id, ex2.shingle FROM ex2
+       |  JOIN df2 USING (shingle) WHERE df2.df <= 50),
+       |cand2 AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare2 a JOIN rare2 b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |inter2 AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand2 c
+       |  JOIN ex2 ea ON ea.doc_id = c.doc_a
+       |  JOIN ex2 eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+       |  GROUP BY 1, 2),
+       |dups AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM inter2
+       |  JOIN sizes2 sa ON sa.doc_id = doc_a
+       |  JOIN sizes2 sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+       |        >= 0.6),
+       |s3 AS MATERIALIZED (
+       |  SELECT s2.* FROM s2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
+       |bench AS (
+       |  SELECT DISTINCT shingle FROM (
+       |    SELECT unnest($shSql) AS shingle FROM d0 WHERE doc_id < 5)),
+       |contam AS (
+       |  SELECT DISTINCT e.doc_id FROM ex2 e
+       |  JOIN s3 USING (doc_id) JOIN bench USING (shingle)),
+       |s4 AS MATERIALIZED (
+       |  SELECT s3.* FROM s3
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |nmin AS (
+       |  SELECT min(n_docs) AS n_min FROM (
+       |    SELECT source, count(*) AS n_docs FROM s4 GROUP BY source)),
+       |s5 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY source
+       |      ORDER BY doc_id) AS rk FROM s4) r, nmin
+       |  WHERE r.rk <= nmin.n_min)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name,
+       |    (SELECT count(*) FROM d0) AS docs_in,
+       |    (SELECT count(*) FROM s1) AS docs_out,
+       |    (SELECT count(*) FROM d0) - (SELECT count(*) FROM s1) AS docs_dropped
+       |  UNION ALL SELECT 2, 'langid', (SELECT count(*) FROM s1),
+       |    (SELECT count(*) FROM s2),
+       |    (SELECT count(*) FROM s1) - (SELECT count(*) FROM s2)
+       |  UNION ALL SELECT 3, 'dedup', (SELECT count(*) FROM s2),
+       |    (SELECT count(*) FROM s3),
+       |    (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3)
+       |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s3),
+       |    (SELECT count(*) FROM s4),
+       |    (SELECT count(*) FROM s3) - (SELECT count(*) FROM s4)
+       |  UNION ALL SELECT 5, 'mix_downsample', (SELECT count(*) FROM s4),
+       |    (SELECT count(*) FROM s5),
+       |    (SELECT count(*) FROM s4) - (SELECT count(*) FROM s5))
+       |ORDER BY stage""".stripMargin
+
+
   val oracles: Map[String, String] = Map(
     "j_pipeline_audit" ->
       s"""WITH d0 AS (SELECT * FROM documents),
-         |c AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(text,' ')) AS BIGINT) AS ntok,
-         |    CAST(len(list_filter(string_split(text,' '),
-         |      t -> t IN ('the','a','of','and','to','in'))) AS BIGINT) AS nstop,
-         |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS ndist,
-         |    n_chars
-         |  FROM d0),
-         |q AS (
-         |  SELECT doc_id,
-         |    (4 * least(n_chars, 500) * ntok + 1500 * (ntok - nstop)
-         |     + 1500 * ndist) * 10000 // (5000 * ntok) AS q4
-         |  FROM c),
-         |s1 AS (SELECT d0.* FROM d0 JOIN q USING (doc_id) WHERE q4 >= 6000),
-         |tok1 AS (
-         |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
-         |  FROM s1),
-         |prof AS (
-         |  SELECT lang AS p_lang, token FROM (
-         |    SELECT lang, token, count(*) AS cnt,
-         |      row_number() OVER (PARTITION BY lang
-         |        ORDER BY count(*) DESC, token ASC) AS rk
-         |    FROM tok1 GROUP BY lang, token)
-         |  WHERE rk <= 20),
-         |votes1 AS (
-         |  SELECT t.doc_id, t.lang, p.p_lang, count(*) AS votes
-         |  FROM tok1 t JOIN prof p ON t.token = p.token
-         |  GROUP BY 1, 2, 3),
-         |pred AS (
-         |  SELECT doc_id, lang, p_lang FROM votes1
-         |  QUALIFY row_number() OVER (PARTITION BY doc_id
-         |    ORDER BY votes DESC, p_lang ASC) = 1),
-         |s2 AS (
-         |  SELECT s1.* FROM s1
-         |  JOIN (SELECT doc_id FROM pred WHERE lang = p_lang) k
-         |    USING (doc_id)),
-         |sh2 AS (SELECT doc_id, $shSql AS s FROM s2),
-         |sizes2 AS (SELECT doc_id, len(s) AS n_sh FROM sh2),
-         |ex2 AS (SELECT doc_id, unnest(s) AS shingle FROM sh2),
-         |df2 AS (SELECT shingle, count(*) AS df FROM ex2 GROUP BY shingle),
-         |rare2 AS (
-         |  SELECT ex2.doc_id, ex2.shingle FROM ex2
-         |  JOIN df2 USING (shingle) WHERE df2.df <= 50),
-         |cand2 AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM rare2 a JOIN rare2 b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |inter2 AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-         |  FROM cand2 c
-         |  JOIN ex2 ea ON ea.doc_id = c.doc_a
-         |  JOIN ex2 eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
-         |  GROUP BY 1, 2),
-         |dups AS (
-         |  SELECT DISTINCT doc_b AS doc_id FROM inter2
-         |  JOIN sizes2 sa ON sa.doc_id = doc_a
-         |  JOIN sizes2 sb ON sb.doc_id = doc_b
-         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
-         |        >= 0.6),
-         |s3 AS (
-         |  SELECT s2.* FROM s2
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
-         |bench AS (
-         |  SELECT DISTINCT shingle FROM (
-         |    SELECT unnest($shSql) AS shingle FROM d0 WHERE doc_id < 5)),
-         |contam AS (
-         |  SELECT DISTINCT e.doc_id FROM ex2 e
-         |  JOIN s3 USING (doc_id) JOIN bench USING (shingle)),
-         |s4 AS (
-         |  SELECT s3.* FROM s3
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-         |nmin AS (
-         |  SELECT min(n_docs) AS n_min FROM (
-         |    SELECT source, count(*) AS n_docs FROM s4 GROUP BY source)),
-         |s5 AS (
-         |  SELECT doc_id FROM (
-         |    SELECT doc_id, row_number() OVER (PARTITION BY source
-         |      ORDER BY doc_id) AS rk FROM s4) r, nmin
-         |  WHERE r.rk <= nmin.n_min)
-         |SELECT * FROM (
-         |  SELECT CAST(1 AS BIGINT) AS stage, 'quality' AS stage_name,
-         |    (SELECT count(*) FROM d0) AS docs_in,
-         |    (SELECT count(*) FROM s1) AS docs_out,
-         |    (SELECT count(*) FROM d0) - (SELECT count(*) FROM s1) AS docs_dropped
-         |  UNION ALL SELECT 2, 'langid', (SELECT count(*) FROM s1),
-         |    (SELECT count(*) FROM s2),
-         |    (SELECT count(*) FROM s1) - (SELECT count(*) FROM s2)
-         |  UNION ALL SELECT 3, 'dedup', (SELECT count(*) FROM s2),
-         |    (SELECT count(*) FROM s3),
-         |    (SELECT count(*) FROM s2) - (SELECT count(*) FROM s3)
-         |  UNION ALL SELECT 4, 'decontaminate', (SELECT count(*) FROM s3),
-         |    (SELECT count(*) FROM s4),
-         |    (SELECT count(*) FROM s3) - (SELECT count(*) FROM s4)
-         |  UNION ALL SELECT 5, 'mix_downsample', (SELECT count(*) FROM s4),
-         |    (SELECT count(*) FROM s5),
-         |    (SELECT count(*) FROM s4) - (SELECT count(*) FROM s5))
-         |ORDER BY stage""".stripMargin,
+         |$heurS1Sql,
+         |$pipeTailSql""".stripMargin,
+
+    // LM-gate variant: stage 1 trains the bigram LM on the 80% split,
+    // scores every doc, keeps >= the 25th percentile; tail shared
+    "j_pipeline_audit_lm" ->
+      s"""WITH d0 AS (SELECT * FROM documents),
+         |$lmS1Sql,
+         |$pipeTailSql""".stripMargin,
 
     // Stage-for-stage SQL twin of the incremental run: quality gate on
     // the delta split, langid votes against profiles learned on the
@@ -377,7 +491,7 @@ object CorpusPipeline {
          |    (4 * least(n_chars, 500) * ntok + 1500 * (ntok - nstop)
          |     + 1500 * ndist) * 10000 // (5000 * ntok) AS q4
          |  FROM c),
-         |s1 AS (SELECT d0.* FROM d0 JOIN q USING (doc_id) WHERE q4 >= 6000),
+         |s1 AS MATERIALIZED (SELECT d0.* FROM d0 JOIN q USING (doc_id) WHERE q4 >= 6000),
          |btok AS (
          |  SELECT lang, unnest(string_split(text,' ')) AS token FROM base),
          |prof AS (
@@ -387,7 +501,7 @@ object CorpusPipeline {
          |        ORDER BY count(*) DESC, token ASC) AS rk
          |    FROM btok GROUP BY lang, token)
          |  WHERE rk <= 20),
-         |tok1 AS (
+         |tok1 AS MATERIALIZED (
          |  SELECT doc_id, lang, unnest(string_split(text,' ')) AS token
          |  FROM s1),
          |votes1 AS (
@@ -398,7 +512,7 @@ object CorpusPipeline {
          |  SELECT doc_id, lang, p_lang FROM votes1
          |  QUALIFY row_number() OVER (PARTITION BY doc_id
          |    ORDER BY votes DESC, p_lang ASC) = 1),
-         |s2 AS (
+         |s2 AS MATERIALIZED (
          |  SELECT s1.* FROM s1
          |  JOIN (SELECT doc_id FROM pred WHERE lang = p_lang) k
          |    USING (doc_id)),
@@ -440,7 +554,7 @@ object CorpusPipeline {
          |    AND doc IN (SELECT doc_id FROM s2)
          |    AND partner NOT IN (SELECT doc_id FROM d0
          |      WHERE doc_id NOT IN (SELECT doc_id FROM s2))),
-         |s3 AS (
+         |s3 AS MATERIALIZED (
          |  SELECT s2.* FROM s2
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
          |bench AS (
@@ -450,7 +564,7 @@ object CorpusPipeline {
          |contam AS (
          |  SELECT DISTINCT e.doc_id FROM exd e
          |  JOIN s3 USING (doc_id) JOIN bench USING (shingle)),
-         |s4 AS (
+         |s4 AS MATERIALIZED (
          |  SELECT s3.* FROM s3
          |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
          |SELECT * FROM (

@@ -62,4 +62,43 @@ class CorpusPipelineSpec extends SparkSpec {
       .agg(min("count")).head().getLong(0)
     assert(perSource.values.head == s4min)
   }
+
+  test("the quality-gate conf flips stage 1: conf-driven audit equals " +
+    "the explicit lm entry, and the lm stage equals the standalone " +
+    "LM-filter arithmetic") {
+    val lmAudit = SparkEntry.queries("j_pipeline_audit_lm")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect()
+    // conf-driven run (no explicit gate) must equal the explicit entry
+    spark.conf.set(CorpusPipeline.QualityGateKey, "lm")
+    try {
+      val byConf = CorpusPipeline.audit(spark, docs0)
+        .as[(Long, String, Long, Long, Long)].collect()
+      assert(byConf.toSeq == lmAudit.toSeq,
+        "conf-driven lm audit differs from the explicit entry")
+    } finally spark.conf.unset(CorpusPipeline.QualityGateKey)
+    graft.Caches.release(spark)
+    // the two ledgers are the same pipeline from stage 2 on: both
+    // conserve docs row-to-row, and stage 1 is where they differ
+    val heur = audit
+    assert(lmAudit.map(_._2).toSeq == CorpusPipeline.StageNames)
+    lmAudit.foreach { case (_, _, in, out, dropped) =>
+      assert(in - out == dropped)
+    }
+    assert(lmAudit.head._3 == heur.head._3,
+      "both gates must read the same raw corpus")
+    assert(lmAudit.head._4 != heur.head._4 ||
+      lmAudit.map(_._4).toSeq == heur.map(_._4).toSeq,
+      "sanity: gates may only differ starting at stage 1's survivors")
+    // stage-1 survivor count equals the standalone LM-gate arithmetic
+    // applied to the full corpus (keep >= 25th percentile of scores)
+    val txt = docs0.select(col("doc_id"), col("text"))
+    val scored = graft.operators.TextOps.bigramLmScore(
+      txt.filter(graft.operators.TextOps.splitBucket(col("doc_id")) < 80),
+      txt)
+    val thr = scored.agg(expr("percentile(lm_score, 0.25)")).head().getDouble(0)
+    val expectKeep = scored.filter(col("lm_score") >= thr).count()
+    assert(lmAudit.head._4 == expectKeep,
+      s"lm stage-1 survivors ${lmAudit.head._4} != standalone $expectKeep")
+    graft.Caches.release(spark)
+  }
 }
