@@ -812,6 +812,79 @@ object LlmOps {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Inter-source duplication matrix (r11): the τ=0.2 near-dup pairs
+    // rolled up by canonical (source, source) — the mixture-design
+    // report that tells a corpus owner WHERE duplication lives (a hot
+    // cc↔cc cell means intra-crawl dup; a hot cc↔wiki cell means the
+    // crawl re-hosts the reference corpus and the mix weights
+    // double-count it). Same blocked pair stats as the jaccard
+    // family (one persisted derivation serves all three consumers);
+    // avg_jac goes through the exact decimal-sum path so the matrix
+    // is engine-reproducible. Output is source-cardinality², a
+    // metadata-sized frame at any corpus scale.
+    "j_corpus_source_overlap" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val pairs = blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
+        .filter(col("jac") >= 0.2)
+      val src = dedupDocs(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("doc_a", "source_a"), "doc_a")
+        .join(src.toDF("doc_b", "source_b"), "doc_b")
+        .groupBy(least(col("source_a"), col("source_b")).as("src_x"),
+          greatest(col("source_a"), col("source_b")).as("src_y"))
+        .agg(count(lit(1)).as("n_pairs"),
+          Det.r4(Det.dsum(col("jac")) / count(lit(1))).as("avg_jac"))
+        .orderBy("src_x", "src_y")
+    },
+
+    // Weighted sparse similarity join (r11): tf-idf cosine pairs over
+    // the TERM space — the lexical complement of j_dedup_embed_cosine
+    // (no embeddings needed) and the weighted upgrade of the set-based
+    // jaccard family. Weights w = tf · ln(N/df); norms and pair dots
+    // go through exact decimal sums, so scores are engine-identical.
+    // Candidates come from RARE terms only (df ≤ cutoff — the same
+    // bounded-fan-out blocking convention as the shingle family,
+    // disclosed: a pair sharing only stopword-grade terms is below any
+    // useful τ anyway), then the verify stage computes the FULL
+    // weighted dot over every shared term for candidates only. At
+    // 100 TB the exchanges carry (doc_id, term-hash, weight) — never
+    // text — and the per-term fan-out is ≤ cutoff².
+    "j_sim_tfidf_pairs" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val nDocs = Tables.rowCount(s, d, "documents")
+      val tok = dedupDocs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = graft.Caches.persisted(tf.join(dfreq, "term")
+        .withColumn("w",
+          col("tf") * log(lit(nDocs.toDouble) / col("df"))))
+      val norms = w.groupBy("doc_id")
+        .agg(sqrt(Det.dsum(col("w") * col("w"))).as("nrm"))
+      val rare = w.filter(col("df") <= dedupDfCutoff(s))
+        .select("doc_id", "term")
+      val cand = rare.as("a").join(rare.as("b"),
+          col("a.term") === col("b.term") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val num = cand
+        .join(w.select(col("doc_id").as("doc_a"), col("term"),
+          col("w").as("wa")), "doc_a")
+        .join(w.select(col("doc_id").as("doc_b"), col("term"),
+          col("w").as("wb")), Seq("doc_b", "term"))
+        .groupBy("doc_a", "doc_b")
+        .agg(Det.dsum(col("wa") * col("wb")).as("num"))
+      num
+        .join(norms.toDF("doc_a", "nrm_a"), "doc_a")
+        .join(norms.toDF("doc_b", "nrm_b"), "doc_b")
+        .withColumn("sim", col("num") / (col("nrm_a") * col("nrm_b")))
+        .filter(col("sim") >= 0.3)
+        .select(col("doc_a"), col("doc_b"), Det.r4(col("sim")).as("sim"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // The full dedup cascade as one operator: rare-shingle blocking →
     // exact-jaccard verify on candidates only → deterministic dup
     // decision (each duplicate points at its smallest verified partner
@@ -1262,6 +1335,83 @@ object LlmOps {
         |  count(DISTINCT text) AS n_kept,
         |  count(*) - count(DISTINCT text) AS n_removed
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // same blocked pair derivation as the jaccard/cascade family,
+    // rolled up by canonical source pair with the exact decimal mean
+    "j_corpus_source_overlap" ->
+      s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
+         |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (
+         |  SELECT ex.doc_id, ex.shingle FROM ex
+         |  JOIN dfreq ON dfreq.shingle = ex.shingle
+         |  WHERE dfreq.df <= ${DfCutoff}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+         |  GROUP BY 1, 2),
+         |pr AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |      AS jac
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+         |        >= 0.2),
+         |wj AS (
+         |  SELECT least(da.source, db.source) AS src_x,
+         |    greatest(da.source, db.source) AS src_y, jac
+         |  FROM pr
+         |  JOIN documents da ON da.doc_id = pr.doc_a
+         |  JOIN documents db ON db.doc_id = pr.doc_b)
+         |SELECT src_x, src_y, count(*) AS n_pairs,
+         |  round(${graft.Det.dsumSql("jac")} / count(*), 4) AS avg_jac
+         |FROM wj GROUP BY src_x, src_y ORDER BY src_x, src_y""".stripMargin,
+    // stage-for-stage twin of the tf-idf sparse similarity join: same
+    // weights, same rare-term blocking, same decimal-exact dots
+    "j_sim_tfidf_pairs" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf
+         |       FROM tk GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |w AS MATERIALIZED (
+         |  SELECT tf.doc_id, tf.term, dfreq.df,
+         |    tf.tf * ln(CAST(nn.n AS DOUBLE) / dfreq.df) AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+         |norms AS (
+         |  SELECT doc_id,
+         |    sqrt(${graft.Det.dsumSql("w * w")}) AS nrm
+         |  FROM w GROUP BY doc_id),
+         |rare AS (SELECT doc_id, term FROM w WHERE df <= ${DfCutoff}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b
+         |    ON a.term = b.term AND a.doc_id < b.doc_id),
+         |num AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    ${graft.Det.dsumSql("wa.w * wb.w")} AS num
+         |  FROM cand c
+         |  JOIN w wa ON wa.doc_id = c.doc_a
+         |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(num / (na.nrm * nb.nrm), 4) + 0 AS sim
+         |FROM num
+         |JOIN norms na ON na.doc_id = doc_a
+         |JOIN norms nb ON nb.doc_id = doc_b
+         |WHERE num / (na.nrm * nb.nrm) >= 0.3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // stage-for-stage twin of substringPairs: same window derivation,
     // same df-cutoff blocking (on the window text — the Spark side's
     // fingerprint is an exchange-width optimization the verify stage

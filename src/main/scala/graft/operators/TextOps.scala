@@ -30,6 +30,18 @@ object TextOps {
   def splitBucketSql(idExpr: String): String =
     s"((($idExpr % 2147483647) * 48271) % 2147483647) % 100"
 
+  /** Collapse consecutive duplicate tokens of `text` per row — see
+    * the j_text_scrub_runs entry. Expects (doc_id, text). */
+  private[graft] def scrubRuns(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("kept", expr(
+        "filter(toks, (t, i) -> i = 0 OR t != try_element_at(toks, i))"))
+      .select(col("doc_id"),
+        array_join(col("kept"), " ").as("scrubbed"),
+        (size(col("toks")) - size(col("kept"))).cast(LongType)
+          .as("n_removed"))
+
   private def toks: Column = split(col("text"), " ")
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
@@ -443,6 +455,20 @@ object TextOps {
           length(col("norm_text")).cast(LongType).as("norm_len"),
           (col("norm_text") =!= col("text")).as("changed"))
         .orderBy("doc_id")
+    },
+
+    // Consecutive-token-run scrub (r11): collapse runs of the SAME
+    // token to one occurrence ("buy buy buy now" → "buy now") — the
+    // intra-document cleanup next to j_text_repetition's REPORT of
+    // repeatedness (that entry measures, this one repairs; the same
+    // split j_dedup_lines/_apply makes corpus-wide). Doc-local in-scan
+    // HOF work, zero corpus shuffles. The previous-token probe uses
+    // try_element_at + three-valued OR instead of short-circuit
+    // (i = 0 OR t != prev is TRUE at i = 0 even though prev is NULL —
+    // boolean evaluation ORDER is not guaranteed in either engine,
+    // but TRUE OR NULL = TRUE is).
+    "j_text_scrub_runs" -> { (s, d) =>
+      scrubRuns(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // Heavy hitters over the token stream (§2.Q) — the two-pass
@@ -1172,6 +1198,19 @@ object TextOps {
         |    x -> len(list_filter(grams, y -> y = x)))) AS BIGINT)
         |    AS max_gram_n
         |FROM g ORDER BY doc_id""".stripMargin,
+    // same three-valued-OR previous-token probe (DuckDB lambdas index
+    // from 1; [0] is NULL out-of-range, and TRUE OR NULL = TRUE)
+    "j_text_scrub_runs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks,
+        |    list_filter(toks, (t, i) -> i = 1 OR t <> toks[i - 1]) AS kept
+        |  FROM t)
+        |SELECT doc_id,
+        |  array_to_string(kept, ' ') AS scrubbed,
+        |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed
+        |FROM k ORDER BY doc_id""".stripMargin,
     "j_text_normalize" ->
       """SELECT doc_id, norm_text,
         |  CAST(length(norm_text) AS BIGINT) AS norm_len,

@@ -316,4 +316,59 @@ class LlmOpsSpec extends SparkSpec {
     }
     assert(math.abs(cos(a, b) - cos(b, a)) < 1e-12)
   }
+  test("source-overlap matrix: canonical cells, and total pairs equal " +
+    "the jaccard pair report") {
+    val m = SparkEntry.queries("j_corpus_source_overlap")(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    assert(m.nonEmpty)
+    m.foreach { case (x, y, n, avg) =>
+      assert(x <= y, s"cell ($x,$y) not canonical")
+      assert(n > 0 && avg >= 0.2, s"cell ($x,$y) n=$n avg=$avg")
+    }
+    val nPairs = SparkEntry.queries("j_jaccard_shingle_pairs")(spark, sfDir)
+      .count()
+    assert(m.map(_._3).sum == nPairs,
+      "matrix cells must partition the tau=0.2 pair set")
+  }
+
+  test("tfidf similarity join is sound: emitted sims match an exact " +
+    "driver recompute, and exact-duplicate docs score 1.0") {
+    val out = SparkEntry.queries("j_sim_tfidf_pairs")(spark, sfDir)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, sim) =>
+      assert(a < b && sim >= 0.3 && sim <= 1.0001, s"($a,$b,$sim)")
+    }
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    val n = texts.size.toDouble
+    val tf = texts.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => w -> g.length.toDouble }
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toDouble }
+    def weights(id: Long): Map[String, Double] =
+      tf(id).map { case (w, c) => w -> c * math.log(n / df(w)) }
+    def cos(a: Long, b: Long): Double = {
+      val (wa, wb) = (weights(a), weights(b))
+      val num = wa.keysIterator.filter(wb.contains)
+        .map(k => wa(k) * wb(k)).sum
+      num / (math.sqrt(wa.values.map(v => v * v).sum) *
+        math.sqrt(wb.values.map(v => v * v).sum))
+    }
+    out.take(25).foreach { case (a, b, sim) =>
+      assert(math.abs(cos(a, b) - sim) < 1e-3,
+        s"($a,$b): spark $sim vs driver ${cos(a, b)}")
+    }
+    // the fixture contains exact-duplicate texts; their pair must be
+    // present at sim 1.0
+    val dupPair = texts.groupBy(_._2).values.find(_.size >= 2)
+      .map(_.keys.toSeq.sorted.take(2))
+    dupPair.foreach { case Seq(a, b) =>
+      assert(out.contains((a, b, 1.0)),
+        s"exact dup pair ($a,$b) missing or not 1.0")
+    }
+  }
+
 }

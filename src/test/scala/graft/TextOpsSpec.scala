@@ -388,4 +388,26 @@ class TextOpsSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+  test("scrub_runs collapses planted runs, conserves tokens, and is " +
+    "idempotent") {
+    val docs = Seq(
+      (1L, "a a a b b c"),
+      (2L, "x y x y"),
+      (3L, "solo"),
+      (4L, "r r r r r r r r")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.scrubRuns(docs)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "a b c", 3L)))
+    assert(out(1) == ((2L, "x y x y", 0L)), "non-consecutive repeats kept")
+    assert(out(2) == ((3L, "solo", 0L)))
+    assert(out(3) == ((4L, "r", 7L)))
+    // conservation on the fixture: removed = orig - kept, and a second
+    // pass removes nothing (idempotence)
+    val first = SparkEntry.queries("j_text_scrub_runs")(spark, sfDir)
+    val again = graft.operators.TextOps.scrubRuns(
+      first.select(col("doc_id"), col("scrubbed").as("text")))
+    assert(again.filter(col("n_removed") =!= 0).count() == 0,
+      "scrub is not idempotent")
+  }
+
 }
