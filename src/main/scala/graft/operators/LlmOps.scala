@@ -842,13 +842,16 @@ object LlmOps {
     // (no embeddings needed) and the weighted upgrade of the set-based
     // jaccard family. Weights w = tf · ln(N/df); norms and pair dots
     // go through exact decimal sums, so scores are engine-identical.
-    // Candidates come from RARE terms only (df ≤ cutoff — the same
-    // bounded-fan-out blocking convention as the shingle family,
-    // disclosed: a pair sharing only stopword-grade terms is below any
-    // useful τ anyway), then the verify stage computes the FULL
-    // weighted dot over every shared term for candidates only. At
-    // 100 TB the exchanges carry (doc_id, term-hash, weight) — never
-    // text — and the per-term fan-out is ≤ cutoff².
+    // Candidates come from rare 3-SHINGLES (the family blocker), NOT
+    // rare unigrams: the first cut blocked on terms with df ≤ cutoff
+    // and returned ZERO pairs at sf0.1 — unigram document frequency
+    // SATURATES as the corpus grows (every word of a finite vocabulary
+    // soon exceeds any absolute cutoff), while n-gram df stays
+    // selective because the shingle space grows combinatorially. The
+    // verify stage then computes the FULL weighted dot over every
+    // shared term for candidates only. At 100 TB the exchanges carry
+    // (doc_id, term, weight) — never text — and the blocking fan-out
+    // is the shingle family's proven ≤ cutoff² per key.
     "j_sim_tfidf_pairs" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val nDocs = Tables.rowCount(s, d, "documents")
@@ -862,13 +865,7 @@ object LlmOps {
           col("tf") * log(lit(nDocs.toDouble) / col("df"))))
       val norms = w.groupBy("doc_id")
         .agg(sqrt(Det.dsum(col("w") * col("w"))).as("nrm"))
-      val rare = w.filter(col("df") <= dedupDfCutoff(s))
-        .select("doc_id", "term")
-      val cand = rare.as("a").join(rare.as("b"),
-          col("a.term") === col("b.term") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val cand = rareShingleCandidates(shingleEx(s, d), dedupDfCutoff(s))
       val num = cand
         .join(w.select(col("doc_id").as("doc_a"), col("term"),
           col("w").as("wa")), "doc_a")
@@ -880,7 +877,7 @@ object LlmOps {
         .join(norms.toDF("doc_a", "nrm_a"), "doc_a")
         .join(norms.toDF("doc_b", "nrm_b"), "doc_b")
         .withColumn("sim", col("num") / (col("nrm_a") * col("nrm_b")))
-        .filter(col("sim") >= 0.3)
+        .filter(col("sim") >= 0.8)
         .select(col("doc_a"), col("doc_b"), Det.r4(col("sim")).as("sim"))
         .orderBy("doc_a", "doc_b")
     },
@@ -1375,7 +1372,7 @@ object LlmOps {
          |  round(${graft.Det.dsumSql("jac")} / count(*), 4) AS avg_jac
          |FROM wj GROUP BY src_x, src_y ORDER BY src_x, src_y""".stripMargin,
     // stage-for-stage twin of the tf-idf sparse similarity join: same
-    // weights, same rare-term blocking, same decimal-exact dots
+    // weights, same rare-SHINGLE blocking, same decimal-exact dots
     "j_sim_tfidf_pairs" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM documents),
          |tok AS (
@@ -1393,11 +1390,17 @@ object LlmOps {
          |  SELECT doc_id,
          |    sqrt(${graft.Det.dsumSql("w * w")}) AS nrm
          |  FROM w GROUP BY doc_id),
-         |rare AS (SELECT doc_id, term FROM w WHERE df <= ${DfCutoff}),
+         |sh AS (SELECT doc_id, $shSql AS sl FROM documents),
+         |ex AS (SELECT doc_id, unnest(sl) AS shingle FROM sh),
+         |sdf AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (
+         |  SELECT ex.doc_id, ex.shingle FROM ex
+         |  JOIN sdf ON sdf.shingle = ex.shingle
+         |  WHERE sdf.df <= ${DfCutoff}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM rare a JOIN rare b
-         |    ON a.term = b.term AND a.doc_id < b.doc_id),
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |num AS (
          |  SELECT c.doc_a, c.doc_b,
          |    ${graft.Det.dsumSql("wa.w * wb.w")} AS num
@@ -1410,7 +1413,7 @@ object LlmOps {
          |FROM num
          |JOIN norms na ON na.doc_id = doc_a
          |JOIN norms nb ON nb.doc_id = doc_b
-         |WHERE num / (na.nrm * nb.nrm) >= 0.3
+         |WHERE num / (na.nrm * nb.nrm) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
     // stage-for-stage twin of substringPairs: same window derivation,
     // same df-cutoff blocking (on the window text — the Spark side's

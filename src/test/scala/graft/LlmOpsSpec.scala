@@ -337,7 +337,7 @@ class LlmOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(out.nonEmpty)
     out.foreach { case (a, b, sim) =>
-      assert(a < b && sim >= 0.3 && sim <= 1.0001, s"($a,$b,$sim)")
+      assert(a < b && sim >= 0.8 && sim <= 1.0001, s"($a,$b,$sim)")
     }
     val texts = Tables.documents(spark, sfDir)
       .select("doc_id", "text").as[(Long, String)].collect().toMap
