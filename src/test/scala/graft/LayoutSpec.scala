@@ -147,6 +147,52 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout keeps per-file min/max selective on BOTH " +
+    "columns where a linear sort only serves its leading column") {
+    val base = Files.createTempDirectory("graft-layout-zorder")
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val zDir = base.resolve("z").toString
+    val linDir = base.resolve("lin").toString
+    val nFiles = 16
+    Layout.writeZOrdered(orders, zDir, "o_custkey", "o_totalprice", nFiles)
+    orders.repartitionByRange(nFiles, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.parquet(linDir)
+    // row-set equality: layout never changes content
+    assert(spark.read.parquet(zDir).count() == orders.count())
+
+    // files a mid-range point predicate CANNOT skip, per column:
+    // a file survives if its [min, max] contains the probe value
+    def survivors(dir: String, c: String, v: Double): Int =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .count { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col(c).cast("double")), max(col(c).cast("double")))
+            .head
+          r.getDouble(0) <= v && v <= r.getDouble(1)
+        }
+    val custProbe = orders.stat.approxQuantile("o_custkey",
+      Array(0.5), 0.01).head
+    val priceProbe = orders.stat.approxQuantile("o_totalprice",
+      Array(0.5), 0.01).head
+    val zCust = survivors(zDir, "o_custkey", custProbe)
+    val zPrice = survivors(zDir, "o_totalprice", priceProbe)
+    val linCust = survivors(linDir, "o_custkey", custProbe)
+    val linPrice = survivors(linDir, "o_totalprice", priceProbe)
+    // the linear sort serves its leading column (near-perfect pruning)
+    // but its trailing column hits ~every file
+    assert(linCust <= 2, s"linear sort should prune o_custkey: $linCust")
+    assert(linPrice >= nFiles - 2,
+      s"baseline sanity: trailing column should NOT prune: $linPrice")
+    // the z-order prunes BOTH dimensions meaningfully
+    assert(zCust <= nFiles / 2,
+      s"z-order failed to prune o_custkey: $zCust of $nFiles")
+    assert(zPrice <= nFiles / 2,
+      s"z-order failed to prune o_totalprice: $zPrice of $nFiles")
+  }
+
   test("compact recovers from a crash stranded between the publish " +
     "renames and from leftover temp/backup dirs") {
     val base = Files.createTempDirectory("graft-layout-recover")
