@@ -295,6 +295,60 @@ class PropertySpec extends SparkSpec {
     assert(expected.nonEmpty, "degenerate fixture: no band collisions")
   }
 
+  test("gap-islands state machine equals a pure interval reference on " +
+    "random day sets, under any within-batch arrival order") {
+    import graft.streaming.{DayEvent, GapIslandsStream}
+    val dayUs = GapIslandsStream.DayUs
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 25L)))
+    samples(evGen, 8).foreach { evs =>
+      val rows = evs.map { case (u, day) =>
+        DayEvent(u, day * dayUs + (u * 977 % 1000))
+      }
+      val got = GapIslandsStream.islandsBatch(rows.toDS())
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // reference: islands = maximal consecutive runs of the day set
+      val expect = evs.groupBy(_._1).flatMap { case (u, g) =>
+        val days = g.map(_._2).distinct.sorted
+        val runs = days.foldLeft(List.empty[(Long, Long)]) {
+          case ((s, e) :: rest, d) if d <= e + 1 => (s, d) :: rest
+          case (acc, d) => (d, d) :: acc
+        }
+        runs.map { case (s, e) => (u, s, e, e - s + 1) }
+      }.toSet
+      assert(got == expect, s"events $evs")
+    }
+  }
+
+  test("retention deltas converge to the reference cohort table under " +
+    "random arrival orders (rebase retractions cancel exactly)") {
+    import graft.streaming.{CohortDelta, RetentionStream, WeekEvent}
+    val wk = RetentionStream.WeekUs
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 9L)))
+    samples(evGen, 8).foreach { evs =>
+      // fold one event per state call, in generated (arbitrary) order
+      var deltas = Vector.empty[CohortDelta]
+      val states = scala.collection.mutable.Map
+        .empty[Long, graft.streaming.RetentionState]
+      evs.foreach { case (u, w) =>
+        val st = new TestGroupState(states.get(u))
+        deltas ++= RetentionStream.process(u,
+          Iterator.single(WeekEvent(u, w * wk + 5L)), st)
+        st.current.foreach(states(u) = _)
+      }
+      val got = deltas.groupBy(d => (d.cohort_week, d.week_offset))
+        .view.mapValues(_.map(_.delta).sum).toMap.filter(_._2 > 0)
+      // reference: per-user cohort = min week; cell (cohort, w-cohort)
+      val expect = evs.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        val wks = g.map(_._2).distinct
+        val cw = wks.min
+        wks.map(w => (cw, w - cw))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got == expect, s"events $evs:\n$got\nvs $expect")
+    }
+  }
+
   test("upsert latest-wins keeps exactly the highest version per key") {
     val kv = Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)))
     samples(kv).foreach { kvs =>
