@@ -201,12 +201,16 @@ object TextOps {
     // ceil(len/4) proxy of j_text_bpe_count): a 200-merge table learned
     // driver-side from the corpus's aggregated word frequencies, applied
     // per doc by the native graft_bpe_count expression — one narrow
-    // projection, the merge table riding the plan as a literal. No
-    // oracle (the merge loop won't twin in SQL); BpeSpec gates
-    // determinism across runs/partitionings, the round-trip
-    // detokenization identity (concat(tokens) == lowercased text with
-    // non-alphanumerics stripped), and real compression
-    // (n_tokens < n_chars_an, n_tokens ≥ n_words).
+    // projection, the merge table riding the plan as a literal.
+    // ORACLED since r11 — the LAST soft j_* row: the merge-training
+    // loop twins as a recursive CTE (pair explode → windowed weighted
+    // counts → best-pair pick with the same (-count, a, b) tie-break →
+    // fold-merge, which is provably ≡ the left-to-right non-overlap
+    // pass since a merged symbol a+b can never equal a), and the apply
+    // side replays the merge list per DISTINCT word via nested
+    // list_reduce. Verified merge-sequence-identical (89/89 on the
+    // fixture) before the hash gate. BpeSpec still gates determinism,
+    // round-trip identity, and compression.
     "j_text_bpe_tokenize" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val mstr = trainedBpeMerges(s, d)
@@ -1138,6 +1142,89 @@ object TextOps {
        |  FROM probs GROUP BY doc_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // see the j_text_bpe_tokenize entry comment — training recursion +
+    // per-distinct-word apply; merges verified sequence-identical to
+    // Bpe.train before relying on the output hash
+    "j_text_bpe_tokenize" ->
+      """WITH RECURSIVE
+        |wf AS MATERIALIZED (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      w -> len(w) > 0)) AS word
+        |    FROM documents)
+        |  GROUP BY word ORDER BY freq DESC, word ASC LIMIT 512),
+        |tr AS (
+        |  SELECT 0 AS it, word, freq, string_split(word, '') AS syms,
+        |    CAST([] AS VARCHAR[][]) AS merges
+        |  FROM wf
+        |  UNION ALL
+        |  SELECT it + 1, word, freq,
+        |    CASE WHEN bc >= 2 THEN
+        |      list_reduce(
+        |        list_prepend(CAST([] AS VARCHAR[]),
+        |          list_transform(syms, s -> [s])),
+        |        (o, e) -> CASE WHEN len(o) > 0 AND o[len(o)] = ba
+        |                    AND e[1] = bb
+        |                  THEN o[1:len(o) - 1] || [ba || bb]
+        |                  ELSE o || e END)
+        |    ELSE syms END,
+        |    CASE WHEN bc >= 2 THEN list_append(merges, [ba, bb])
+        |    ELSE merges END
+        |  FROM (
+        |    SELECT it, word, freq, syms, merges,
+        |      first_value(pa) OVER wbest AS ba,
+        |      first_value(pb) OVER wbest AS bb,
+        |      first_value(cnt) OVER wbest AS bc
+        |    FROM (
+        |      SELECT t.it, t.word, t.freq, t.syms, t.merges, p.pa, p.pb,
+        |        CASE WHEN p.pa IS NULL THEN -1
+        |             ELSE sum(CASE WHEN p.pa IS NULL THEN 0 ELSE t.freq END)
+        |               OVER (PARTITION BY p.pa, p.pb) END AS cnt
+        |      FROM tr t, LATERAL (
+        |        SELECT p0['pa'] AS pa, p0['pb'] AS pb FROM (
+        |          SELECT unnest(CASE WHEN len(syms) < 2
+        |            THEN [{'pa': CAST(NULL AS VARCHAR),
+        |                   'pb': CAST(NULL AS VARCHAR)}]
+        |            ELSE list_transform(range(1, len(syms)),
+        |              j -> {'pa': syms[j], 'pb': syms[j + 1]}) END) AS p0)) p
+        |      WHERE t.it < 200)
+        |    WINDOW wbest AS (ORDER BY cnt DESC, pa ASC NULLS LAST,
+        |      pb ASC NULLS LAST))
+        |  GROUP BY ALL),
+        |mg AS MATERIALIZED (
+        |  SELECT merges FROM tr WHERE it = 200 LIMIT 1),
+        |dw AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      w -> len(w) > 0) AS words,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'))
+        |      AS BIGINT) AS n_chars_an
+        |  FROM documents),
+        |vocab AS MATERIALIZED (
+        |  SELECT DISTINCT unnest(words) AS w FROM dw),
+        |tokd AS MATERIALIZED (
+        |  SELECT w, len(
+        |    list_reduce(
+        |      list_prepend(string_split(w, ''), m.merges),
+        |      (acc, mm) -> list_reduce(
+        |        list_prepend(CAST([] AS VARCHAR[]),
+        |          list_transform(acc, s -> [s])),
+        |        (o, e) -> CASE WHEN len(o) > 0 AND o[len(o)] = mm[1]
+        |                    AND e[1] = mm[2]
+        |                  THEN o[1:len(o) - 1] || [mm[1] || mm[2]]
+        |                  ELSE o || e END))) AS ntok
+        |  FROM vocab, mg m),
+        |dtok AS (
+        |  SELECT x.doc_id, sum(t.ntok) AS n_tokens
+        |  FROM (SELECT doc_id, unnest(words) AS w FROM dw) x
+        |  JOIN tokd t USING (w) GROUP BY x.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(d.words) AS INT) AS n_words,
+        |  d.n_chars_an,
+        |  CAST(coalesce(k.n_tokens, 0) AS BIGINT) AS n_tokens
+        |FROM dw d LEFT JOIN dtok k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // stage-for-stage twin of j_dedup_simhash: the portable two-
     // polynomial token hash rebuilt with list_reduce, per-bit ±1 votes
     // over bits 0–61 (bits 62–63 of the 62-bit hash are structurally
