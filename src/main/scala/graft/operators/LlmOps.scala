@@ -866,14 +866,16 @@ object LlmOps {
       val norms = w.groupBy("doc_id")
         .agg(sqrt(Det.dsum(col("w") * col("w"))).as("nrm"))
       val cand = rareShingleCandidates(shingleEx(s, d), dedupDfCutoff(s))
-      // the weight table is (doc, term, w) — corpus-vocabulary rows of
-      // ~30 bytes; under the family's broadcast limit both verify
-      // probes hash-join against the broadcast copy and the candidate
-      // pairs never shuffle (measured 7.2 → 2.5 s at sf0.1); above it,
-      // fall back to shuffled joins keyed on the doc ids
+      // the weight table is (doc, term, w) rows — sized as roughly
+      // docs × distinct-terms-per-doc (~64 on prose), so the broadcast
+      // decision divides the family row limit by that factor before
+      // comparing against the (cheap, metadata-scale) document count.
+      // Under the limit both verify probes hash-join the broadcast
+      // copy and the candidate-pair expansion never crosses an
+      // exchange; above it, fall back to doc-id-keyed shuffled joins.
       val wSide =
         if (Tables.rowCount(s, d, "documents") <=
-          s.conf.get(AnnOps.BroadcastRowLimitKey, "1000000").toLong)
+          s.conf.get(AnnOps.BroadcastRowLimitKey, "1000000").toLong / 64)
           (df: DataFrame) => broadcast(df)
         else (df: DataFrame) => df
       val num = cand
