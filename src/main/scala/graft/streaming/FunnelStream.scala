@@ -94,10 +94,21 @@ object FunnelStream {
                        state: GroupState[FunnelState])
       : Iterator[FunnelSession] = {
     val out = process(flushAtEnd = false)(uid, events, state)
-    state.getOption.foreach { s =>
-      state.setTimeoutTimestamp(s.last / 1000 + GapUs / 1000)
+    state.getOption match {
+      case Some(s) =>
+        // same clamp as Sessionize.processStreaming (r11): a session
+        // whose gap horizon is already at-or-behind the watermark is
+        // closed — emit it rather than set an in-the-past timeout
+        val horizonMs = s.last / 1000 + GapUs / 1000
+        if (horizonMs <= state.getCurrentWatermarkMs()) {
+          state.remove()
+          out ++ Iterator.single(emit(uid, s))
+        } else {
+          state.setTimeoutTimestamp(horizonMs)
+          out
+        }
+      case None => out
     }
-    out
   }
 
   /** Streaming funnel over (user_id, ts, event_id, event_type) rows

@@ -65,10 +65,24 @@ object Sessionize {
   def processStreaming(uid: Long, events: Iterator[SessionEvent],
                        state: GroupState[SessionState]): Iterator[Session] = {
     val out = process(flushAtEnd = false)(uid, events, state)
-    state.getOption.foreach { s =>
-      state.setTimeoutTimestamp(s.last_us / 1000 + GapUs / 1000)
+    state.getOption match {
+      case Some(s) =>
+        // Spark filters late rows against the PREVIOUS batch's
+        // watermark but validates timeouts against the CURRENT one, so
+        // a watermark jump larger than the gap inside one batch can
+        // leave last+gap in the past (the r11 AttributionStream
+        // lesson). Such a session is already closed by the watermark:
+        // emit it NOW instead of setting an invalid timeout.
+        val horizonMs = s.last_us / 1000 + GapUs / 1000
+        if (horizonMs <= state.getCurrentWatermarkMs()) {
+          state.remove()
+          out ++ Iterator.single(Session(uid, s.first_us, s.last_us, s.n))
+        } else {
+          state.setTimeoutTimestamp(horizonMs)
+          out
+        }
+      case None => out
     }
-    out
   }
 
   /** Streaming sessionization over (user_id, ts) rows whose `ts` is

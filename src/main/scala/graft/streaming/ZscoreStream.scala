@@ -97,7 +97,13 @@ object ZscoreStream {
               ValueEvent(uid, ts.getTime * 1000, eid, v)
             }, state)
           state.getOption.foreach { s =>
-            state.setTimeoutTimestamp(s.lastUs / 1000 + IdleTimeoutUs / 1000)
+            // idle-eviction clamp (r11, the AttributionStream lesson):
+            // if the idle horizon is already behind the watermark the
+            // user IS idle-expired — drop the ring now, exactly what
+            // the timeout would have done
+            val horizonMs = s.lastUs / 1000 + IdleTimeoutUs / 1000
+            if (horizonMs <= state.getCurrentWatermarkMs()) state.remove()
+            else state.setTimeoutTimestamp(horizonMs)
           }
           out
       }
