@@ -325,44 +325,8 @@ object CorpusPipeline {
        |s1 AS MATERIALIZED (SELECT d0.* FROM d0 JOIN q USING (doc_id) WHERE q4 >= 6000)""".stripMargin
 
   private val lmS1Sql: String =
-    s"""lpr AS (
-       |  SELECT doc_id, unnest(list_transform(string_split(text,' '),
-       |    (x, i) -> struct_pack(
-       |      prev := CASE WHEN i = 1 THEN NULL
-       |              ELSE string_split(text,' ')[i-1] END,
-       |      cur := x))) AS p
-       |  FROM d0),
-       |lpairs AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM lpr),
-       |ltrain AS (SELECT * FROM lpairs
-       |  WHERE ${TextOps.splitBucketSql("doc_id")} < 80),
-       |luni AS (SELECT cur AS w, count(*) AS uc FROM ltrain GROUP BY 1),
-       |lbig AS (SELECT prev, cur, count(*) AS bc FROM ltrain
-       |  WHERE prev IS NOT NULL GROUP BY 1, 2),
-       |ltot AS (SELECT count(*) AS total FROM ltrain),
-       |lprobs AS (
-       |  SELECT sc.doc_id,
-       |    CASE WHEN sc.prev IS NULL THEN
-       |      CASE WHEN u.uc IS NOT NULL
-       |           THEN CAST(u.uc AS DOUBLE) / CAST(total AS DOUBLE)
-       |           ELSE CAST(1.0 AS DOUBLE) / CAST(total AS DOUBLE) END
-       |    ELSE
-       |      CASE WHEN b.bc IS NOT NULL
-       |           THEN CAST(b.bc AS DOUBLE) / CAST(up.uc AS DOUBLE)
-       |           WHEN u.uc IS NOT NULL
-       |           THEN CAST(0.4 AS DOUBLE) * CAST(u.uc AS DOUBLE)
-       |                / CAST(total AS DOUBLE)
-       |           ELSE CAST(0.4 AS DOUBLE) / CAST(total AS DOUBLE) END
-       |    END AS prob
-       |  FROM lpairs sc
-       |  LEFT JOIN lbig b ON b.prev = sc.prev AND b.cur = sc.cur
-       |  LEFT JOIN luni u ON u.w = sc.cur
-       |  LEFT JOIN luni up ON up.w = sc.prev
-       |  CROSS JOIN ltot),
-       |lscores AS MATERIALIZED (
-       |  SELECT doc_id,
-       |    round(${graft.Det.dsumSql("ln(prob)")} / count(*), 4)
-       |      AS lm_score
-       |  FROM lprobs GROUP BY doc_id),
+    s"""${TextOps.bigramLmCteFrom("d0", "l", scoreAll = true,
+          materializeScores = true)},
        |lthr AS (SELECT quantile_cont(lm_score, 0.25) AS thr FROM lscores),
        |s1 AS MATERIALIZED (
        |  SELECT d0.* FROM d0 JOIN lscores USING (doc_id), lthr

@@ -874,7 +874,7 @@ object LlmOps {
       // copy and the candidate-pair expansion never crosses an
       // exchange; above it, fall back to doc-id-keyed shuffled joins.
       val wSide =
-        if (Tables.rowCount(s, d, "documents") <=
+        if (nDocs <=
           s.conf.get(AnnOps.BroadcastRowLimitKey, "1000000").toLong / 64)
           (df: DataFrame) => broadcast(df)
         else (df: DataFrame) => df

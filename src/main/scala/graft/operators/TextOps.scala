@@ -31,12 +31,20 @@ object TextOps {
     s"((($idExpr % 2147483647) * 48271) % 2147483647) % 100"
 
   /** Collapse consecutive duplicate tokens of `text` per row — see
-    * the j_text_scrub_runs entry. Expects (doc_id, text). */
+    * the j_text_scrub_runs entry. Expects (doc_id, text). The
+    * previous-token probe is a GUARDED conditional (if's lazy-branch
+    * semantics are contractual, unlike boolean operand order):
+    * element_at(toks, i) with the lambda's 0-based i ≥ 1 is the
+    * 1-based previous token, and i = 0 never reaches it — r11
+    * code-review caught that the earlier try_element_at + OR form
+    * only survived index 0 via short-circuit, which Spark does not
+    * guarantee (try_element_at throws on index 0; it is only null
+    * for OUT-OF-RANGE indices). */
   private[graft] def scrubRuns(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("kept", expr(
-        "filter(toks, (t, i) -> i = 0 OR t != try_element_at(toks, i))"))
+        "filter(toks, (t, i) -> if(i = 0, true, t != element_at(toks, i)))"))
       .select(col("doc_id"),
         array_join(col("kept"), " ").as("scrubbed"),
         (size(col("toks")) - size(col("kept"))).cast(LongType)
@@ -466,11 +474,10 @@ object TextOps {
     // intra-document cleanup next to j_text_repetition's REPORT of
     // repeatedness (that entry measures, this one repairs; the same
     // split j_dedup_lines/_apply makes corpus-wide). Doc-local in-scan
-    // HOF work, zero corpus shuffles. The previous-token probe uses
-    // try_element_at + three-valued OR instead of short-circuit
-    // (i = 0 OR t != prev is TRUE at i = 0 even though prev is NULL —
-    // boolean evaluation ORDER is not guaranteed in either engine,
-    // but TRUE OR NULL = TRUE is).
+    // HOF work, zero corpus shuffles. The previous-token probe is a
+    // guarded if() on the Spark side (see scrubRuns); the DuckDB twin
+    // keeps its three-valued-OR form, which IS order-safe there
+    // because toks[0] genuinely returns NULL.
     "j_text_scrub_runs" -> { (s, d) =>
       scrubRuns(Tables.documents(s, d)).orderBy("doc_id")
     },
@@ -1100,24 +1107,37 @@ object TextOps {
   /** Shared CTE chain of the bigram-LM oracle: ends with
     * `scores(doc_id, lm_score)` — the LM report appends a bare
     * SELECT, the quality gate appends the quantile threshold. */
-  private def bigramLmCte: String =
-    s"""WITH pr AS (
+  /** The bigram-LM (stupid-backoff) oracle fragment, parameterized so
+    * ONE copy of the probability arithmetic serves both the standalone
+    * entries (src = documents, 80/20 split, plain scores) and the
+    * pipeline's LM quality gate (src = d0, every doc scored, scores
+    * MATERIALIZED, `l` prefix) — a second hand-maintained copy is how
+    * the Spark and SQL sides silently desynchronize (r11 review).
+    * Emits CTEs `${pfx}pr … ${pfx}scores(doc_id, lm_score)`, no WITH. */
+  private[operators] def bigramLmCteFrom(src: String, pfx: String,
+      scoreAll: Boolean, materializeScores: Boolean): String = {
+    val mat = if (materializeScores) " MATERIALIZED" else ""
+    val scPred =
+      if (scoreAll) "TRUE" else s"${splitBucketSql("doc_id")} >= 80"
+    s"""${pfx}pr AS (
        |  SELECT doc_id, unnest(list_transform(string_split(text,' '),
        |    (x, i) -> struct_pack(
        |      prev := CASE WHEN i = 1 THEN NULL
        |              ELSE string_split(text,' ')[i-1] END,
        |      cur := x))) AS p
-       |  FROM documents),
-       |pairs AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM pr),
-       |train AS (SELECT * FROM pairs
+       |  FROM $src),
+       |${pfx}pairs AS (SELECT doc_id, p.prev AS prev, p.cur AS cur
+       |  FROM ${pfx}pr),
+       |${pfx}train AS (SELECT * FROM ${pfx}pairs
        |  WHERE ${splitBucketSql("doc_id")} < 80),
-       |uni AS (SELECT cur AS w, count(*) AS uc FROM train GROUP BY 1),
-       |big AS (SELECT prev, cur, count(*) AS bc FROM train
+       |${pfx}uni AS (SELECT cur AS w, count(*) AS uc FROM ${pfx}train
+       |  GROUP BY 1),
+       |${pfx}big AS (SELECT prev, cur, count(*) AS bc FROM ${pfx}train
        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
-       |tot AS (SELECT count(*) AS total FROM train),
-       |sc AS (SELECT * FROM pairs
-       |  WHERE ${splitBucketSql("doc_id")} >= 80),
-       |probs AS (
+       |${pfx}tot AS (SELECT count(*) AS total FROM ${pfx}train),
+       |${pfx}sc AS (SELECT * FROM ${pfx}pairs
+       |  WHERE $scPred),
+       |${pfx}probs AS (
        |  SELECT sc.doc_id,
        |    CASE WHEN sc.prev IS NULL THEN
        |      CASE WHEN u.uc IS NOT NULL
@@ -1131,15 +1151,20 @@ object TextOps {
        |                / CAST(total AS DOUBLE)
        |           ELSE CAST(0.4 AS DOUBLE) / CAST(total AS DOUBLE) END
        |    END AS prob
-       |  FROM sc
-       |  LEFT JOIN big b ON b.prev = sc.prev AND b.cur = sc.cur
-       |  LEFT JOIN uni u ON u.w = sc.cur
-       |  LEFT JOIN uni up ON up.w = sc.prev
-       |  CROSS JOIN tot),
-       |scores AS (
+       |  FROM ${pfx}sc sc
+       |  LEFT JOIN ${pfx}big b ON b.prev = sc.prev AND b.cur = sc.cur
+       |  LEFT JOIN ${pfx}uni u ON u.w = sc.cur
+       |  LEFT JOIN ${pfx}uni up ON up.w = sc.prev
+       |  CROSS JOIN ${pfx}tot),
+       |${pfx}scores AS$mat (
        |  SELECT doc_id,
        |    round(${Det.dsumSql("ln(prob)")} / count(*), 4) AS lm_score
-       |  FROM probs GROUP BY doc_id)""".stripMargin
+       |  FROM ${pfx}probs GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bigramLmCte: String =
+    "WITH " + bigramLmCteFrom("documents", "", scoreAll = false,
+      materializeScores = false)
 
   val oracles: Map[String, String] = Map(
     // see the j_text_bpe_tokenize entry comment — training recursion +

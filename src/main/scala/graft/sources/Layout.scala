@@ -139,9 +139,11 @@ object Layout {
                     colB: String, nFiles: Int): Unit = {
     import org.apache.spark.sql.functions._
     val Bits = 8 // 256 buckets per dimension → 16-bit z-value
-    def bucket(c: String): org.apache.spark.sql.Column = {
-      val probs = (0 to (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
-      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+    val probs = (0 to (1 << Bits)).map(_.toDouble / (1 << Bits)).toArray
+    // ONE quantile pass covers both dimensions (multi-column overload)
+    val allBounds = df.stat.approxQuantile(Array(colA, colB), probs, 0.001)
+    def bucket(c: String, bounds: Array[Double])
+        : org.apache.spark.sql.Column = {
       // index of the last inner bound ≤ value, clamped to [0, 255]
       val inner = bounds.slice(1, bounds.length - 1)
       least(
@@ -153,8 +155,8 @@ object Layout {
       (shiftright(col("__ba"), k).bitwiseAND(1) * lit(1L << (2 * k + 1))) +
         (shiftright(col("__bb"), k).bitwiseAND(1) * lit(1L << (2 * k)))
     }.reduce(_ + _)
-    df.withColumn("__ba", bucket(colA))
-      .withColumn("__bb", bucket(colB))
+    df.withColumn("__ba", bucket(colA, allBounds(0)))
+      .withColumn("__bb", bucket(colB, allBounds(1)))
       .withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")

@@ -6,74 +6,92 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class DayEvent(user_id: Long, ts_us: Long)
 case class Island(user_id: Long, island_start: Long, island_end: Long,
                   island_len: Long)
-/** The user's one OPEN island (the newest run of consecutive days). */
-case class IslandState(start: Long, end: Long)
+/** Every island of the user that the watermark has NOT yet proven
+  * maximal, oldest-first, as flattened [s0, e0, s1, e1, …] (the
+  * product encoder handles flat Seq[Long] without a nested-type
+  * wrapper). Bounded: intervals ahead of the watermark span at most
+  * the watermark delay in days, plus the one open run. */
+case class IslandState(flat: Seq[Long]) {
+  def intervals: List[(Long, Long)] =
+    flat.grouped(2).map { case Seq(a, b) => (a, b) }.toList
+}
+object IslandState {
+  def of(ivs: List[(Long, Long)]): IslandState =
+    IslandState(ivs.flatMap { case (a, b) => Seq(a, b) })
+}
 
 /** §2.K streaming twin of `e_window_gap_islands` (r11): maximal runs
-  * of consecutive active days maintained as per-user interval state
-  * over `flatMapGroupsWithState`, instead of the batch
+  * of consecutive active days maintained as per-user interval-set
+  * state over `flatMapGroupsWithState`, instead of the batch
   * row_number-difference window.
   *
-  * Equivalence to the batch plan (GapIslandsStreamSpec pins it on the
-  * fixture): an island is fully determined by the SET of active days,
-  * and [[mergeDays]] folds each batch's distinct days into the open
-  * interval exactly as interval union would — a day adjacent to or
-  * inside the open run extends it, a gap > 1 day closes it. Closed
-  * islands emit immediately; the open island emits when the watermark
-  * passes `end + 2 days` (no event with day ≤ end+1 can still arrive,
-  * so the run is provably maximal — the same argument that makes the
-  * batch result exact). A stale open island whose horizon is already
-  * at-or-behind the watermark emits in the data path rather than
-  * setting an in-the-past timeout (the AttributionStream r11 lesson).
+  * Equivalence to the batch plan (GapIslandsStreamSpec pins it): an
+  * island is fully determined by the SET of active days, and
+  * [[mergeDays]] folds each batch's distinct days into the interval
+  * set exactly as interval union would. An island is emitted ONLY
+  * when the watermark passes `end + 2 days` — the instant no day
+  * ≤ end+1 can still arrive, so the run is provably maximal. Islands
+  * ahead of that horizon stay in state, because a late-but-admissible
+  * day can still extend them or MERGE two of them (the r11
+  * code-review counterexample: days 10 then 8 then 9 under a 3-day
+  * watermark delay must produce ONE island (8,10) — an eager emit of
+  * (8,8) in append mode could never be retracted).
   *
-  * Scale notes: state is TWO longs per user with an open streak; the
-  * event-time timeout bounds retention to the streak horizon, and the
-  * state store shards by user_id. Late days inside the watermark merge
-  * correctly (they arrive before the island can time out); days beyond
-  * the watermark are dropped by the operator's late-row filter —
-  * standard append-mode semantics.
+  * Scale notes: state is ≤ (watermark-delay-in-days + 1) intervals of
+  * two longs per active user; the event-time timeout at the OLDEST
+  * unproven horizon bounds retention, and the state store shards by
+  * user_id. Days beyond the watermark are dropped by the operator's
+  * late-row filter — standard append-mode semantics.
   */
 object GapIslandsStream {
   val DayUs: Long = 86400000000L
 
-  /** Merge the open interval with a batch of (not necessarily sorted,
-    * possibly duplicate) day indices → (closed islands oldest-first,
-    * new open island). Pure interval union over {open} ∪ days. */
-  private[graft] def mergeDays(open: Option[(Long, Long)],
-                                   days: Seq[Long])
-      : (List[(Long, Long)], Option[(Long, Long)]) = {
-    val ivs = (open.toList ++ days.distinct.sorted.map(d => (d, d)))
-      .sortBy(_._1)
-    val merged = ivs.foldLeft(List.empty[(Long, Long)]) {
+  /** Interval union of the existing set with a batch of (not
+    * necessarily sorted, possibly duplicate) day indices →
+    * merged interval set, oldest-first. */
+  private[graft] def mergeDays(ivs0: List[(Long, Long)],
+                               days: Seq[Long]): List[(Long, Long)] = {
+    val ivs = (ivs0 ++ days.distinct.map(d => (d, d))).sortBy(_._1)
+    ivs.foldLeft(List.empty[(Long, Long)]) {
       case ((s, e) :: rest, (s2, e2)) if s2 <= e + 1 =>
         (s, math.max(e, e2)) :: rest
       case (acc, iv) => iv :: acc
     }.reverse
-    (merged.dropRight(1), merged.lastOption)
   }
 
   private def isl(uid: Long, iv: (Long, Long)): Island =
     Island(uid, iv._1, iv._2, iv._2 - iv._1 + 1)
 
+  /** Horizon at which the watermark proves `iv` maximal: the first
+    * instant after every possible day ≤ end+1. */
+  private def horizonMs(iv: (Long, Long)): Long =
+    (iv._2 + 2) * (DayUs / 1000)
+
   def process(flushAtEnd: Boolean)(
       uid: Long, events: Iterator[DayEvent],
       state: GroupState[IslandState]): Iterator[Island] = {
     val days = events.map(_.ts_us / DayUs).toSeq
-    val open0 = state.getOption.map(s => (s.start, s.end))
-    val (closed, open) = mergeDays(open0, days)
+    val merged = mergeDays(
+      state.getOption.map(_.intervals).getOrElse(Nil), days)
     val out = Seq.newBuilder[Island]
-    closed.foreach(iv => out += isl(uid, iv))
-    if (state.hasTimedOut || flushAtEnd) {
-      open.foreach(iv => out += isl(uid, iv))
+    if (flushAtEnd) {
+      // batch mode: everything is final at iterator exhaustion
+      merged.foreach(iv => out += isl(uid, iv))
       state.remove()
     } else {
-      open.foreach { case (s, e) => state.update(IslandState(s, e)) }
+      // data and timeout invocations share this path: emit what the
+      // watermark has proven maximal, keep the rest
+      val wm = state.getCurrentWatermarkMs()
+      val (proven, live) = merged.partition(horizonMs(_) <= wm)
+      proven.foreach(iv => out += isl(uid, iv))
+      if (live.isEmpty) state.remove()
+      else state.update(IslandState.of(live))
     }
     out.result().iterator
   }
 
-  /** Batch islands through the state API (one call per group, open
-    * island flushed) — GapIslandsStreamSpec proves it equals the
+  /** Batch islands through the state API (one call per group, all
+    * intervals flushed) — GapIslandsStreamSpec proves it equals the
     * `e_window_gap_islands` windowed plan row-for-row. */
   def islandsBatch(ds: Dataset[DayEvent]): Dataset[Island] = {
     import ds.sparkSession.implicits._
@@ -82,25 +100,17 @@ object GapIslandsStream {
         process(flushAtEnd = true))
   }
 
-  /** Streaming process: the open island persists with an event-time
-    * timeout at `(end + 2) · day` — the instant the watermark proves
-    * no day ≤ end+1 can arrive. If that instant already passed, the
-    * island is closed NOW: emit and drop the state. */
+  /** Streaming process: emit the islands the watermark has proven
+    * maximal, keep the rest, and wake again at the oldest surviving
+    * horizon (always > watermark by construction of the partition, so
+    * the timeout is never in the past). */
   def processStreaming(uid: Long, events: Iterator[DayEvent],
                        state: GroupState[IslandState]): Iterator[Island] = {
     val out = process(flushAtEnd = false)(uid, events, state)
-    state.getOption match {
-      case Some(s) =>
-        val horizonMs = (s.end + 2) * (DayUs / 1000)
-        if (horizonMs <= state.getCurrentWatermarkMs()) {
-          state.remove()
-          out ++ Iterator.single(isl(uid, (s.start, s.end)))
-        } else {
-          state.setTimeoutTimestamp(horizonMs)
-          out
-        }
-      case None => out
+    state.getOption.foreach { s =>
+      state.setTimeoutTimestamp(s.intervals.map(horizonMs).min)
     }
+    out
   }
 
   /** Streaming islands over watermarked (user_id, ts) rows. */

@@ -31,22 +31,64 @@ class GapIslandsStreamSpec extends SparkSpec {
     assert(stateful.nonEmpty)
   }
 
-  test("mergeDays folds any day arrival order to the same islands") {
+  test("mergeDays folds any day arrival order to the same interval " +
+    "union, including bridges that merge existing intervals") {
     import GapIslandsStream.mergeDays
     // interval union is order-insensitive within a batch
-    val days = Seq(7L, 3L, 4L, 9L, 8L, 3L)
-    val (closed, open) = mergeDays(None, days)
-    assert(closed == List((3L, 4L)))
-    assert(open.contains((7L, 9L)))
-    // adjacent day bridges into the open island
-    val (c2, o2) = mergeDays(Some((7L, 9L)), Seq(10L))
-    assert(c2.isEmpty && o2.contains((7L, 10L)))
-    // a gap closes it
-    val (c3, o3) = mergeDays(Some((7L, 10L)), Seq(13L))
-    assert(c3 == List((7L, 10L)) && o3.contains((13L, 13L)))
-    // a late earlier run closes BEFORE the open island
-    val (c4, o4) = mergeDays(Some((7L, 9L)), Seq(2L, 1L))
-    assert(c4 == List((1L, 2L)) && o4.contains((7L, 9L)))
+    assert(mergeDays(Nil, Seq(7L, 3L, 4L, 9L, 8L, 3L)) ==
+      List((3L, 4L), (7L, 9L)))
+    // adjacent day extends
+    assert(mergeDays(List((7L, 9L)), Seq(10L)) == List((7L, 10L)))
+    // a gap opens a second interval
+    assert(mergeDays(List((7L, 10L)), Seq(13L)) ==
+      List((7L, 10L), (13L, 13L)))
+    // a late earlier run sits before, unmerged
+    assert(mergeDays(List((7L, 9L)), Seq(2L, 1L)) ==
+      List((1L, 2L), (7L, 9L)))
+    // a bridging day MERGES two existing intervals — the case that
+    // forbids eager emission of the earlier one
+    assert(mergeDays(List((3L, 4L), (7L, 9L)), Seq(5L, 6L)) ==
+      List((3L, 9L)))
+  }
+
+  test("a late-but-admissible day merges islands instead of splitting " +
+    "them (r11 code-review counterexample)") {
+    implicit val ctx = spark.sqlContext
+    def ts(day: Int) = new Timestamp(day * 86400000L + 3600000L)
+    val input = MemoryStream[GiEv]
+    val out = GapIslandsStream.islandsStreaming(
+      input.toDF()
+        .withWatermark("ts", "3 days")
+        .select(col("user_id"), col("ts"))
+        .as[(Long, Timestamp)])
+    val q = out.writeStream
+      .format("memory").queryName("gap_islands_late_merge_test")
+      .outputMode("append")
+      .start()
+    try {
+      // day 10 first; then day 8 (admissible: watermark = 10-3 = 7);
+      // then day 9 bridges 8 and 10 into one island
+      input.addData(GiEv(1, ts(10)))
+      q.processAllAvailable()
+      input.addData(GiEv(1, ts(8)))
+      q.processAllAvailable()
+      assert(spark.table("gap_islands_late_merge_test").count() == 0,
+        "no island may emit before the watermark proves it maximal")
+      input.addData(GiEv(1, ts(9)))
+      q.processAllAvailable()
+      // flush: push the watermark past day 12 (= (10+2))
+      input.addData(GiEv(2, ts(40)))
+      q.processAllAvailable()
+      input.addData(GiEv(2, ts(41)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception)
+    } finally q.stop()
+    val rows = spark.table("gap_islands_late_merge_test")
+      .filter(col("user_id") === 1)
+      .select("island_start", "island_end", "island_len")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rows == Set((8L, 10L, 3L)),
+      s"late day split the island: $rows")
   }
 
   test("streamed islands carry the open streak across micro-batches " +
