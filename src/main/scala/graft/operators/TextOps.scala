@@ -1006,30 +1006,47 @@ object TextOps {
     // explode → (half, token) counts — vocabulary-sized everything
     // after the first partial-aggregated exchange.
     "j_corpus_drift" -> { (s, d) =>
-      val half = when(splitBucket(col("doc_id")) < 80, "a").otherwise("b")
-      val c = Tables.documents(s, d)
-        .select(half.as("half"), explode(toks).as("tok"))
-        .groupBy("half", "tok").agg(count(lit(1)).as("c"))
-      val tot = c.groupBy("half").agg(sum(col("c")).as("t"))
-      val p = c.join(tot, "half")
-        .groupBy("tok")
-        .agg(max(when(col("half") === "a",
-          col("c").cast(DoubleType) / col("t"))).as("pa"),
-          max(when(col("half") === "b",
-            col("c").cast(DoubleType) / col("t"))).as("pb"))
-      val m = (coalesce(col("pa"), lit(0.0)) +
-        coalesce(col("pb"), lit(0.0))) / lit(2)
-      val contrib =
-        lit(0.5) * when(col("pa").isNull || col("pa") === 0, lit(0.0))
-          .otherwise(col("pa") * log(col("pa") / m)) +
-        lit(0.5) * when(col("pb").isNull || col("pb") === 0, lit(0.0))
-          .otherwise(col("pb") * log(col("pb") / m))
-      p.agg(
-        Det.r4(sum(contrib.cast(DecimalType(24, 12))).cast(DoubleType))
-          .as("js_nats"),
-        count(lit(1)).as("vocab"))
+      val isBase = splitBucket(col("doc_id")) < 80
+      val docs = Tables.documents(s, d)
+      jsDivergence(termCounts(docs.filter(isBase)),
+        termCounts(docs.filter(!isBase)))
     }
   )
+
+  /** Per-term counts of a (… text …) frame — the distribution input
+    * of [[jsDivergence]] and the artifact DriftStream folds. */
+  private[graft] def termCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(toks).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** Jensen–Shannon divergence (nats) between two (tok, c) count
+    * frames, with the per-term contributions decimal-cast so the
+    * scalar is reduce-order-independent. Shared by the batch
+    * j_corpus_drift entry and the streaming drift monitor
+    * (streaming/DriftStream.scala) — same code, zero drift between
+    * the twins by construction. */
+  private[graft] def jsDivergence(ca: DataFrame, cb: DataFrame): DataFrame = {
+    val c = ca.select(lit("a").as("half"), col("tok"), col("c"))
+      .unionByName(cb.select(lit("b").as("half"), col("tok"), col("c")))
+    val tot = c.groupBy("half").agg(sum(col("c")).as("t"))
+    val p = c.join(tot, "half")
+      .groupBy("tok")
+      .agg(max(when(col("half") === "a",
+        col("c").cast(DoubleType) / col("t"))).as("pa"),
+        max(when(col("half") === "b",
+          col("c").cast(DoubleType) / col("t"))).as("pb"))
+    val m = (coalesce(col("pa"), lit(0.0)) +
+      coalesce(col("pb"), lit(0.0))) / lit(2)
+    val contrib =
+      lit(0.5) * when(col("pa").isNull || col("pa") === 0, lit(0.0))
+        .otherwise(col("pa") * log(col("pa") / m)) +
+      lit(0.5) * when(col("pb").isNull || col("pb") === 0, lit(0.0))
+        .otherwise(col("pb") * log(col("pb") / m))
+    p.agg(
+      Det.r4(sum(contrib.cast(DecimalType(24, 12))).cast(DoubleType))
+        .as("js_nats"),
+      count(lit(1)).as("vocab"))
+  }
 
   /** (doc_id, prev, cur) adjacent-token pairs of each document; prev is
     * NULL at position 1. Shuffle-free — one transform+explode over the

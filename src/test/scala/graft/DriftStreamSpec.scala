@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+import graft.streaming.DriftStream
+
+case class DrDoc(doc_id: Long, text: String)
+
+/** The streaming drift monitor (§2.K, r11): folding the incoming docs
+  * into the count store — in ANY batching — must reproduce the batch
+  * `j_corpus_drift` divergence exactly, because the store holds exact
+  * counts and the divergence runs the same shared code.
+  */
+class DriftStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drop(t: String): Unit =
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+
+  private lazy val expected =
+    SparkEntry.queries("j_corpus_drift")(spark, sfDir)
+      .as[(Double, Long)].collect().toSeq
+
+  test("micro-batch folds converge to the one-shot divergence under " +
+    "any batching") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
+    val delta = docs.filter(TextOps.splitBucket(col("doc_id")) >= 80)
+    drop("drift_ref_t"); drop("drift_cur3_t"); drop("drift_cur5_t")
+    TextOps.termCounts(base).write.format("parquet")
+      .saveAsTable("drift_ref_t")
+    for (k <- 0 until 3)
+      DriftStream.foldBatch(spark, "drift_cur3_t",
+        delta.filter(pmod(col("doc_id"), lit(3)) === k))
+    for (k <- 0 until 5)
+      DriftStream.foldBatch(spark, "drift_cur5_t",
+        delta.filter(pmod(col("doc_id"), lit(5)) === k))
+    val got3 = DriftStream.drift(spark, "drift_ref_t", "drift_cur3_t")
+      .as[(Double, Long)].collect().toSeq
+    val got5 = DriftStream.drift(spark, "drift_ref_t", "drift_cur5_t")
+      .as[(Double, Long)].collect().toSeq
+    assert(got3 == expected, s"3-way batching: $got3 vs $expected")
+    assert(got5 == expected, s"5-way batching: $got5 vs $expected")
+  }
+
+  test("the foreachBatch stream folds to the same store as the batch " +
+    "fold") {
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(TextOps.splitBucket(col("doc_id")) >= 80)
+      .select("doc_id", "text").as[DrDoc].collect()
+    drop("drift_ref_s"); drop("drift_cur_s")
+    TextOps.termCounts(
+      docs.filter(TextOps.splitBucket(col("doc_id")) < 80))
+      .write.format("parquet").saveAsTable("drift_ref_s")
+    val input = MemoryStream[DrDoc]
+    val q = DriftStream.start(input.toDF(), "drift_cur_s")
+    try {
+      val (h1, h2) = delta.splitAt(delta.length / 2)
+      input.addData(h1.toIndexedSeq: _*)
+      q.processAllAvailable()
+      input.addData(h2.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, q.exception)
+    } finally q.stop()
+    val got = DriftStream.drift(spark, "drift_ref_s", "drift_cur_s")
+      .as[(Double, Long)].collect().toSeq
+    assert(got == expected, s"streamed: $got vs $expected")
+  }
+}
