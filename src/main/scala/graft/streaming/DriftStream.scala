@@ -36,12 +36,15 @@ object DriftStream {
         s.table(table).unionByName(counts)
           .groupBy("tok").agg(sum(col("c")).as("c"))
       else counts
-    // two-step publish: the merge reads the table it replaces
+    // two-step publish (the merge reads the table it replaces);
+    // DedupArtifacts.reset also clears stale warehouse DIRECTORIES a
+    // previous JVM left behind, which a bare DROP TABLE cannot see
     val tmp = table + "_next"
-    merged.write.format("parquet").mode("overwrite").saveAsTable(tmp)
-    s.table(tmp).write.format("parquet").mode("overwrite")
-      .saveAsTable(table)
-    s.sql(s"DROP TABLE $tmp")
+    graft.operators.DedupArtifacts.reset(s, tmp)
+    merged.write.format("parquet").saveAsTable(tmp)
+    graft.operators.DedupArtifacts.reset(s, table)
+    s.table(tmp).write.format("parquet").saveAsTable(table)
+    graft.operators.DedupArtifacts.reset(s, tmp)
   }
 
   /** Start the monitor: each micro-batch of (… text …) rows folds

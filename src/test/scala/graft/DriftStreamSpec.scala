@@ -16,7 +16,7 @@ class DriftStreamSpec extends SparkSpec {
   import spark.implicits._
 
   private def drop(t: String): Unit =
-    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.operators.DedupArtifacts.reset(spark, t)
 
   private lazy val expected =
     SparkEntry.queries("j_corpus_drift")(spark, sfDir)
