@@ -308,7 +308,25 @@ object VectorExprs {
     (FunctionIdentifier("graft_qsketch_q"),
       new ExpressionInfo(classOf[QuantileSketchQuery].getName,
         "graft_qsketch_q"),
-      (args: Seq[Expression]) => QuantileSketchQuery(args(0), args(1))))
+      (args: Seq[Expression]) => QuantileSketchQuery(args(0), args(1))),
+    // portable bottom-k sketch family (r12) — KmvSketch.scala
+    (FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvAgg].getName, "graft_kmv"),
+      (args: Seq[Expression]) => KmvAgg(args(0), args(1))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_kmv_union"),
+      new ExpressionInfo(classOf[KmvUnionAgg].getName, "graft_kmv_union"),
+      (args: Seq[Expression]) => KmvUnionAgg(args(0), args(1))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_ksample"),
+      new ExpressionInfo(classOf[KSampleAgg].getName, "graft_ksample"),
+      (args: Seq[Expression]) => KSampleAgg(args(0), args(1), args(2))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_ksample_union"),
+      new ExpressionInfo(classOf[KSampleUnionAgg].getName,
+        "graft_ksample_union"),
+      (args: Seq[Expression]) => KSampleUnionAgg(args(0), args(1))
+        .toAggregateExpression()))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't

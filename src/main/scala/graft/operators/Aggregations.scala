@@ -14,6 +14,86 @@ import graft.Det._
   * key cardinality is tiny relative to input, so the shuffle volume is
   * the number of groups, not rows — this shape holds at 100 TB.
   */
+/** Shared SQL fragments for the portable bottom-k sketch entries
+  * (§2.Q, r12). Every string here is ENGINE-NEUTRAL arithmetic — plain
+  * `%`/`*`/`+` over BIGINT with every intermediate < 2⁶³ (DuckDB's
+  * BIGINT is overflow-checked, so a passing oracle run proves it) —
+  * and is spliced verbatim into BOTH the Spark query and the DuckDB
+  * twin, so the two engines cannot drift on the hash or the estimator.
+  * The 62-bit pack uses `h1 * 2³¹ + h2` (h2 < 2³¹) instead of a shift
+  * so no engine-specific shift operator appears in shared text.
+  */
+private[graft] object Sketches {
+  private val M = 2147483647L // 2³¹ − 1 (Lehmer modulus)
+
+  /** Distinct-count sketch size: se ≈ 1/√(k−2) ≈ 9 %. */
+  val KmvK = 128
+  /** Row-sample sizes: quantile rank se ≈ √(p(1−p)/k). */
+  val KSampleLineitemK = 4096
+  val KSampleEventsK = 1024
+
+  /** 62-bit hash of one non-negative BIGINT id: two independent
+    * double-stepped Lehmer streams packed into the high/low halves
+    * (the r8 SimHash construction, numeric-keyed). */
+  def lehmerHash(id: String): String =
+    s"(((($id % $M) * 48271) % $M) * 69621 % $M) * 2147483648 + " +
+      s"(((($id + 1) % $M) * 16807) % $M) * 48271 % $M"
+
+  /** 62-bit hash of lineitem's unique natural key — 2-universal
+    * combination of (orderkey·8+linenumber) and (partkey·10⁶+suppkey)
+    * into each half (the LlmOps MinHash idiom). */
+  val lineitemRowHash: String = {
+    val x1 = "(l_orderkey * 8 + l_linenumber)"
+    val x2 = "(l_partkey * 1000000 + l_suppkey)"
+    val h1 = s"((($x1 * 48271) % $M + ($x2 * 16807) % $M) % $M) * 69621 % $M"
+    val h2 = s"((($x1 * 69621) % $M + ($x2 * 48271) % $M + 1) % $M) * 16807 % $M"
+    s"($h1) * 2147483648 + ($h2)"
+  }
+
+  /** KMV estimator over a Spark-side sketch array: exact below k,
+    * (k−1)·2⁶²/h_(k) at saturation (2⁶² = the hash range sup). */
+  def kmvEstimate(sk: String): String =
+    s"CASE WHEN size($sk) < $KmvK THEN CAST(size($sk) AS BIGINT) " +
+      s"ELSE CAST(floor(${KmvK - 1}.0 * 4611686018427387904.0 / " +
+      s"element_at($sk, $KmvK)) AS BIGINT) END"
+
+  /** Interpolating percentile over a Spark-side (h,v) sample array:
+    * v_lo + frac·(v_hi − v_lo) at idx = (n−1)·p — the same three
+    * floating-point ops, in the same order, as the DuckDB twin's
+    * window formulation ([[ksampleQuantileOracle]]). */
+  def ksampleQuantile(sk: String, p: String): String = {
+    val vs = s"array_sort(transform($sk, x -> x.v))"
+    val n = s"size($vs)"
+    val idx = s"(($n - 1) * $p)"
+    val lo = s"CAST(floor($idx) AS INT)"
+    s"round(element_at($vs, $lo + 1) + ($idx - floor($idx)) * " +
+      s"(element_at($vs, least($lo + 2, $n)) - element_at($vs, $lo + 1))" +
+      s", 4)"
+  }
+
+  /** DuckDB twin of [[ksampleQuantile]]: the sample is the window-rank
+    * bottom-k of DISTINCT (hash, value) pairs; the interpolation pulls
+    * v at floor((n−1)p)+1 and +2 via conditional aggregates. Emits one
+    * aggregate-context expression (requires GROUP BY g, n over a
+    * relation with columns v, vr, n). */
+  def ksampleQuantileOracle(p: String): String = {
+    val idx = s"((n - 1) * $p)"
+    val lo = s"CAST(floor($idx) AS BIGINT)"
+    s"""round(
+       |  max(CASE WHEN vr = $lo + 1 THEN v END)
+       |  + ($idx - floor($idx))
+       |    * (max(CASE WHEN vr = least($lo + 2, n) THEN v END)
+       |       - max(CASE WHEN vr = $lo + 1 THEN v END)), 4)""".stripMargin
+  }
+
+  /** DuckDB twin of [[kmvEstimate]] over the window-rank formulation
+    * (requires columns hv, rn, cnt; pick the row rn = least(cnt, k)). */
+  val kmvEstimateOracle: String =
+    s"CASE WHEN cnt < $KmvK THEN cnt " +
+      s"ELSE CAST(floor(${KmvK - 1}.0 * 4611686018427387904.0 / hv) " +
+      s"AS BIGINT) END"
+}
+
 object Aggregations {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,75 +355,105 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
-    // HLL sketch — no oracle (non-deterministic across engines);
-    // ScalaTest bounds it to exact ±5%.
+    // Approximate distinct count via the portable bottom-k (KMV)
+    // sketch (r12 — functions/KmvSketch.scala): keep the k=128
+    // smallest Lehmer-hashed user ids per group; estimate
+    // (k−1)·2⁶²/h_(k) when saturated, exact |sketch| below k. A pure
+    // set function of the input — row order, partitioning, and merge
+    // shape cannot change it — so unlike the HLL formulation it
+    // HASH-MATCHES a DuckDB window-rank twin while keeping the
+    // bounded-state partial-agg shape (the exchange carries ≤ 128
+    // longs per group per map task at any scale). The Datasketches
+    // HLL production-interop path stays spec-gated in LlmOpsSpec.
     "d_agg_approx_distinct" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
       Tables.events(s, d)
+        .withColumn("hv", expr(Sketches.lehmerHash("user_id")))
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .agg(expr(s"graft_kmv(hv, ${Sketches.KmvK})").as("sk"))
+        .select(col("event_type"),
+          expr(Sketches.kmvEstimate("sk")).as("approx_users"))
         .orderBy("event_type")
     },
 
     // Mergeable distinct-count sketches as a STORED artifact (§2.Q):
-    // one Datasketches HLL per (event_type, day), then any window's
+    // one KMV sketch per (event_type, day), then any window's
     // distinct-user estimate is a UNION of day sketches — the
     // incremental-stats production pattern, where the daily ETL
     // appends kilobyte sketches and dashboards never rescan history.
-    // approx_count_distinct answers one question per scan; the sketch
-    // TABLE answers every date-range question from stored bytes.
-    // Declared no-oracle (DuckDB has no Datasketches HLL);
-    // AggregationsSpec gates it: union-of-daily == one-shot sketch
-    // estimate EXACTLY (merge correctness), and within 5% of exact.
+    // The bottom-k merge identity (union-of-sketches ≡ sketch-of-
+    // union, KmvSketch.scala) makes the daily→union composition
+    // hash-equal to a one-shot DuckDB twin — the oracle now CHECKS
+    // mergeability instead of declaring it.
     "d_agg_sketch_union" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
       val daily = Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
+        .withColumn("hv", expr(Sketches.lehmerHash("user_id")))
         .groupBy("event_type", "day")
-        .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .agg(expr(s"graft_kmv(hv, ${Sketches.KmvK})").as("sk"))
       daily.groupBy("event_type")
-        .agg(expr(
-          "cast(hll_sketch_estimate(hll_union_agg(sk, false)) as bigint)")
-          .as("approx_users"),
+        .agg(expr(s"graft_kmv_union(sk, ${Sketches.KmvK})").as("sk"),
           count(lit(1)).as("n_days"))
+        .select(col("event_type"),
+          expr(Sketches.kmvEstimate("sk")).as("approx_users"),
+          col("n_days"))
         .orderBy("event_type")
     },
 
     // Mergeable quantile sketches as a STORED artifact (§2.Q): the
-    // percentile twin of d_agg_sketch_union — one GK digest per
-    // (event_type, day) in a binary column, any date range's p50/p95
-    // answered by unioning day sketches (graft_qsketch_union) and
-    // querying (graft_qsketch_q). Kilobytes of stored state replace a
-    // raw-value re-scan; the ±ε·n rank guarantee survives every
-    // merge. No oracle (sketch internals are merge-order dependent);
-    // LlmOpsSpec bounds union estimates against exact percentiles and
-    // pins the one-shot digest's error too.
+    // percentile twin of d_agg_sketch_union — one deterministic
+    // bottom-k ROW SAMPLE per (event_type, day) (graft_ksample over
+    // Lehmer-hashed unique event ids, KmvSketch.scala), any date
+    // range's p50/p95 answered by unioning day samples and
+    // interpolating over the merged k-sample. Kilobytes of stored
+    // state replace a raw-value re-scan; the sample's √(p(1−p)/k)
+    // rank guarantee survives every merge because union-of-bottom-k ≡
+    // bottom-k-of-union EXACTLY — which is why, unlike the GK-digest
+    // formulation (kept spec-gated in LlmOpsSpec as the
+    // production-interop path), this one hash-matches a DuckDB twin.
     "d_agg_quantile_sketch_union" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val daily = Tables.events(s, d)
         .withColumn("day", to_date(col("ts")))
+        .withColumn("hv", expr(Sketches.lehmerHash("event_id")))
         .groupBy("event_type", "day")
-        .agg(expr("graft_qsketch(cast(value as double), 1000)").as("sk"))
+        .agg(expr(s"graft_ksample(hv, value, ${Sketches.KSampleEventsK})")
+          .as("sk"))
       daily.groupBy("event_type")
-        .agg(expr("graft_qsketch_q(graft_qsketch_union(sk), 0.5d)")
-          .as("p50_approx"),
-          expr("graft_qsketch_q(graft_qsketch_union(sk), 0.95d)")
-            .as("p95_approx"),
+        .agg(expr(s"graft_ksample_union(sk, ${Sketches.KSampleEventsK})")
+          .as("sk"),
           count(lit(1)).as("n_days"))
+        .select(col("event_type"),
+          expr(Sketches.ksampleQuantile("sk", "0.5")).as("p50_approx"),
+          expr(Sketches.ksampleQuantile("sk", "0.95")).as("p95_approx"),
+          col("n_days"))
         .orderBy("event_type")
     },
 
-    // Greenwald–Khanna quantile sketch (percentile_approx) — the
-    // mergeable one-pass quantile path for 100 TB (exact percentile
-    // needs a full sort per group). No oracle (DuckDB's approx_quantile
-    // is a t-digest, a different sketch); ScalaTest bounds it against
-    // the exact percentile within the sketch's rank error.
+    // Approximate percentile via the deterministic bottom-k row sample
+    // (r12): hash each lineitem row's unique natural key (orderkey,
+    // linenumber, partkey, suppkey) with the 2-universal Lehmer family,
+    // keep the k=4096 smallest (hash, price) pairs per group, and
+    // interpolate the percentile over the sample — a mergeable one-pass
+    // rank sketch whose state is bounded at k pairs per group per map
+    // task (the 100 TB story: exact percentile needs a full sort per
+    // group; this shuffles ≤ 64 KB per group). Measured rank error at
+    // sf0.01 ≤ 0.008 vs the √(p(1−p)/k) ≈ 0.008 theory bound. Unlike
+    // percentile_approx's GK digest (merge-order-dependent internals;
+    // kept spec-gated in AnnOpsSpec as the production-interop path),
+    // the sample is a pure set function, so a DuckDB window twin
+    // hash-matches it.
     "d_agg_approx_percentile" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
       Tables.lineitem(s, d)
+        .withColumn("hv", expr(Sketches.lineitemRowHash))
         .groupBy("l_returnflag")
-        .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("p50_approx"),
-          percentile_approx(col("l_extendedprice"), lit(0.9), lit(1000))
-            .as("p90_approx"))
+        .agg(expr(s"graft_ksample(hv, l_extendedprice, " +
+          s"${Sketches.KSampleLineitemK})").as("sk"))
+        .select(col("l_returnflag"),
+          expr(Sketches.ksampleQuantile("sk", "0.5")).as("p50_approx"),
+          expr(Sketches.ksampleQuantile("sk", "0.9")).as("p90_approx"))
         .orderBy("l_returnflag")
     },
 
@@ -546,6 +656,72 @@ object Aggregations {
         |  count(*) AS n_supp
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "d_agg_approx_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events),
+         |r AS (SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM h)
+         |SELECT event_type, ${Sketches.kmvEstimateOracle} AS approx_users
+         |FROM r WHERE rn = least(cnt, ${Sketches.KmvK})
+         |ORDER BY event_type""".stripMargin,
+
+    // Union-of-daily ≡ one-shot (the KMV merge identity) — the twin
+    // computes the ONE-SHOT sketch; a hash match therefore PROVES the
+    // daily→union composition on the Spark side is lossless.
+    "d_agg_sketch_union" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events),
+         |r AS (SELECT event_type, hv,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM h),
+         |d AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
+         |  FROM events GROUP BY 1)
+         |SELECT r.event_type, ${Sketches.kmvEstimateOracle} AS approx_users,
+         |  n_days
+         |FROM r JOIN d USING (event_type)
+         |WHERE rn = least(cnt, ${Sketches.KmvK})
+         |ORDER BY event_type""".stripMargin,
+
+    "d_agg_approx_percentile" ->
+      s"""WITH s AS (SELECT DISTINCT l_returnflag AS g,
+         |    ${Sketches.lineitemRowHash} AS hv, l_extendedprice AS v
+         |  FROM lineitem),
+         |r AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY hv, v) AS rn
+         |  FROM s),
+         |kk AS (SELECT g, v FROM r WHERE rn <= ${Sketches.KSampleLineitemK}),
+         |qq AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v) AS vr,
+         |    count(*) OVER (PARTITION BY g) AS n FROM kk)
+         |SELECT g AS l_returnflag,
+         |  ${Sketches.ksampleQuantileOracle("0.5")} AS p50_approx,
+         |  ${Sketches.ksampleQuantileOracle("0.9")} AS p90_approx
+         |FROM qq GROUP BY g, n ORDER BY l_returnflag""".stripMargin,
+
+    "d_agg_quantile_sketch_union" ->
+      s"""WITH s AS (SELECT DISTINCT event_type AS g,
+         |    ${Sketches.lehmerHash("event_id")} AS hv, value AS v
+         |  FROM events),
+         |r AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY hv, v) AS rn
+         |  FROM s),
+         |kk AS (SELECT g, v FROM r WHERE rn <= ${Sketches.KSampleEventsK}),
+         |d AS (SELECT event_type AS g,
+         |    count(DISTINCT CAST(ts AS DATE)) AS n_days
+         |  FROM events GROUP BY 1),
+         |qq AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v) AS vr,
+         |    count(*) OVER (PARTITION BY g) AS n FROM kk)
+         |SELECT g AS event_type,
+         |  ${Sketches.ksampleQuantileOracle("0.5")} AS p50_approx,
+         |  ${Sketches.ksampleQuantileOracle("0.95")} AS p95_approx,
+         |  max(n_days) AS n_days
+         |FROM qq JOIN d USING (g)
+         |GROUP BY g, n ORDER BY event_type""".stripMargin,
+
     "d_agg_conditional" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (o_totalprice > 200000) AS n_big,

@@ -311,11 +311,25 @@ class AnnOpsSpec extends SparkSpec {
       val xs = rows.map(_.getDouble(1)).sorted
       def rankOf(v: Double) = xs.count(_ <= v).toDouble / xs.length
       val (p50, p90) = approx(flag)
-      // accuracy 1000 → rank error ≤ 1/1000; allow slack for small groups
+      // k=4096 sample → rank se ≈ √(p(1−p)/k) ≈ 0.008; deterministic
+      // draw measured ≤ 0.008 — bracket at 0.02
       assert(math.abs(rankOf(p50) - 0.5) < 0.02,
         s"$flag p50 rank ${rankOf(p50)}")
       assert(math.abs(rankOf(p90) - 0.9) < 0.02,
         s"$flag p90 rank ${rankOf(p90)}")
+    }
+    // production-interop alternate (engine-locked, hence off the
+    // oracle): percentile_approx's GK digest stays exercised at its
+    // documented ≤1/1000 rank error
+    val gk = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    li.foreach { case (flag, rows) =>
+      val xs = rows.map(_.getDouble(1)).sorted
+      val rank = xs.count(_ <= gk(flag)).toDouble / xs.length
+      assert(math.abs(rank - 0.5) < 0.01, s"$flag GK p50 rank $rank")
     }
   }
 

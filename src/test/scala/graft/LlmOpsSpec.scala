@@ -143,53 +143,90 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 1L), (1L, 6L, 1L), (2L, 6L, 1L)), pairs)
   }
 
-  test("approx_count_distinct within 5% of exact") {
+  test("d_agg_approx_distinct (KMV) within its se bound of exact; " +
+    "Datasketches HLL interop path tracks exact too") {
     val approx = SparkEntry.queries("d_agg_approx_distinct")(spark, sfDir)
       .select("event_type", "approx_users").as[(String, Long)].collect().toMap
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .select("event_type", "n").as[(String, Long)].collect().toMap
+    // KMV se ≈ 1/√(k−2) ≈ 9% at k=128; 3σ bracket. (Measured on the
+    // fixture: exact to the integer — the Lehmer permutation of the
+    // dense id range is better-than-random equidistributed.)
     exact.foreach { case (t, n) =>
       val a = approx(t)
-      assert(math.abs(a - n).toDouble / n <= 0.05,
-        s"$t: approx $a vs exact $n exceeds 5%")
+      assert(math.abs(a - n).toDouble / n <= 0.27,
+        s"$t: approx $a vs exact $n exceeds the KMV 3σ bound")
     }
-  }
-
-  test("d_agg_sketch_union: union of daily sketches equals the " +
-    "one-shot sketch exactly and tracks exact distinct within 5%") {
-    val merged = SparkEntry.queries("d_agg_sketch_union")(spark, sfDir)
-      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
-    // merge correctness: summing per-day sketches must lose nothing
-    // vs sketching the whole table in one pass
-    val oneShot = Tables.events(spark, sfDir)
+    // production-interop alternate (engine-locked, hence off the
+    // oracle): Datasketches HLL stays exercised
+    val hll = Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) as bigint)")
         .as("n"))
       .select("event_type", "n").as[(String, Long)].collect().toMap
-    assert(merged == oneShot,
-      s"daily-union $merged != one-shot $oneShot")
+    exact.foreach { case (t, n) =>
+      assert(math.abs(hll(t) - n).toDouble / n <= 0.05,
+        s"$t: hll ${hll(t)} vs exact $n exceeds 5%")
+    }
+  }
+
+  test("d_agg_sketch_union: union of daily KMV sketches equals the " +
+    "one-shot sketch exactly; HLL daily-union interop merges losslessly") {
+    graft.functions.VectorExprs.register(spark)
+    val merged = SparkEntry.queries("d_agg_sketch_union")(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    // merge correctness: union of per-day bottom-k must lose nothing
+    // vs sketching the whole table in one pass (the KMV identity the
+    // DuckDB oracle also pins)
+    val k = graft.operators.Sketches.KmvK
+    val h = graft.operators.Sketches.lehmerHash("user_id")
+    val oneShot = Tables.events(spark, sfDir)
+      .withColumn("hv", expr(h))
+      .groupBy("event_type")
+      .agg(expr(s"graft_kmv(hv, $k)").as("sk"))
+      .select(col("event_type"),
+        expr(graft.operators.Sketches.kmvEstimate("sk")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == oneShot, s"daily-union $merged != one-shot $oneShot")
     val exact = Tables.events(spark, sfDir)
       .groupBy("event_type").agg(countDistinct("user_id").as("n"))
       .select("event_type", "n").as[(String, Long)].collect().toMap
     exact.foreach { case (t, n) =>
-      assert(math.abs(merged(t) - n).toDouble / n <= 0.05,
-        s"$t: sketch ${merged(t)} vs exact $n exceeds 5%")
+      assert(math.abs(merged(t) - n).toDouble / n <= 0.27,
+        s"$t: sketch ${merged(t)} vs exact $n exceeds the KMV 3σ bound")
     }
+    // Datasketches HLL union interop: daily-union == one-shot estimate
+    val hllMerged = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+      .groupBy("event_type")
+      .agg(expr(
+        "cast(hll_sketch_estimate(hll_union_agg(sk, false)) as bigint)")
+        .as("n"))
+      .as[(String, Long)].collect().toMap
+    val hllOneShot = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(expr("cast(hll_sketch_estimate(hll_sketch_agg(user_id, 12)) as bigint)")
+        .as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(hllMerged == hllOneShot,
+      s"hll daily-union $hllMerged != one-shot $hllOneShot")
   }
 
-  test("d_agg_quantile_sketch_union: day-sketch unions track exact " +
-    "percentiles within the GK rank bound") {
+  test("d_agg_quantile_sketch_union: day-sample unions track exact " +
+    "percentiles within the sampling rank bound; GK digest interop " +
+    "obeys its own bounds") {
     graft.functions.VectorExprs.register(spark)
     val merged = SparkEntry.queries("d_agg_quantile_sketch_union")(spark, sfDir)
       .select("event_type", "p50_approx", "p95_approx")
       .as[(String, Double, Double)].collect()
     assert(merged.nonEmpty)
-    // rank-error bound: accuracy 1000 → ε = 0.001 per sketch, but GK
-    // merge error COMPOUNDS across the ~90 day-sketches (measured
-    // overshoot ~0.005 rank) — bracket the union at ±2% rank, still
-    // far tighter than any sampling alternative at this cost
-    val eps = 0.02
+    // rank-error bound for the k=1024 bottom-k row sample: se =
+    // √(p(1−p)/k)·fpc ≈ 0.011 at p50 on the ~2k-row sf0.01 groups —
+    // bracket at ±3% rank (the draw is deterministic; measured ≤ 2%)
+    val eps = 0.03
     merged.foreach { case (t, p50, p95) =>
       val b = Tables.events(spark, sfDir)
         .filter(col("event_type") === t)
@@ -203,8 +240,9 @@ class LlmOpsSpec extends SparkSpec {
       assert(p95 >= b.getDouble(2) && p95 <= b.getDouble(3),
         s"$t p95 $p95 outside [${b.getDouble(2)}, ${b.getDouble(3)}]")
     }
-    // the one-shot digest (no daily split) obeys the same bracket —
-    // merging day sketches lost no guarantee
+    // production-interop alternate (engine-locked, hence off the
+    // oracle): the GK digest path (graft_qsketch) stays exercised —
+    // the one-shot digest obeys its tighter single-digest bound
     val oneShot = Tables.events(spark, sfDir)
       .groupBy("event_type")
       .agg(expr("graft_qsketch_q(graft_qsketch(cast(value as double), 1000), 0.5d)")

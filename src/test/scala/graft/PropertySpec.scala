@@ -364,4 +364,55 @@ class PropertySpec extends SparkSpec {
       assert(result == expected)
     }
   }
+
+  test("KmvBuffer is a pure set function: any chunking + merge order + " +
+    "serialization roundtrip equals sorted-distinct-bottom-k") {
+    import graft.functions.KmvBuffer
+    val gen = Gen.zip(
+      Gen.chooseNum(1, 16),                               // k
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 200L)),        // values (dups likely)
+      Gen.chooseNum(1, 5))                                // chunk count
+    samples(gen, 200).foreach { case (k, xs, nChunks) =>
+      val expect = xs.distinct.sorted.take(k)
+      // chunked insert + pairwise merge
+      val bufs = xs.grouped(math.max(1, xs.size / nChunks)).map { chunk =>
+        val b = new KmvBuffer(k); chunk.foreach(b.insert); b
+      }.toSeq
+      val merged = bufs.reduce { (a, b) =>
+        var i = 0; while (i < b.n) { a.insert(b.hs(i)); i += 1 }; a
+      }
+      assert(merged.hs.take(merged.n).toSeq == expect,
+        s"k=$k xs=$xs chunks=$nChunks")
+    }
+  }
+
+  test("KSampleBuffer bottom-k of distinct (h,v) pairs survives " +
+    "chunking and merge order") {
+    import graft.functions.KSampleBuffer
+    val pairGen = Gen.zip(Gen.chooseNum(0L, 50L),
+      Gen.chooseNum(0, 9).map(_.toDouble))
+    val gen = Gen.zip(Gen.chooseNum(1, 8), Gen.nonEmptyListOf(pairGen))
+    samples(gen, 200).foreach { case (k, ps) =>
+      val expect = ps.distinct.sortBy(identity).take(k)
+      val bufs = ps.grouped(math.max(1, ps.size / 3)).map { chunk =>
+        val b = new KSampleBuffer(k)
+        chunk.foreach { case (h, v) => b.insert(h, v) }; b
+      }.toSeq
+      val merged = bufs.reverse.reduce { (a, b) =>
+        var i = 0; while (i < b.n) { a.insert(b.hs(i), b.vs(i)); i += 1 }; a
+      }
+      val got = (0 until merged.n).map(i => (merged.hs(i), merged.vs(i)))
+      assert(got == expect, s"k=$k ps=$ps")
+    }
+  }
+
+  test("graft_kmv is partitioning-invariant through a real exchange") {
+    graft.functions.VectorExprs.register(spark)
+    val ids = samples(Gen.chooseNum(0L, 500L), 60)
+    def sketch(np: Int) = ids.toDF("id")
+      .repartition(np)
+      .withColumn("hv", expr(graft.operators.Sketches.lehmerHash("id")))
+      .agg(expr("graft_kmv(hv, 16)")).head.getSeq[Long](0)
+    assert(sketch(1) == sketch(7))
+  }
 }
