@@ -326,7 +326,10 @@ object VectorExprs {
       new ExpressionInfo(classOf[KSampleUnionAgg].getName,
         "graft_ksample_union"),
       (args: Seq[Expression]) => KSampleUnionAgg(args(0), args(1))
-        .toAggregateExpression()))
+        .toAggregateExpression()),
+    (FunctionIdentifier("graft_wdot"),
+      new ExpressionInfo(classOf[WeightedDotSorted].getName, "graft_wdot"),
+      (args: Seq[Expression]) => WeightedDotSorted(args(0), args(1))))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't
@@ -412,6 +415,66 @@ case class ShingleArray(left: Expression, right: Expression)
   * SimHash band pipeline built on it hash-matches a SQL twin. Bits
   * 62–63 of H are structurally zero (each half < 2³¹), which both
   * engines' signatures reflect identically. */
+/** Exact-decimal weighted dot of two TERM-SORTED sparse vectors
+  * (`array<struct<term:string, w:double>>`, as built by
+  * `sort_array(collect_list(struct(term, w)))`) — the per-pair verify
+  * kernel of `j_sim_tfidf_pairs` (r12). One merge pass over the two
+  * arrays; on a term match the product is quantized to DECIMAL(·,6)
+  * exactly as Spark's `CAST(w_a*w_b AS DECIMAL(20,6))` does
+  * (`BigDecimal.valueOf` → `setScale(6, HALF_UP)`) and accumulated
+  * exactly, so the result is bit-identical to the former
+  * `Det.dsum(wa*wb)` join-expansion formulation and to the DuckDB
+  * twin's decimal sum — while turning the (pair × terms)-row shuffle
+  * expansion (68 M rows at sf0.1) into an O(|a|+|b|) scalar kernel
+  * per candidate pair. Term comparison is UTF8String byte order, the
+  * same ordering `sort_array` used to build the inputs.
+  */
+case class WeightedDotSorted(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  import org.apache.spark.sql.types.{StringType, StructType}
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(st: StructType, _) =>
+      st.length == 2 && st(0).dataType == StringType &&
+        st(1).dataType == DoubleType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<term:string,w:double>>, " +
+        s"got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_wdot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val na = xa.numElements(); val nb = xb.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0; var j = 0
+    while (i < na && j < nb) {
+      val ra = xa.getStruct(i, 2); val rb = xb.getStruct(j, 2)
+      val c = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (c < 0) i += 1
+      else if (c > 0) j += 1
+      else {
+        val p = ra.getDouble(1) * rb.getDouble(1)
+        acc = acc.add(java.math.BigDecimal.valueOf(p)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+        i += 1; j += 1
+      }
+    }
+    acc.doubleValue()
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WeightedDotSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 case class PolyHash64(child: Expression)
     extends UnaryExpression with codegen.CodegenFallback {
   import org.apache.spark.sql.types.StringType

@@ -860,35 +860,54 @@ object LlmOps {
         .filter(col("term") =!= "")
       val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = graft.Caches.persisted(tf.join(dfreq, "term")
-        .withColumn("w",
-          col("tf") * log(lit(nDocs.toDouble) / col("df"))))
-      val norms = w.groupBy("doc_id")
-        .agg(sqrt(Det.dsum(col("w") * col("w"))).as("nrm"))
+      val w = tf.join(dfreq, "term")
+        .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      // ONE bounded row per document: the term-sorted sparse vector
+      // plus the scalars the prune needs. This replaces the r11
+      // (pair × terms) join expansion — 68 M shuffled rows at sf0.1 —
+      // with an O(|a|+|b|) merge kernel per surviving pair
+      // (graft_wdot, bit-identical decimal arithmetic).
+      val docvecs = graft.Caches.persisted(w.groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("term"), col("w"))))
+          .as("vec"),
+          sqrt(Det.dsum(col("w") * col("w"))).as("nrm"),
+          max(col("w")).as("maxw"),
+          sum(col("w")).as("sumw")))
       val cand = rareShingleCandidates(shingleEx(s, d), dedupDfCutoff(s))
-      // the weight table is (doc, term, w) rows — sized as roughly
-      // docs × distinct-terms-per-doc (~64 on prose), so the broadcast
-      // decision divides the family row limit by that factor before
-      // comparing against the (cheap, metadata-scale) document count.
-      // Under the limit both verify probes hash-join the broadcast
-      // copy and the candidate-pair expansion never crosses an
-      // exchange; above it, fall back to doc-id-keyed shuffled joins.
+      // docvecs is one ~1 KB row per document (≈ 64 weights), so the
+      // broadcast decision divides the family row limit by that
+      // payload factor; above it, fall back to doc-id-keyed shuffled
+      // joins — where the stats-first prune below also halves the
+      // bytes (pruned pairs never fetch vectors).
       val wSide =
         if (nDocs <=
           s.conf.get(AnnOps.BroadcastRowLimitKey, "1000000").toLong / 64)
           (df: DataFrame) => broadcast(df)
         else (df: DataFrame) => df
-      val num = cand
-        .join(wSide(w.select(col("doc_id").as("doc_a"), col("term"),
-          col("w").as("wa"))), "doc_a")
-        .join(wSide(w.select(col("doc_id").as("doc_b"), col("term"),
-          col("w").as("wb"))), Seq("doc_b", "term"))
-        .groupBy("doc_a", "doc_b")
-        .agg(Det.dsum(col("wa") * col("wb")).as("num"))
-      num
-        .join(norms.toDF("doc_a", "nrm_a"), "doc_a")
-        .join(norms.toDF("doc_b", "nrm_b"), "doc_b")
-        .withColumn("sim", col("num") / (col("nrm_a") * col("nrm_b")))
+      // Prefix-filter-family upper bound from per-doc scalars only:
+      // dot(a,b) = Σ w_a(t)·w_b(t) ≤ min(Σw_a·max w_b, Σw_b·max w_a)
+      // (every matched term of a contributes at most w_a(t)·max w_b).
+      // Pruned at 0.75 — a 0.05 guard band below the τ=0.8 gate, far
+      // wider than the decimal-vs-double quantization slack (≤ 1e-4),
+      // so no qualifying pair can be lost. Only survivors fetch the
+      // vectors and pay the merge dot.
+      val stats = docvecs.select(col("doc_id"), col("nrm"), col("maxw"),
+        col("sumw"))
+      val pruned = cand
+        .join(wSide(stats.toDF("doc_a", "nrm_a", "maxw_a", "sumw_a")),
+          "doc_a")
+        .join(wSide(stats.toDF("doc_b", "nrm_b", "maxw_b", "sumw_b")),
+          "doc_b")
+        .filter(least(col("sumw_a") * col("maxw_b"),
+          col("sumw_b") * col("maxw_a"))
+          >= lit(0.75) * col("nrm_a") * col("nrm_b"))
+      pruned
+        .join(wSide(docvecs.select(col("doc_id").as("doc_a"),
+          col("vec").as("vec_a"))), "doc_a")
+        .join(wSide(docvecs.select(col("doc_id").as("doc_b"),
+          col("vec").as("vec_b"))), "doc_b")
+        .withColumn("sim",
+          expr("graft_wdot(vec_a, vec_b)") / (col("nrm_a") * col("nrm_b")))
         .filter(col("sim") >= 0.8)
         .select(col("doc_a"), col("doc_b"), Det.r4(col("sim")).as("sim"))
         .orderBy("doc_a", "doc_b")
