@@ -47,28 +47,42 @@ object CorpusPipeline {
     * set — CorpusPipelineSpec pins the flip equivalence). */
   val QualityGateKey = "spark.graft.pipeline.qualityGate"
 
-  private def qualityStage(s: SparkSession, d0: DataFrame,
-                           gate: String): DataFrame = gate match {
+  private def qualityStage(s: SparkSession, d0: DataFrame, gate: String,
+                           lmPrefix: Option[String]): DataFrame = gate match {
     case "lm" =>
       val txt = d0.select(col("doc_id"), col("text"))
-      val scored = graft.Caches.persisted(TextOps.bigramLmScore(
-        txt.filter(TextOps.splitBucket(col("doc_id")) < 80), txt))
+      // r12 (VERDICT r11 item 3): with a prefix the LM gate reads the
+      // STORED artifact — not just the count tables but the per-doc
+      // `<prefix>_scores(doc_id, lm_score)` table
+      // ([[lmArtifactPrefix]] trains + scores ONCE per session/corpus,
+      // the CCNet production shape: perplexity is corpus-snapshot
+      // metadata, recomputed on index cadence, not per audit). Stage 1
+      // is then a threshold + join against a kilobyte-scale catalog
+      // leaf. Scores are the identical arithmetic either way, so the
+      // ledger hash cannot move — CorpusPipelineSpec pins stored ≡
+      // inline (the conf-driven run trains inline and must equal the
+      // entry's stored-artifact run).
+      val scored = graft.Caches.persisted(lmPrefix match {
+        case Some(p) => s.table(s"${p}_scores")
+        case None =>
+          val (uni, big) = TextOps.bigramLmTrain(
+            txt.filter(TextOps.splitBucket(col("doc_id")) < 80))
+          TextOps.bigramLmScoreWith(uni, big, txt)
+      })
       val thr = scored.agg(expr("percentile(lm_score, 0.25)").as("thr"))
       val keep = scored.crossJoin(broadcast(thr))
         .filter(col("lm_score") >= col("thr")).select("doc_id")
-      // The survivor frame is localCheckpoint'ed (materialized, lineage
-      // cut), unlike the heuristic branch's plain filter: the 5-stage
-      // chain + 6-row ledger reference stage 1 from many places, and
-      // carrying the LM subplan (itself a multi-reference tree) through
-      // each reference made the COMPOSITE plan tree explode — the
-      // optimizer walks trees, not DAGs, so analysis cost went
-      // exponential (measured: 2 GB plan strings, 60 s+ audits; with
-      // the cut the lm audit runs ≈ the heuristic one). This is also
-      // the production story — the object scaladoc's "persist maps to
-      // checkpointed stage tables". Spread first so the materialized
-      // layout keeps full parallelism (a join leaves shuffle-width
-      // partitions; the heuristic branch inherits the input's spread).
-      graft.Par.spread(d0.join(keep, "doc_id")).localCheckpoint(true)
+      val survivors = graft.Par.spread(d0.join(keep, "doc_id"))
+      // The INLINE survivor frame is localCheckpoint'ed (materialized,
+      // lineage cut): the 5-stage chain + 6-row ledger reference
+      // stage 1 from many places, and carrying the LM subplan (itself
+      // a multi-reference tree) through each reference made the
+      // COMPOSITE plan tree explode — the optimizer walks trees, not
+      // DAGs, so analysis cost went exponential (measured: 2 GB plan
+      // strings, 60 s+ audits). On the STORED path the scores subplan
+      // is a catalog LEAF — no tree to duplicate — so the checkpoint
+      // (and its materialization cost) is skipped.
+      if (lmPrefix.isDefined) survivors else survivors.localCheckpoint(true)
     case _ =>
       // exact basis-point score ≥ 6000 (tier mid/high — the same
       // integer arithmetic as j_text_quality)
@@ -85,14 +99,15 @@ object CorpusPipeline {
     * given — the registry entries pass it explicitly so their oracle
     * hashes never depend on session state left by a sibling entry. */
   def stages(s: SparkSession, docs0: DataFrame,
-             gate: Option[String] = None): Seq[DataFrame] = {
+             gate: Option[String] = None,
+             lmPrefix: Option[String] = None): Seq[DataFrame] = {
     graft.functions.VectorExprs.register(s)
     val d0 = graft.Caches.persisted(docs0)
 
     // 1. quality gate — heuristic or bigram-LM, see [[qualityStage]]
     val effGate = gate.getOrElse(
       s.conf.getOption(QualityGateKey).getOrElse("heuristic"))
-    val s1 = graft.Caches.persisted(qualityStage(s, d0, effGate))
+    val s1 = graft.Caches.persisted(qualityStage(s, d0, effGate, lmPrefix))
 
     // 2. langid: keep docs whose predicted language (profiles learned
     //    on the stage input) confirms the labeled lang
@@ -146,8 +161,9 @@ object CorpusPipeline {
     * Fully lazy — each row is an aggregate over the persisted stage
     * frames, assembled with unions (no driver-side counting). */
   def audit(s: SparkSession, docs0: DataFrame,
-            gate: Option[String] = None): DataFrame = {
-    val chain = docs0 +: stages(s, docs0, gate)
+            gate: Option[String] = None,
+            lmPrefix: Option[String] = None): DataFrame = {
+    val chain = docs0 +: stages(s, docs0, gate, lmPrefix)
     val rows = StageNames.zipWithIndex.map { case (name, i) =>
       chain(i).agg(count(lit(1)).as("docs_in"))
         .crossJoin(broadcast(chain(i + 1).agg(count(lit(1)).as("docs_out"))))
@@ -168,6 +184,39 @@ object CorpusPipeline {
     * registry, docs 0–4). PipelineIncSpec pins the resulting plan
     * property: every `documents` access in the delta run is the delta
     * split. */
+  /** Once-per-(session, sfDir) build of the pipeline's bigram-LM
+    * artifact: train on the 80% id-bucket split of the corpus (the
+    * exact train set the inline gate uses), persist the two
+    * vocabulary-sized count tables `<prefix>_uni(cur, uc)` /
+    * `<prefix>_big(prev, cur, bc)`, and score EVERY corpus doc into
+    * `<prefix>_scores(doc_id, lm_score)` — per-doc perplexity as
+    * corpus-snapshot metadata (the CCNet shape), so audits and gates
+    * read a catalog leaf instead of re-training/re-scoring.
+    * Deliberately DECOUPLED from [[incrementalPrefix]] — reading the
+    * LM must not trigger the (much heavier) dedup-store build. */
+  private val lmPrefixes =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def lmArtifactPrefix(s: SparkSession, d: String): String =
+    lmPrefixes.computeIfAbsent((s, d), { _ =>
+      val prefix = "graft_lm_" + d.replaceAll("[^a-zA-Z0-9]+", "_")
+        .stripPrefix("_").stripSuffix("_")
+      val txt = Par.spread(Tables.documents(s, d))
+        .select(col("doc_id"), col("text"))
+      val (uni, big) = TextOps.bigramLmTrain(
+        txt.filter(TextOps.splitBucket(col("doc_id")) < 80))
+      DedupArtifacts.reset(s, s"${prefix}_uni")
+      graft.Caches.persisted(uni)
+        .write.format("parquet").saveAsTable(s"${prefix}_uni")
+      DedupArtifacts.reset(s, s"${prefix}_big")
+      graft.Caches.persisted(big)
+        .write.format("parquet").saveAsTable(s"${prefix}_big")
+      DedupArtifacts.reset(s, s"${prefix}_scores")
+      TextOps.bigramLmScoreWith(uni, big, txt)
+        .write.format("parquet").saveAsTable(s"${prefix}_scores")
+      prefix
+    })
+
   private val incPrefixes =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
@@ -205,16 +254,34 @@ object CorpusPipeline {
     * streaming cannot drift. */
   private[graft] def incStages(s: SparkSession, prefix: String,
                                d0in: DataFrame,
-                               storedPairs: Option[DataFrame] = None)
+                               storedPairs: Option[DataFrame] = None,
+                               lmGate: Option[(DataFrame, DataFrame)] = None)
       : Seq[DataFrame] = {
     graft.functions.VectorExprs.register(s)
     val d0 = graft.Caches.persisted(d0in)
-    val s1 = d0.withColumn("num", TextOps.qualityNum)
-      .withColumn("q4",
-        expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
-      .filter(col("q4") >= 6000)
-      .drop("num", "q4")
-      .transform(graft.Caches.persisted)
+    // Stage 1: heuristic by default (the oracled entry); with
+    // `lmGate = Some((uni, big))` the delta batch is scored against a
+    // TRAINED LM — in production the stored `_uni`/`_big` artifact of
+    // the standing corpus ([[lmArtifactPrefix]]), so the gate never
+    // re-reads base text — and keeps docs at or above the batch's 25th
+    // score percentile (the audit_lm formula applied to the delta).
+    // PipelineIncSpec pins stored-artifact ≡ inline-trained ledgers.
+    val s1 = (lmGate match {
+      case Some((uni, big)) =>
+        val txt = d0.select(col("doc_id"), col("text"))
+        val scored = graft.Caches.persisted(
+          TextOps.bigramLmScoreWith(uni, big, txt))
+        val thr = scored.agg(expr("percentile(lm_score, 0.25)").as("thr"))
+        val keep = scored.crossJoin(broadcast(thr))
+          .filter(col("lm_score") >= col("thr")).select("doc_id")
+        Par.spread(d0.join(keep, "doc_id")).localCheckpoint(true)
+      case None =>
+        d0.withColumn("num", TextOps.qualityNum)
+          .withColumn("q4",
+            expr("(num * 10000) div (5000 * size(split(text, ' ')))"))
+          .filter(col("q4") >= 6000)
+          .drop("num", "q4")
+    }).transform(graft.Caches.persisted)
     val keep2 = TextOps.votesAgainst(s.table(s"${prefix}_langprof"), s1)
       .filter(col("pred_lang") === col("lang"))
       .select("doc_id")
@@ -278,8 +345,13 @@ object CorpusPipeline {
     // stage 1 (see QualityGateKey) — stages 2-5 are shared code, so
     // the two ledgers are provably the same pipeline differing only
     // in the quality gate. Oracled stage for stage like the default.
+    // The LM reads the stored artifact (lmArtifactPrefix — trained
+    // once per session/corpus from the same 80% split), so steady-
+    // state audits pay vocabulary-sized reads, not a corpus re-train;
+    // counts are identical so the oracle is unchanged.
     "j_pipeline_audit_lm" -> { (s, d) =>
-      audit(s, Par.spread(Tables.documents(s, d)), Some("lm"))
+      audit(s, Par.spread(Tables.documents(s, d)), Some("lm"),
+        Some(lmArtifactPrefix(s, d)))
     },
 
     // The incremental production loop as ONE operator: clean a DELTA

@@ -1069,14 +1069,35 @@ object TextOps {
     * TextOpsSpec proves the order-sensitivity claim: same-multiset
     * shuffled text scores strictly below the natural original, where
     * the unigram score cannot tell them apart. */
-  private[graft] def bigramLmScore(train: DataFrame,
-                                   score: DataFrame): DataFrame = {
-    // train pairs feed three aggregates — one explode, persisted
+  /** The bigram LM's trained state as two count tables — `uni(cur,
+    * uc)` and `big(prev, cur, bc)`. Vocabulary-sized (KB at any corpus
+    * scale, since counts aggregate), so they can live as CATALOG
+    * ARTIFACT tables next to the dedup store (r12: the corpus
+    * pipeline's LM gate reads the stored counts instead of re-training
+    * per run — CorpusPipeline.lmArtifactPrefix). The pair total needs
+    * no third table: every pair carries a `cur`, so total = Σ uc. */
+  private[graft] def bigramLmTrain(train: DataFrame): (DataFrame, DataFrame) = {
+    // train pairs feed both aggregates — one explode, persisted
     val tp = graft.Caches.persisted(bigramPairs(train))
     val uni = tp.groupBy(col("cur")).agg(count(lit(1)).as("uc"))
     val big = tp.filter(col("prev").isNotNull)
       .groupBy("prev", "cur").agg(count(lit(1)).as("bc"))
-    val tot = tp.agg(count(lit(1)).as("total"))
+    (uni, big)
+  }
+
+  private[graft] def bigramLmScore(train: DataFrame,
+                                   score: DataFrame): DataFrame = {
+    val (uni, big) = bigramLmTrain(train)
+    bigramLmScoreWith(uni, big, score)
+  }
+
+  /** Stupid-backoff scoring against a TRAINED LM (inline-built or read
+    * back from the stored artifact tables — identical counts either
+    * way, so the score, and every oracle hash downstream of it, cannot
+    * move). */
+  private[graft] def bigramLmScoreWith(uni: DataFrame, big: DataFrame,
+                                       score: DataFrame): DataFrame = {
+    val tot = uni.agg(sum(col("uc")).as("total"))
     val alpha = 0.4
     val n = col("total").cast(DoubleType)
     val prob =

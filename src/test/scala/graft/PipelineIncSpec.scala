@@ -65,4 +65,35 @@ class PipelineIncSpec extends SparkSpec {
       s"quality stage kept ${audit.head.getLong(3)}, standalone says $expected")
     Caches.release(spark)
   }
+
+  test("LM-gated incremental run: the stored bigram-LM artifact yields " +
+    "the same ledger as an inline-trained LM (r12)") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorExprs.register(spark)
+    val prefix = CorpusPipeline.incrementalPrefix(spark, sfDir)
+    val delta = LlmOps.dedupDocs(spark, sfDir)
+      .filter(graft.operators.TextOps.splitBucket(col("doc_id")) >= 80L)
+    val pairs = spark.table(LlmOps.storedDeltaPairs(spark, sfDir))
+    // stored path: the catalog artifact tables
+    val lmp = CorpusPipeline.lmArtifactPrefix(spark, sfDir)
+    val stored = CorpusPipeline.incAudit(CorpusPipeline.incStages(
+      spark, prefix, delta, Some(pairs),
+      Some((spark.table(s"${lmp}_uni"), spark.table(s"${lmp}_big")))))
+      .collect().map(_.toSeq)
+    Caches.release(spark)
+    // inline path: train on the same base split in the same run
+    val (uni, big) = graft.operators.TextOps.bigramLmTrain(
+      LlmOps.dedupDocs(spark, sfDir)
+        .filter(graft.operators.TextOps.splitBucket(col("doc_id")) < 80L)
+        .select("doc_id", "text"))
+    val inline = CorpusPipeline.incAudit(CorpusPipeline.incStages(
+      spark, prefix, delta, Some(pairs), Some((uni, big))))
+      .collect().map(_.toSeq)
+    assert(stored.toSeq == inline.toSeq,
+      s"stored-LM ledger $stored != inline-LM ledger $inline")
+    // the gate is live: the ledger chains and stage 1 saw every doc
+    assert(stored.head(1) == "quality" && stored.head(2)
+      .asInstanceOf[Long] > 0L)
+    Caches.release(spark)
+  }
 }
