@@ -125,8 +125,8 @@ object CorpusPipeline {
     val ex2 = graft.Caches.persisted(s2
       .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle")))
-    val dups = LlmOps.dedupCascadeBlocked(ex2, LlmOps.dedupDfCutoff(s),
-      LlmOps.cascadeTau(s)).select("doc_id")
+    val dups = LlmOps.dedupCascadeBlocked(ex2, LlmOps.oracledDfCutoff(s),
+      LlmOps.oracledTau(s)).select("doc_id")
     val s3 = graft.Caches.persisted(s2.join(dups, Seq("doc_id"), "left_anti"))
 
     // 4. decontaminate: drop docs sharing ANY shingle with the
@@ -301,7 +301,7 @@ object CorpusPipeline {
     val pairs = storedPairs.getOrElse {
       val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
       LlmOps.incrementalPairs(bp, bs, bd, d0,
-        LlmOps.dedupDfCutoff(s), LlmOps.cascadeTau(s))
+        LlmOps.oracledDfCutoff(s), LlmOps.oracledTau(s))
     }
     val failed = d0.select("doc_id")
       .join(s2.select("doc_id"), Seq("doc_id"), "left_anti")

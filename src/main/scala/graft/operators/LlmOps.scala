@@ -97,6 +97,32 @@ object LlmOps {
     s.conf.getOption("spark.graft.dedup.dfCutoff").map(_.toInt)
       .getOrElse(DfCutoff)
 
+  /** The knobs as an ORACLED entry reads them (r12, ADVICE r11): the
+    * DuckDB twins template the fixture constants into their SQL, so a
+    * session override would make the entry silently hash-diverge from
+    * its oracle. Fail fast instead: the oracled registry entries (and
+    * the stored-artifact builders that feed them) call these guards;
+    * a tuned run goes through the explicit-parameter library APIs
+    * (`dedupCascadeBlocked` / `blockedPairStats` / `incrementalPairs`
+    * / `substringPairs`), which honor any cutoff/τ. */
+  private[graft] def oracledDfCutoff(s: SparkSession): Int = {
+    val c = dedupDfCutoff(s)
+    require(c == DfCutoff,
+      s"spark.graft.dedup.dfCutoff=$c would silently diverge from the " +
+        s"oracled constant $DfCutoff; call the explicit-parameter dedup " +
+        "APIs to run a tuned cutoff")
+    c
+  }
+
+  private[graft] def oracledTau(s: SparkSession): Double = {
+    val t = cascadeTau(s)
+    require(t == DefaultTau,
+      s"spark.graft.dedup.tau=$t would silently diverge from the oracled " +
+        s"constant $DefaultTau; call the explicit-parameter dedup APIs " +
+        "to run a tuned threshold")
+    t
+  }
+
   private[graft] def cascadeTau(s: SparkSession): Double =
     s.conf.getOption("spark.graft.dedup.tau").map(_.toDouble)
       .getOrElse(DefaultTau)
@@ -635,7 +661,7 @@ object LlmOps {
   private[graft] def storedClusterTable(s: SparkSession, d: String): String =
     clusterTables.computeIfAbsent((s, d), { _ =>
       val prefix = storedArtifactPrefix(s, d)
-      buildStoredLabels(s, prefix, dedupDfCutoff(s), cascadeTau(s))
+      buildStoredLabels(s, prefix, oracledDfCutoff(s), oracledTau(s))
     })
 
   /** Once-per-(session, sfDir) batch-verify OUTPUT as a stored
@@ -664,7 +690,7 @@ object LlmOps {
       val delta = dedupDocs(s, d)
         .filter(TextOps.splitBucket(col("doc_id")) >= 80)
       val pairs = incrementalPairs(bp, bs, bd, delta,
-        dedupDfCutoff(s), cascadeTau(s))
+        oracledDfCutoff(s), oracledTau(s))
       DedupArtifacts.reset(s, t)
       pairs.write.format("parquet").saveAsTable(t)
       graft.Caches.release(s) // the one-time build's persisted pair stats
@@ -772,7 +798,7 @@ object LlmOps {
       val ex = dedupDocs(s, d)
         .select(col("doc_id"),
           explode(expr(s"graft_shingles(text, ${substringK(s)})")).as("w"))
-      substringPairs(ex, dedupDfCutoff(s))
+      substringPairs(ex, oracledDfCutoff(s))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -785,7 +811,7 @@ object LlmOps {
     // the unblocked formulation).
     "j_jaccard_shingle_pairs" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
+      blockedPairStats(shingleEx(s, d), oracledDfCutoff(s))
         .filter(col("jac") >= 0.2)
         .select(col("doc_a"), col("doc_b"), col("n_common"), Det.r4(col("jac")).as("jac"))
         .orderBy("doc_a", "doc_b")
@@ -802,7 +828,7 @@ object LlmOps {
     // candidate set, disclosed here).
     "j_dedup_containment" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
+      blockedPairStats(shingleEx(s, d), oracledDfCutoff(s))
         .withColumn("cont", col("n_common").cast(DoubleType) /
           least(col("sh_a"), col("sh_b")))
         .filter(col("cont") >= 0.8)
@@ -824,7 +850,7 @@ object LlmOps {
     // metadata-sized frame at any corpus scale.
     "j_corpus_source_overlap" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val pairs = blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
+      val pairs = blockedPairStats(shingleEx(s, d), oracledDfCutoff(s))
         .filter(col("jac") >= 0.2)
       val src = dedupDocs(s, d).select(col("doc_id"), col("source"))
       pairs
@@ -873,7 +899,7 @@ object LlmOps {
           sqrt(Det.dsum(col("w") * col("w"))).as("nrm"),
           max(col("w")).as("maxw"),
           sum(col("w")).as("sumw")))
-      val cand = rareShingleCandidates(shingleEx(s, d), dedupDfCutoff(s))
+      val cand = rareShingleCandidates(shingleEx(s, d), oracledDfCutoff(s))
       // docvecs is one ~1 KB row per document (≈ 64 weights), so the
       // broadcast decision divides the family row limit by that
       // payload factor; above it, fall back to doc-id-keyed shuffled
@@ -922,8 +948,8 @@ object LlmOps {
     // pairs only.
     "j_dedup_cascade" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      dedupCascadeBlocked(shingleEx(s, d), dedupDfCutoff(s),
-        tau = cascadeTau(s))
+      dedupCascadeBlocked(shingleEx(s, d), oracledDfCutoff(s),
+        tau = oracledTau(s))
         .orderBy("doc_id")
     },
 
@@ -938,8 +964,8 @@ object LlmOps {
     // oracle computes the same closure via a recursive CTE.
     "j_dedup_clusters" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val pairs = blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
-        .filter(col("jac") >= cascadeTau(s))
+      val pairs = blockedPairStats(shingleEx(s, d), oracledDfCutoff(s))
+        .filter(col("jac") >= oracledTau(s))
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
@@ -980,8 +1006,8 @@ object LlmOps {
     // on the cluster key.
     "j_dedup_canonical" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val pairs = blockedPairStats(shingleEx(s, d), dedupDfCutoff(s))
-        .filter(col("jac") >= cascadeTau(s))
+      val pairs = blockedPairStats(shingleEx(s, d), oracledDfCutoff(s))
+        .filter(col("jac") >= oracledTau(s))
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val labels = connectedComponents(pairs)
         .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
@@ -1011,7 +1037,7 @@ object LlmOps {
     "j_dedup_cascade_lsh" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       dedupCascade(shingleEx(s, d), minhashCandidates(dedupDocs(s, d)),
-        tau = cascadeTau(s))
+        tau = oracledTau(s))
         .orderBy("doc_id")
     },
 
@@ -1032,7 +1058,7 @@ object LlmOps {
       // base explode runs once, like the stored layout it stands in for
       val bp = graft.Caches.persisted(bp0)
       incrementalDedup(bp, bs, bd, docs.filter(!isBase),
-        dedupDfCutoff(s), cascadeTau(s))
+        oracledDfCutoff(s), oracledTau(s))
         .orderBy("doc_id")
     },
 

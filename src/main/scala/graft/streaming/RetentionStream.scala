@@ -29,16 +29,29 @@ case class RetentionState(cohortWk: Long, weeks: List[Long])
   * Scale notes: state is one long + one long per ACTIVE WEEK per user
   * (a year of weekly activity = ~440 bytes); no timeout, because a
   * user's cohort must survive arbitrary idle gaps — the real-world
-  * bound is the report horizon (cap `weeks` at the max offset the
-  * table serves, after which new weeks can't change any served cell).
-  * The delta stream is tiny: at most one row per NEW (user, week)
-  * pair, so downstream aggregation state is cohort×offset-sized.
+  * bound is the report horizon: `maxOffset` (r12, ADVICE r11) caps
+  * `weeks` at the max offset the table serves, after which new weeks
+  * can't change any served cell — fixed-size state per user, proven
+  * rebase-safe in [[process]]. The delta stream is tiny: at most one
+  * row per NEW (user, week) pair, so downstream aggregation state is
+  * cohort×offset-sized.
   */
 object RetentionStream {
   val WeekUs: Long = 604800000000L
 
+  /** Per-user fold. `maxOffset` is the report horizon the scaladoc
+    * documents (ADVICE r11 made it real): weeks beyond
+    * cohort + maxOffset can never change a served cell, so they are
+    * neither emitted nor kept in state — state is bounded at
+    * maxOffset + 1 weeks per user. The cap is rebase-safe: a rebase
+    * only moves the cohort EARLIER, so offsets only grow, and a week
+    * once beyond the horizon stays beyond it forever (it is retracted
+    * at rebase time and dropped from state, exactly cancelling its
+    * earlier +1). Long.MaxValue = uncapped (the spec-parity default:
+    * the batch entry serves every offset). */
   def process(uid: Long, events: Iterator[WeekEvent],
-              state: GroupState[RetentionState]): Iterator[CohortDelta] = {
+              state: GroupState[RetentionState],
+              maxOffset: Long = Long.MaxValue): Iterator[CohortDelta] = {
     val wks = events.map(_.ts_us / WeekUs).toSeq.distinct.sorted
     if (wks.isEmpty) return Iterator.empty
     val out = Seq.newBuilder[CohortDelta]
@@ -48,19 +61,26 @@ object RetentionStream {
     val fresh = wks.filterNot(seen)
     if (fresh.nonEmpty) {
       val minNew = fresh.head
-      if (seen.isEmpty) cw = minNew
+      var changed = false
+      if (seen.isEmpty) { cw = minNew; changed = true }
       else if (minNew < cw) {
         // rebase: the true cohort is earlier than every cell emitted so
-        // far — retract them all and re-emit under the real cohort
+        // far — retract them all, re-emit the still-served ones under
+        // the real cohort, drop the rest from state for good
         seen.foreach(w => out += CohortDelta(cw, w - cw, -1L))
         cw = minNew
+        seen = seen.filter(w => w - cw <= maxOffset)
         seen.foreach(w => out += CohortDelta(cw, w - cw, 1L))
+        changed = true
       }
       fresh.foreach { w =>
-        seen += w
-        out += CohortDelta(cw, w - cw, 1L)
+        if (w - cw <= maxOffset) {
+          seen += w
+          out += CohortDelta(cw, w - cw, 1L)
+          changed = true
+        }
       }
-      state.update(RetentionState(cw, seen.toList))
+      if (changed) state.update(RetentionState(cw, seen.toList))
     }
     out.result().iterator
   }
@@ -68,16 +88,23 @@ object RetentionStream {
   /** Batch fold through the state API — RetentionStreamSpec proves
     * [[cohortTable]] over these deltas equals the
     * `e_retention_cohorts` plan row-for-row. */
-  def deltasBatch(ds: Dataset[WeekEvent]): Dataset[CohortDelta] = {
+  def deltasBatch(ds: Dataset[WeekEvent],
+                  maxOffset: Long = Long.MaxValue): Dataset[CohortDelta] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        process)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[WeekEvent],
+         state: GroupState[RetentionState]) =>
+          process(uid, it, state, maxOffset)
+      }
   }
 
   /** Streaming fold over watermarked (user_id, ts) rows. NoTimeout by
-    * design — see the scaladoc's state-retention note. */
-  def deltasStreaming(ds: Dataset[(Long, java.sql.Timestamp)])
+    * design — a user's cohort must survive arbitrary idle gaps; the
+    * state BOUND comes from `maxOffset` (the report horizon), not from
+    * eviction. */
+  def deltasStreaming(ds: Dataset[(Long, java.sql.Timestamp)],
+                      maxOffset: Long = Long.MaxValue)
       : Dataset[CohortDelta] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_._1)
@@ -86,7 +113,7 @@ object RetentionStream {
          state: GroupState[RetentionState]) =>
           process(uid,
             it.map { case (_, ts) => WeekEvent(uid, ts.getTime * 1000) },
-            state)
+            state, maxOffset)
       }
   }
 

@@ -68,4 +68,38 @@ class DriftStreamSpec extends SparkSpec {
       .as[(Double, Long)].collect().toSeq
     assert(got == expected, s"streamed: $got vs $expected")
   }
+
+  test("publish crash windows recover (r12, ADVICE r11): a store " +
+    "stranded as _next is restored; a stale _next beside a live store " +
+    "is discarded") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
+    val delta = docs.filter(TextOps.splitBucket(col("doc_id")) >= 80)
+    drop("drift_ref_c"); drop("drift_cur_c"); drop("drift_cur_c_next")
+    TextOps.termCounts(base).write.format("parquet")
+      .saveAsTable("drift_ref_c")
+    DriftStream.foldBatch(spark, "drift_cur_c", delta)
+    val want = DriftStream.drift(spark, "drift_ref_c", "drift_cur_c")
+      .as[(Double, Long)].collect().toSeq
+    assert(want == expected)
+    // crash window: _next written and main dropped, rename never ran —
+    // simulate by renaming the live store INTO the _next slot
+    spark.sql("ALTER TABLE drift_cur_c RENAME TO drift_cur_c_next")
+    assert(!spark.catalog.tableExists("drift_cur_c"))
+    val recovered = DriftStream.drift(spark, "drift_ref_c", "drift_cur_c")
+      .as[(Double, Long)].collect().toSeq
+    assert(recovered == want, "drift() did not recover the stranded _next")
+    assert(spark.catalog.tableExists("drift_cur_c") &&
+      !spark.catalog.tableExists("drift_cur_c_next"))
+    // stale _next beside a LIVE store (uncommitted batch write): the
+    // next fold must discard it and fold against main
+    spark.table("drift_cur_c").limit(1).write.format("parquet")
+      .saveAsTable("drift_cur_c_next")
+    DriftStream.foldBatch(spark, "drift_cur_c",
+      delta.limit(0)) // empty replayed batch: counts unchanged
+    val after = DriftStream.drift(spark, "drift_ref_c", "drift_cur_c")
+      .as[(Double, Long)].collect().toSeq
+    assert(after == want, "stale _next leaked into the fold")
+    assert(!spark.catalog.tableExists("drift_cur_c_next"))
+  }
 }

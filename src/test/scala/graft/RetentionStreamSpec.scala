@@ -124,4 +124,42 @@ class RetentionStreamSpec extends SparkSpec {
     assert(got.contains((5L, 0L, 1L, 1L, 10000L)), got)
     assert(!got.exists { case (cw, k, _, _, _) => cw == 5L && k > 0 }, got)
   }
+
+  test("maxOffset horizon (r12, ADVICE r11): capped deltas equal the " +
+    "uncapped table restricted to served offsets, state stays bounded, " +
+    "and the cap is rebase-safe under shuffled arrival") {
+    val wk = RetentionStream.WeekUs
+    val cap = 2L
+    // user 1: weeks 5,6,9 then LATE week 3 (rebase; 6→offset 3 and
+    // 9→offset 6 fall OUT of the horizon); user 2: weeks 5,6 in order
+    val shuffled = Seq((1L, 5L), (1L, 6L), (2L, 6L), (1L, 9L), (1L, 3L),
+      (2L, 5L))
+      .map { case (u, w) => WeekEvent(u, w * wk + 1000L) }
+    var deltas = Vector.empty[graft.streaming.CohortDelta]
+    val states = scala.collection.mutable.Map
+      .empty[Long, graft.streaming.RetentionState]
+    shuffled.grouped(1).foreach { evs =>
+      evs.groupBy(_.user_id).foreach { case (uid, es) =>
+        val st = new TestGroupState(states.get(uid))
+        deltas ++= RetentionStream.process(uid, es.iterator, st, cap)
+        st.current.foreach(states(uid) = _)
+      }
+    }
+    // state bound: never more than cap + 1 weeks per user
+    states.values.foreach(s =>
+      assert(s.weeks.size <= cap + 1, s"state unbounded: $s"))
+    // every kept week is within the horizon of the final cohort
+    states.values.foreach(s =>
+      assert(s.weeks.forall(w => w - s.cohortWk <= cap), s))
+    val got = table(deltas.toDF())
+    val uncapped = table(RetentionStream.deltasBatch(
+      shuffled.toDS()).toDF())
+    val expect = uncapped.filter { case (_, k, _, _, _) => k <= cap }
+    assert(got == expect, s"got $got\nexpect $expect")
+    // the interesting branch really ran: week 5 (offset 2 after the
+    // rebase to cohort 3) survived, weeks 6 and 9 were retracted/
+    // never-kept — their cells cancel out of the table
+    assert(got.exists { case (cw, k, _, _, _) => cw == 3L && k == 2L })
+    assert(!got.exists { case (cw, k, _, _, _) => cw == 3L && k > cap })
+  }
 }

@@ -72,14 +72,23 @@ class TextNormSpec extends SparkSpec {
     }
   }
 
-  test("dedup conf knobs: defaults unchanged, overrides honored") {
+  test("dedup conf knobs: defaults unchanged, overrides honored; " +
+    "oracled entries FAIL FAST on an override (r12, ADVICE r11) " +
+    "instead of silently hash-diverging from their SQL twins") {
     assert(LlmOps.dedupDfCutoff(spark) == 50)
     assert(LlmOps.cascadeTau(spark) == 0.6)
+    assert(LlmOps.oracledDfCutoff(spark) == 50)
+    assert(LlmOps.oracledTau(spark) == 0.6)
     spark.conf.set("spark.graft.dedup.dfCutoff", "7")
     spark.conf.set("spark.graft.dedup.tau", "0.4")
     try {
       assert(LlmOps.dedupDfCutoff(spark) == 7)
       assert(LlmOps.cascadeTau(spark) == 0.4)
+      intercept[IllegalArgumentException](LlmOps.oracledDfCutoff(spark))
+      intercept[IllegalArgumentException](LlmOps.oracledTau(spark))
+      // a whole oracled entry refuses to run under the override
+      intercept[IllegalArgumentException](
+        SparkEntry.queries("j_dedup_cascade")(spark, sfDir))
     } finally {
       spark.conf.unset("spark.graft.dedup.dfCutoff")
       spark.conf.unset("spark.graft.dedup.tau")
