@@ -10,6 +10,19 @@ case class FunnelSession(user_id: Long, session_start: Long, n_events: Long,
 /** Open-session funnel state: -1 marks an unreached stage. */
 case class FunnelState(start: Long, last: Long, n: Long,
                        vTs: Long, cTs: Long, pTs: Long)
+/** Streaming state (r12, the [[SessionBufState]] design): the frozen
+  * open funnel session (`start = -1` when none) plus the raw buffer
+  * of not-yet-final events as parallel columns (ts, event_id, type) —
+  * the product encoder takes flat Seqs, not nested case classes.
+  * Replaying raw events in order through [[FunnelStream.fold]] at
+  * freeze time keeps the stage machine exact under out-of-order
+  * arrival, which no folded summary can (the fold is lossy: a click
+  * discarded for preceding the view cannot be revived when a late
+  * view lands before it). */
+case class FunnelBufState(start: Long, last: Long, n: Long,
+                          vTs: Long, cTs: Long, pTs: Long,
+                          rawTs: Seq[Long], rawId: Seq[Long],
+                          rawTp: Seq[String])
 
 /** §2.K streaming twin of `e_funnel_sessions` (r10): the per-session
   * ordered funnel view → first click AFTER the view → first purchase
@@ -87,28 +100,52 @@ object FunnelStream {
         process(flushAtEnd = true))
   }
 
-  /** Streaming process: open sessions persist with an event-time
-    * timeout at last + gap, emitting when the watermark passes the
-    * session close ([[Sessionize.processStreaming]] semantics). */
+  /** Streaming process, r12 rewrite — buffer-until-watermark + ordered
+    * replay, the [[Sessionize.processStreaming]] design and rationale
+    * (the r11 single-record fold corrupted under admissible
+    * out-of-order arrival; the watermark-fuzz property found it).
+    * Events freeze into the stage machine only once the watermark
+    * proves them final, so the frozen fold is exactly the batch fold
+    * of a final prefix; sessions emit when frozen-closed or when the
+    * watermark clears the open session's gap. */
   def processStreaming(uid: Long, events: Iterator[FunnelEvent],
-                       state: GroupState[FunnelState])
+                       state: GroupState[FunnelBufState])
       : Iterator[FunnelSession] = {
-    val out = process(flushAtEnd = false)(uid, events, state)
-    state.getOption match {
-      case Some(s) =>
-        // same clamp as Sessionize.processStreaming (r11): a session
-        // whose gap horizon is already at-or-behind the watermark is
-        // closed — emit it rather than set an in-the-past timeout
-        val horizonMs = s.last / 1000 + GapUs / 1000
-        if (horizonMs <= state.getCurrentWatermarkMs()) {
-          state.remove()
-          out ++ Iterator.single(emit(uid, s))
-        } else {
-          state.setTimeoutTimestamp(horizonMs)
-          out
-        }
-      case None => out
+    val st = state.getOption
+      .getOrElse(FunnelBufState(-1L, 0L, 0L, -1L, -1L, -1L, Nil, Nil, Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+    val raw = (st.rawTs.lazyZip(st.rawId).lazyZip(st.rawTp)
+      .map((t, i, p) => FunnelEvent(uid, t, i, p)) ++ events)
+      .toSeq.sortBy(e => (e.ts_us, e.event_id))
+    val (freeze, rest) = raw.partition(_.ts_us < wmUs)
+    var cur: Option[FunnelState] =
+      if (st.start >= 0)
+        Some(FunnelState(st.start, st.last, st.n, st.vTs, st.cTs, st.pTs))
+      else None
+    val out = Seq.newBuilder[FunnelSession]
+    freeze.foreach { e =>
+      cur match {
+        case Some(s) if e.ts_us - s.last < GapUs => cur = Some(fold(s, e))
+        case Some(s) =>
+          out += emit(uid, s)
+          cur = Some(fold(fresh(e.ts_us), e))
+        case None => cur = Some(fold(fresh(e.ts_us), e))
+      }
     }
+    cur.foreach { s =>
+      if (wmUs >= s.last + GapUs) { out += emit(uid, s); cur = None }
+    }
+    if (cur.isEmpty && rest.isEmpty) state.remove()
+    else {
+      val c = cur.getOrElse(FunnelState(-1L, 0L, 0L, -1L, -1L, -1L))
+      state.update(FunnelBufState(c.start, c.last, c.n, c.vTs, c.cTs,
+        c.pTs, rest.map(_.ts_us), rest.map(_.event_id),
+        rest.map(_.event_type)))
+      val horizonUs = (cur.map(_.last + GapUs).toSeq ++
+        rest.headOption.map(_.ts_us + GapUs)).min
+      state.setTimeoutTimestamp(horizonUs / 1000 + 1)
+    }
+    out.result().iterator
   }
 
   /** Streaming funnel over (user_id, ts, event_id, event_type) rows
@@ -123,7 +160,7 @@ object FunnelStream {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, String)],
-         state: GroupState[FunnelState]) =>
+         state: GroupState[FunnelBufState]) =>
           processStreaming(uid,
             it.map { case (_, ts, eid, t) =>
               FunnelEvent(uid, ts.getTime * 1000, eid, t)

@@ -6,6 +6,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class SessionEvent(user_id: Long, ts_us: Long)
 case class Session(user_id: Long, first_us: Long, last_us: Long, n: Long)
 case class SessionState(first_us: Long, last_us: Long, n: Long)
+/** Streaming state (r12): the FROZEN open session — folded from
+  * events proven final by the watermark; `first_us = -1` when none —
+  * plus the raw buffer of event times still at-or-ahead of the last
+  * freeze point. Bounded: the buffer spans at most the watermark lag
+  * (events older than the watermark freeze on the next invocation),
+  * the frozen session is one triple. */
+case class SessionBufState(first_us: Long, last_us: Long, n: Long,
+                           raw: Seq[Long])
 
 /** §2.K `k_stateful_sessionize` — explicit per-key session state machine
   * via `flatMapGroupsWithState`, the one op needing the state API
@@ -58,31 +66,70 @@ object Sessionize {
         process(flushAtEnd = true))
   }
 
-  /** Streaming process: same fold, but open sessions persist in the
-    * state store with an event-time timeout at last_us + gap — the
-    * session is emitted when the watermark passes its close, exactly
-    * session_window's semantics. */
+  /** Streaming process, r12 rewrite (buffer-until-watermark + ordered
+    * replay): the r11 single-triple fold mishandled ADMISSIBLE
+    * out-of-order arrival — a cross-batch event earlier than the open
+    * session's last MOVED `last_us` backwards (corrupting the span),
+    * and an admissible event more than a gap BELOW the open session's
+    * first needed a second pending session the state could not
+    * represent (both found by the r12 watermark-fuzz property). The
+    * exact design: buffer raw events, and on each invocation FREEZE
+    * the ones the watermark has made final — fold them, in ts order,
+    * through the batch machine. Every event at-or-ahead of the
+    * watermark is still raw, so the frozen fold is exactly the batch
+    * fold of a final prefix; sessions emit when frozen-closed (a later
+    * frozen event opened the next session) or when the watermark
+    * clears the open session's gap. The timeout wakes at the earliest
+    * instant anything could close; a too-early wake just re-arms.
+    *
+    * The cross-invocation order invariant that makes the replay exact:
+    * every raw event is ≥ the admission-time watermark ≥ every earlier
+    * freeze point > the frozen session's last event. */
   def processStreaming(uid: Long, events: Iterator[SessionEvent],
-                       state: GroupState[SessionState]): Iterator[Session] = {
-    val out = process(flushAtEnd = false)(uid, events, state)
-    state.getOption match {
-      case Some(s) =>
-        // Spark filters late rows against the PREVIOUS batch's
-        // watermark but validates timeouts against the CURRENT one, so
-        // a watermark jump larger than the gap inside one batch can
-        // leave last+gap in the past (the r11 AttributionStream
-        // lesson). Such a session is already closed by the watermark:
-        // emit it NOW instead of setting an invalid timeout.
-        val horizonMs = s.last_us / 1000 + GapUs / 1000
-        if (horizonMs <= state.getCurrentWatermarkMs()) {
-          state.remove()
-          out ++ Iterator.single(Session(uid, s.first_us, s.last_us, s.n))
-        } else {
-          state.setTimeoutTimestamp(horizonMs)
-          out
-        }
-      case None => out
+                       state: GroupState[SessionBufState]): Iterator[Session] = {
+    val st = state.getOption.getOrElse(SessionBufState(-1L, 0L, 0L, Nil))
+    val wmUs = state.getCurrentWatermarkMs() * 1000
+    val raw = (st.raw ++ events.map(_.ts_us)).sorted
+    val (freeze, rest) = raw.partition(_ < wmUs)
+    var cur: Option[SessionState] =
+      if (st.first_us >= 0) Some(SessionState(st.first_us, st.last_us, st.n))
+      else None
+    val out = Seq.newBuilder[Session]
+    freeze.foreach { ts =>
+      cur match {
+        case Some(s) if ts - s.last_us < GapUs =>
+          cur = Some(SessionState(s.first_us, ts, s.n + 1))
+        case Some(s) =>
+          out += Session(uid, s.first_us, s.last_us, s.n)
+          cur = Some(SessionState(ts, ts, 1))
+        case None =>
+          cur = Some(SessionState(ts, ts, 1))
+      }
     }
+    // the frozen open session is closed once the watermark clears its
+    // gap: every event that could still join is < last+gap ≤ wm, i.e.
+    // already frozen — including the in-data-path stale-horizon case
+    // (the r11 clamp), which needs no timeout round trip
+    cur.foreach { s =>
+      if (wmUs >= s.last_us + GapUs) {
+        out += Session(uid, s.first_us, s.last_us, s.n)
+        cur = None
+      }
+    }
+    if (cur.isEmpty && rest.isEmpty) state.remove()
+    else {
+      state.update(SessionBufState(
+        cur.map(_.first_us).getOrElse(-1L),
+        cur.map(_.last_us).getOrElse(0L),
+        cur.map(_.n).getOrElse(0L), rest))
+      // earliest instant anything can close; both candidates are
+      // provably ahead of the watermark (open session: wm < last+gap;
+      // raw: ts ≥ wm), so the timeout is never in the past
+      val horizonUs = (cur.map(_.last_us + GapUs).toSeq ++
+        rest.headOption.map(_ + GapUs)).min
+      state.setTimeoutTimestamp(horizonUs / 1000 + 1)
+    }
+    out.result().iterator
   }
 
   /** Streaming sessionization over (user_id, ts) rows whose `ts` is
@@ -96,7 +143,7 @@ object Sessionize {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[(Long, java.sql.Timestamp)],
-         state: GroupState[SessionState]) =>
+         state: GroupState[SessionBufState]) =>
           processStreaming(uid,
             it.map { case (_, ts) => SessionEvent(uid, ts.getTime * 1000) },
             state)

@@ -82,6 +82,23 @@ object ZscoreStream {
         process)
   }
 
+  /** Streaming process: the batch fold plus idle-state eviction. */
+  def processStreaming(uid: Long, events: Iterator[ValueEvent],
+                       state: GroupState[ZscoreState])
+      : Iterator[AnomalyHit] = {
+    val out = process(uid, events, state)
+    state.getOption.foreach { s =>
+      // idle-eviction clamp (r11, the AttributionStream lesson):
+      // if the idle horizon is already behind the watermark the
+      // user IS idle-expired — drop the ring now, exactly what
+      // the timeout would have done
+      val horizonMs = s.lastUs / 1000 + IdleTimeoutUs / 1000
+      if (horizonMs <= state.getCurrentWatermarkMs()) state.remove()
+      else state.setTimeoutTimestamp(horizonMs)
+    }
+    out
+  }
+
   /** Streaming scoring with idle-state eviction. */
   def zscoreStreaming(
       ds: Dataset[(Long, java.sql.Timestamp, Long, Double)])
@@ -92,20 +109,10 @@ object ZscoreStream {
         GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[(Long, java.sql.Timestamp, Long, Double)],
          state: GroupState[ZscoreState]) =>
-          val out = process(uid,
+          processStreaming(uid,
             it.map { case (_, ts, eid, v) =>
               ValueEvent(uid, ts.getTime * 1000, eid, v)
             }, state)
-          state.getOption.foreach { s =>
-            // idle-eviction clamp (r11, the AttributionStream lesson):
-            // if the idle horizon is already behind the watermark the
-            // user IS idle-expired — drop the ring now, exactly what
-            // the timeout would have done
-            val horizonMs = s.lastUs / 1000 + IdleTimeoutUs / 1000
-            if (horizonMs <= state.getCurrentWatermarkMs()) state.remove()
-            else state.setTimeoutTimestamp(horizonMs)
-          }
-          out
       }
   }
 }

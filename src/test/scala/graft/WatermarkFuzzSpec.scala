@@ -1,0 +1,301 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.streaming._
+
+/** r12 (VERDICT r11 item 4): randomized watermark-jump /
+  * arrival-order property over EVERY stateful streaming twin. The r11
+  * watermark-clamp bug class (AttributionStream crash; the same
+  * latent defect in Sessionize/FunnelStream/ZscoreStream; gap-islands
+  * late-day splitting) was found by review, not tests — this harness
+  * pins it so the next stateful twin cannot reintroduce it.
+  *
+  * The simulator replicates the THREE Spark behaviors the class
+  * depends on, without a streaming query per schedule (pure Scala —
+  * thousands of schedules per second):
+  *  - late rows are filtered against the PREVIOUS batch's watermark,
+  *  - `getCurrentWatermarkMs` returns the CURRENT batch's watermark
+  *    (so admitted rows can sit below it — the r11 discrepancy),
+  *  - `setTimeoutTimestamp` REJECTS instants ≤ the current watermark
+  *    (the crash), and armed timeouts fire once the watermark passes
+  *    them, as empty-data `hasTimedOut` invocations.
+  *
+  * Property per twin: NO schedule crashes, and after a final flush
+  * the emitted rows equal the twin's batch fold over exactly the
+  * ADMITTED events (for the inherently arrival-order-dependent twins
+  * — attribution's emit-on-arrival, z-score's ring — parity is
+  * asserted on in-order schedules and no-crash on arbitrary ones,
+  * their documented envelopes).
+  */
+class WatermarkFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  /** GroupState with Spark's watermark/timeout contract. */
+  class SimGroupState[S](var wmMs: Long) extends TestGroupState[S](None) {
+    var armedMs: Option[Long] = None
+    var timedOut: Boolean = false
+    override def hasTimedOut: Boolean = timedOut
+    override def getCurrentWatermarkMs(): Long = wmMs
+    override def setTimeoutTimestamp(t: Long): Unit = {
+      require(t > wmMs,
+        s"timeout $t must be later than the watermark $wmMs " +
+          "(Spark would fail the query here)")
+      armedMs = Some(t)
+    }
+    override def remove(): Unit = { super.remove(); armedMs = None }
+  }
+
+  /** Drive one schedule through a streaming state function. `batches`
+    * carries (key, eventTimeMs, payload) rows; the watermark after
+    * batch N is max event time through batch N minus `delayMs`.
+    * Returns (outputs, admitted events). Throws = property failure. */
+  def run[E, S, O](batches: Seq[Seq[E]], tsMs: E => Long, keyOf: E => Long,
+                   delayMs: Long,
+                   fn: (Long, Iterator[E], org.apache.spark.sql.streaming.GroupState[S]) => Iterator[O])
+      : (Seq[O], Seq[E]) = {
+    val states = scala.collection.mutable.Map.empty[Long, SimGroupState[S]]
+    val out = Seq.newBuilder[O]
+    val admitted = Seq.newBuilder[E]
+    var filterWm = 0L // previous batch's watermark
+    var wm = 0L
+    var maxTs = Long.MinValue
+    def invoke(key: Long, evs: Seq[E], timedOut: Boolean): Unit = {
+      val st = states.getOrElseUpdate(key, new SimGroupState[S](wm))
+      st.wmMs = wm
+      st.timedOut = timedOut
+      if (timedOut) st.armedMs = None
+      out ++= fn(key, evs.iterator, st)
+      st.timedOut = false
+      if (st.current.isEmpty && st.armedMs.isEmpty) states.remove(key)
+    }
+    def fireTimeouts(skip: Set[Long]): Unit =
+      states.toSeq.collect {
+        case (k, st) if !skip(k) && st.armedMs.exists(_ <= wm) => k
+      }.sorted.foreach(k => invoke(k, Nil, timedOut = true))
+    batches.foreach { batch =>
+      val live = batch.filter(e => tsMs(e) >= filterWm)
+      admitted ++= live
+      live.foreach(e => maxTs = maxTs max tsMs(e))
+      val keysWithData = live.map(keyOf).distinct
+      keysWithData.foreach(k => invoke(k, live.filter(keyOf(_) == k),
+        timedOut = false))
+      fireTimeouts(skip = keysWithData.toSet)
+      filterWm = wm
+      if (maxTs != Long.MinValue) wm = wm max (maxTs - delayMs)
+    }
+    // final flush: run the watermark far past everything and drain
+    // (a timeout invocation may legitimately re-arm — e.g. a raw
+    // buffer waking early — so iterate to quiescence, bounded)
+    wm = (if (maxTs == Long.MinValue) 0L else maxTs) + delayMs +
+      365L * 86400000L
+    var rounds = 0
+    while (states.values.exists(_.armedMs.exists(_ <= wm)) && rounds < 64) {
+      fireTimeouts(skip = Set.empty)
+      rounds += 1
+    }
+    assert(rounds < 64, "timeout drain did not quiesce")
+    (out.result(), admitted.result())
+  }
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1234L + i)))
+
+  /** (events over ≤2 keys, random batch partition, watermark delay).
+    * Event times are minute-scale so schedules straddle the 30-min
+    * session gap; delays from 0 (max jumpiness) to hours. */
+  private case class Sched(batches: Seq[Seq[(Long, Long, Long, String)]],
+                           delayMs: Long, inOrder: Boolean)
+
+  private val minMs = 60000L
+  private val types = Seq("view", "click", "purchase", "error")
+
+  private def schedGen(inOrder: Boolean): Gen[Sched] = for {
+    nEv <- Gen.chooseNum(1, 12)
+    evs <- Gen.listOfN(nEv, for {
+      key <- Gen.chooseNum(1L, 2L)
+      tMin <- Gen.chooseNum(0L, 300L)
+      tp <- Gen.oneOf(types)
+    } yield (key, tMin * minMs, tMin, tp))
+    delay <- Gen.oneOf(0L, 5L * minMs, 45L * minMs, 6L * 60 * minMs)
+    cuts <- Gen.listOfN(nEv, Gen.chooseNum(0, 3))
+  } yield {
+    // unique event ids by list position; in-order schedules sort first
+    val tagged = evs.zipWithIndex
+      .map { case ((k, ts, _, tp), i) => (k, ts, 1000L + i, tp) }
+    val ordered = if (inOrder) tagged.sortBy(e => (e._2, e._3)) else tagged
+    val batches = ordered.zip(cuts).foldLeft(List(List.empty[(Long, Long, Long, String)])) {
+      case (acc @ cur :: done, (e, cut)) =>
+        if (cut == 0 && cur.nonEmpty) List(e) :: acc
+        else (cur :+ e) :: done
+      case (acc, _) => acc
+    }.reverse.filter(_.nonEmpty)
+    Sched(batches, delay, inOrder)
+  }
+
+  private def flushAll[E, S, O](events: Seq[E], keyOf: E => Long,
+      fn: (Long, Iterator[E], org.apache.spark.sql.streaming.GroupState[S]) => Iterator[O]): Seq[O] =
+    events.map(keyOf).distinct.sorted.flatMap { k =>
+      fn(k, events.filter(keyOf(_) == k).iterator, new TestGroupState[S](None))
+    }
+
+  test("Sessionize: arbitrary admissible schedules — no crash, exact " +
+    "batch parity over the admitted events (250 schedules)") {
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      val (got, adm) = run[(Long, Long, Long, String), SessionBufState, Session](
+        sc.batches, _._2, _._1, sc.delayMs,
+        (k, it, st) => Sessionize.processStreaming(k,
+          it.map(e => SessionEvent(e._1, e._2 * 1000)), st))
+      val ref = flushAll[(Long, Long, Long, String), SessionState, Session](
+        adm, _._1,
+        (k, it, st) => Sessionize.process(flushAtEnd = true)(k,
+          it.map(e => SessionEvent(e._1, e._2 * 1000)), st))
+      assert(got.sortBy(s => (s.user_id, s.first_us, s.last_us)) ==
+        ref.sortBy(s => (s.user_id, s.first_us, s.last_us)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("FunnelStream: arbitrary admissible schedules — no crash, " +
+    "exact batch parity over the admitted events (250 schedules)") {
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      val (got, adm) = run[(Long, Long, Long, String), FunnelBufState, FunnelSession](
+        sc.batches, _._2, _._1, sc.delayMs,
+        (k, it, st) => FunnelStream.processStreaming(k,
+          it.map(e => FunnelEvent(e._1, e._2 * 1000, e._3, e._4)), st))
+      val ref = flushAll[(Long, Long, Long, String), FunnelState, FunnelSession](
+        adm, _._1,
+        (k, it, st) => FunnelStream.process(flushAtEnd = true)(k,
+          it.map(e => FunnelEvent(e._1, e._2 * 1000, e._3, e._4)), st))
+      assert(got.sortBy(s => (s.user_id, s.session_start, s.n_events)) ==
+        ref.sortBy(s => (s.user_id, s.session_start, s.n_events)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("GapIslandsStream: arbitrary admissible schedules — no crash, " +
+    "exact batch parity over the admitted events (250 schedules)") {
+    // minute offsets reinterpreted as DAY offsets (the island unit)
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      val (got, adm) = run[(Long, Long, Long, String), IslandState, Island](
+        sc.batches.map(_.map(e => e.copy(_2 = e._2 / minMs * 86400000L))),
+        _._2, _._1, sc.delayMs * 1440,
+        (k, it, st) => GapIslandsStream.processStreaming(k,
+          it.map(e => DayEvent(e._1, e._2 * 1000)), st))
+      val ref = flushAll[(Long, Long, Long, String), IslandState, Island](
+        adm, _._1,
+        (k, it, st) => GapIslandsStream.process(flushAtEnd = true)(k,
+          it.map(e => DayEvent(e._1, e._2 * 1000)), st))
+      assert(got.sortBy(i => (i.user_id, i.island_start)) ==
+        ref.sortBy(i => (i.user_id, i.island_start)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("AsofStream: arbitrary admissible schedules — no crash, exact " +
+    "batch parity over the admitted events (250 schedules)") {
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      def toEv(e: (Long, Long, Long, String)) =
+        AsofEvent(e._1, e._3, e._2 * 1000, isLeft = e._4 == "purchase")
+      val (got, adm) = run[(Long, Long, Long, String), AsofState, AsofMatch](
+        sc.batches, _._2, _._1, sc.delayMs,
+        (k, it, st) => AsofStream.process(flushAtEnd = false)(k,
+          it.map(toEv), st))
+      val ref = flushAll[(Long, Long, Long, String), AsofState, AsofMatch](
+        adm, _._1,
+        (k, it, st) => AsofStream.process(flushAtEnd = true)(k,
+          it.map(toEv), st))
+      assert(got.sortBy(m => (m.user_id, m.p_id)) ==
+        ref.sortBy(m => (m.user_id, m.p_id)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("AttributionStream: no crash on arbitrary schedules; parity " +
+    "with the batch fold on in-order schedules (125 + 125)") {
+    def toEv(e: (Long, Long, Long, String)) =
+      TouchEvent(e._1, e._2 * 1000, e._3, e._4, 1.5)
+    samples(schedGen(inOrder = false), 125).foreach { sc =>
+      run[(Long, Long, Long, String), TouchState, AttributedPurchase](
+        sc.batches, _._2, _._1, sc.delayMs,
+        (k, it, st) => AttributionStream.processStreaming(k,
+          it.map(toEv), st)) // no-crash is the assertion
+    }
+    samples(schedGen(inOrder = true), 125).foreach { sc =>
+      val (got, adm) = run[(Long, Long, Long, String), TouchState, AttributedPurchase](
+        sc.batches, _._2, _._1, sc.delayMs,
+        (k, it, st) => AttributionStream.processStreaming(k,
+          it.map(toEv), st))
+      val ref = flushAll[(Long, Long, Long, String), TouchState, AttributedPurchase](
+        adm, _._1,
+        (k, it, st) => AttributionStream.process(k, it.map(toEv), st))
+      assert(got.sortBy(p => (p.user_id, p.event_id)) ==
+        ref.sortBy(p => (p.user_id, p.event_id)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("harness teeth: the r11 single-triple sessionize fold FAILS " +
+    "this property — the generators are strong enough to catch the " +
+    "bug class they exist for") {
+    import org.apache.spark.sql.streaming.GroupState
+    // the pre-r12 implementation, verbatim: fold straight into the
+    // single (first, last, n) triple, clamp-emit on stale horizon
+    def oldProcess(uid: Long, events: Iterator[SessionEvent],
+                   state: GroupState[SessionState]): Iterator[Session] = {
+      val out = Sessionize.process(flushAtEnd = false)(uid, events, state)
+      state.getOption match {
+        case Some(s) =>
+          val horizonMs = s.last_us / 1000 + Sessionize.GapUs / 1000
+          if (horizonMs <= state.getCurrentWatermarkMs()) {
+            state.remove()
+            out ++ Iterator.single(Session(uid, s.first_us, s.last_us, s.n))
+          } else { state.setTimeoutTimestamp(horizonMs); out }
+        case None => out
+      }
+    }
+    val diverging = samples(schedGen(inOrder = false), 250).count { sc =>
+      try {
+        val (got, adm) = run[(Long, Long, Long, String), SessionState, Session](
+          sc.batches, _._2, _._1, sc.delayMs,
+          (k, it, st) => oldProcess(k,
+            it.map(e => SessionEvent(e._1, e._2 * 1000)), st))
+        val ref = flushAll[(Long, Long, Long, String), SessionState, Session](
+          adm, _._1,
+          (k, it, st) => Sessionize.process(flushAtEnd = true)(k,
+            it.map(e => SessionEvent(e._1, e._2 * 1000)), st))
+        got.sortBy(s => (s.user_id, s.first_us, s.last_us)) !=
+          ref.sortBy(s => (s.user_id, s.first_us, s.last_us))
+      } catch {
+        case _: IllegalArgumentException => true // stale-timeout crash
+        case _: AssertionError => true
+      }
+    }
+    assert(diverging > 0,
+      "the fuzz generators no longer distinguish the r11 fold — " +
+        "they have lost the out-of-order/jump coverage this suite exists for")
+  }
+
+  test("ZscoreStream: no crash on arbitrary schedules; parity with " +
+    "the batch fold on in-order schedules (125 + 125)") {
+    def toEv(e: (Long, Long, Long, String)) =
+      ValueEvent(e._1, e._2 * 1000, e._3, (e._3 % 7L).toDouble +
+        (if (e._3 % 11 == 0) 50.0 else 0.0)) // occasional outliers
+    samples(schedGen(inOrder = false), 125).foreach { sc =>
+      run[(Long, Long, Long, String), ZscoreState, AnomalyHit](
+        sc.batches, _._2, _._1, sc.delayMs,
+        (k, it, st) => ZscoreStream.processStreaming(k, it.map(toEv), st))
+    }
+    samples(schedGen(inOrder = true), 125).foreach { sc =>
+      val (got, adm) = run[(Long, Long, Long, String), ZscoreState, AnomalyHit](
+        sc.batches, _._2, _._1, sc.delayMs,
+        (k, it, st) => ZscoreStream.processStreaming(k, it.map(toEv), st))
+      val ref = flushAll[(Long, Long, Long, String), ZscoreState, AnomalyHit](
+        adm, _._1,
+        (k, it, st) => ZscoreStream.process(k, it.map(toEv), st))
+      assert(got.sortBy(h => (h.user_id, h.event_id)) ==
+        ref.sortBy(h => (h.user_id, h.event_id)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+}
