@@ -66,9 +66,47 @@ object ScaleGen {
     }.reduce(_ unionByName _)
     bigLi.repartition(32).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
+    // Full star schema (r12, VERDICT r11 item 7 — the whole-suite sf1
+    // rehearsal needs every table): fact/bridge keys shift per replica
+    // CONSISTENTLY with lineitem's shifts above, so every join
+    // relationship survives the scale-up (orders⋈lineitem on
+    // orderkey + k·10⁸, part on partkey + k·10⁷, supplier on
+    // suppkey + k·10⁷, customer⋈orders on custkey + k·10⁶);
+    // region/nation are dimension constants and copy through.
+    val ords = spark.read.parquet(s"$src/orders.parquet")
+    val bigOrds = (0 until factor).map { k =>
+      ords.withColumn("o_orderkey", col("o_orderkey") + lit(k * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(k * 1000000L))
+    }.reduce(_ unionByName _)
+    bigOrds.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val bigCust = (0 until factor).map { k =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(k * 1000000L))
+    }.reduce(_ unionByName _)
+    bigCust.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
+    val supp = spark.read.parquet(s"$src/supplier.parquet")
+    val bigSupp = (0 until factor).map { k =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(k * 10000000L))
+    }.reduce(_ unionByName _)
+    bigSupp.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/supplier.parquet")
+    val part = spark.read.parquet(s"$src/part.parquet")
+    val bigPart = (0 until factor).map { k =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(k * 10000000L))
+    }.reduce(_ unionByName _)
+    bigPart.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/part.parquet")
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
     println(s"scalegen wrote ${bigDocs.count()} docs, " +
       s"${bigEmb.count()} embeddings, ${bigEv.count()} events, " +
-      s"${bigLi.count()} lineitems to $out")
+      s"${bigLi.count()} lineitems, ${bigOrds.count()} orders, " +
+      s"${bigCust.count()} customers, ${bigSupp.count()} suppliers, " +
+      s"${bigPart.count()} parts to $out")
     spark.stop()
   }
 }

@@ -1147,6 +1147,15 @@ object LlmOps {
     // as the kNN family with a label-inequality predicate and a
     // per-anchor top-1 window; at index scale the IVF path
     // (j_knn_ivf) supplies candidates the same filter applies to.
+    // Hardest cross-label negative per anchor — the EXACT variant (the
+    // all-pairs dot is definitional; the ANN entries are the
+    // sub-quadratic path). r12: the argmax is a bounded graft_topk(k=1)
+    // AGGREGATE instead of a window — the r11 window shape shuffled and
+    // sorted every (anchor, candidate) pair (O(n²) exchange rows: the
+    // sf1 rehearsal measured 114 s, ~all of it exchange+sort); the
+    // aggregate keeps one (cos, id) per anchor per map task, so only
+    // n·partitions rows cross the wire while the ordering semantics
+    // (cos DESC, id ASC — TopKAgg.beats) match the window exactly.
     "j_sample_hard_negative" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val u = unitVectors(s, d)
@@ -1154,14 +1163,16 @@ object LlmOps {
         col("label").as("a_label"), col("u").as("ua"))
       val b = u.select(col("vec_id").as("b_id"),
         col("label").as("b_label"), col("u").as("ub"))
-      val w = Window.partitionBy("a_id").orderBy(desc("cos"), asc("b_id"))
-      a.join(broadcast(b), col("a_label") =!= col("b_label"))
+      val top = a.join(broadcast(b), col("a_label") =!= col("b_label"))
         .withColumn("cos", expr("graft_dot(ua, ub)"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("a_id"), col("a_label"))
+        .agg(expr("element_at(graft_topk(cos, b_id, 1), 1)").as("hit"))
+      top
+        .join(broadcast(b.select(col("b_id"), col("b_label"))),
+          col("hit.id") === col("b_id"))
         .select(col("a_id").as("vec_id"), col("a_label").as("label"),
           col("b_id").as("neg_id"), col("b_label").as("neg_label"),
-          Det.r4(col("cos")).as("cos"))
+          Det.r4(col("hit.v")).as("cos"))
         .orderBy("vec_id")
     },
 
