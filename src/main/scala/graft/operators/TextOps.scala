@@ -351,6 +351,28 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Deterministic fixed-SIZE uniform sample (r12): exactly k docs,
+    // chosen as the k smallest Lehmer-hashed ids — the bottom-k row
+    // sample idea (KmvSketch.scala) expressed as a QUERY. The split
+    // family answers "which fraction"; this answers the other
+    // everyday ask, "give me exactly 500 uniform docs". Spark plans
+    // the orderBy+limit as TakeOrderedAndProject — per-partition
+    // bounded top-k then a k-row merge on the driver side of the
+    // exchange, NO global sort — which is exactly the distributed
+    // reservoir shape that holds at 100 TB. Mergeable/stable: the
+    // hash order makes the sample a pure set function, so growing the
+    // corpus only ever evicts by hash rank (ReservoirSpec pins
+    // subset-stability), and the same k docs come back under any
+    // partitioning.
+    "j_sample_reservoir" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("hv", expr(Sketches.lehmerHash("doc_id")))
+        .orderBy("hv", "doc_id")
+        .limit(500)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // Split-balance audit: per (split, lang) counts — the check that a
     // deterministic split didn't skew a stratum.
     "j_sample_split_audit" -> { (s, d) =>
@@ -1465,6 +1487,14 @@ object TextOps {
         |       WHEN ${splitBucketSql("doc_id")} < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j_sample_reservoir" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars
+        |  FROM documents
+        |  ORDER BY ${graft.operators.Sketches.lehmerHash("doc_id")}, doc_id
+        |  LIMIT 500)
+        |ORDER BY doc_id""".stripMargin,
     "j_sample_split_audit" ->
       s"""SELECT split, lang, count(*) AS n FROM (
         |  SELECT lang,
