@@ -401,6 +401,37 @@ object Aggregations {
         .orderBy("event_type")
     },
 
+    // The RANGE QUERY the sketch store exists for (r12): trailing
+    // 7-day distinct users per (event_type, day), answered ENTIRELY
+    // from the daily KMV sketches — a bounded self-join over
+    // (groups × days) kilobyte rows and a union per anchor day; raw
+    // events are scanned once to build the store and never again,
+    // which is the whole point at 100 TB (every dashboard range
+    // question costs metadata, not a rescan). The bottom-k merge
+    // identity makes it oracled: union-of-day-sketches over the range
+    // ≡ one-shot bottom-k of the range's distinct hashes, so the
+    // DuckDB twin computes the latter and the hash match proves the
+    // former.
+    "d_agg_sketch_range" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val daily = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("hv", expr(Sketches.lehmerHash("user_id")))
+        .groupBy("event_type", "day")
+        .agg(expr(s"graft_kmv(hv, ${Sketches.KmvK})").as("sk"))
+        .transform(graft.Caches.persisted)
+      val anchors = daily.select(col("event_type").as("a_type"),
+        col("day").as("a_day"))
+      anchors.join(daily,
+          col("event_type") === col("a_type") &&
+            col("day").between(date_sub(col("a_day"), 6), col("a_day")))
+        .groupBy(col("a_type").as("event_type"), col("a_day").as("day"))
+        .agg(expr(s"graft_kmv_union(sk, ${Sketches.KmvK})").as("sk"))
+        .select(col("event_type"), col("day"),
+          expr(Sketches.kmvEstimate("sk")).as("approx_users"))
+        .orderBy("event_type", "day")
+    },
+
     // Mergeable quantile sketches as a STORED artifact (§2.Q): the
     // percentile twin of d_agg_sketch_union — one deterministic
     // bottom-k ROW SAMPLE per (event_type, day) (graft_ksample over
@@ -684,6 +715,26 @@ object Aggregations {
          |FROM r JOIN d USING (event_type)
          |WHERE rn = least(cnt, ${Sketches.KmvK})
          |ORDER BY event_type""".stripMargin,
+
+    // one-shot bottom-k per trailing window — hash-equal to the
+    // Spark side's union-of-day-sketches by the KMV merge identity
+    "d_agg_sketch_range" ->
+      s"""WITH h AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events),
+         |anchors AS (SELECT DISTINCT event_type, day FROM h),
+         |win AS (SELECT DISTINCT a.event_type, a.day, h.hv
+         |  FROM anchors a JOIN h
+         |    ON h.event_type = a.event_type
+         |   AND h.day BETWEEN a.day - 6 AND a.day),
+         |r AS (SELECT event_type, day, hv,
+         |    row_number() OVER (PARTITION BY event_type, day
+         |      ORDER BY hv) AS rn,
+         |    count(*) OVER (PARTITION BY event_type, day) AS cnt
+         |  FROM win)
+         |SELECT event_type, day, ${Sketches.kmvEstimateOracle}
+         |    AS approx_users
+         |FROM r WHERE rn = least(cnt, ${Sketches.KmvK})
+         |ORDER BY event_type, day""".stripMargin,
 
     "d_agg_approx_percentile" ->
       s"""WITH s AS (SELECT DISTINCT l_returnflag AS g,

@@ -215,6 +215,28 @@ class LlmOpsSpec extends SparkSpec {
       s"hll daily-union $hllMerged != one-shot $hllOneShot")
   }
 
+  test("d_agg_sketch_range: per-window estimates from stored day " +
+    "sketches track the exact trailing-7-day distinct within the KMV " +
+    "bound") {
+    val got = SparkEntry.queries("d_agg_sketch_range")(spark, sfDir)
+      .as[(String, java.sql.Date, Long)].collect()
+    assert(got.nonEmpty)
+    val exact = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .select("event_type", "day", "user_id").distinct().collect()
+      .groupBy(r => r.getString(0))
+      .view.mapValues(_.map(r => (r.getDate(1).toLocalDate, r.getLong(2))))
+      .toMap
+    got.foreach { case (t, day, est) =>
+      val d0 = day.toLocalDate
+      val n = exact(t).collect {
+        case (d, u) if !d.isBefore(d0.minusDays(6)) && !d.isAfter(d0) => u
+      }.distinct.size
+      assert(math.abs(est - n).toDouble / math.max(n, 1) <= 0.27,
+        s"$t $day: est $est vs exact $n exceeds the KMV 3σ bound")
+    }
+  }
+
   test("d_agg_quantile_sketch_union: day-sample unions track exact " +
     "percentiles within the sampling rank bound; GK digest interop " +
     "obeys its own bounds") {
