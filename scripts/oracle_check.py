@@ -87,7 +87,10 @@ def main():
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark directory table (e.g. a ScaleGen corpus)
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(outdir)

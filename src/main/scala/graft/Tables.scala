@@ -240,8 +240,16 @@ object Det {
   /** Deterministic average: exact decimal sum / count, in double. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
-  /** SQL fragment for the oracle side of dsum. */
-  def dsumSql(expr: String): String = s"CAST(SUM(CAST(($expr) AS DECIMAL(20,6))) AS DOUBLE)"
+  /** SQL fragment for the oracle side of dsum. The decimal→double
+    * hop goes THROUGH A STRING (r12): DuckDB's direct
+    * `CAST(DECIMAL AS DOUBLE)` is not correctly rounded — it can land
+    * one ulp off the nearest double (first observed at the sf1
+    * rehearsal: an exact decimal sum of 27864155010.941590 cast to
+    * …941593 while Spark's BigDecimal.doubleValue gives the correct
+    * …94159… ulp) — whereas its VARCHAR→DOUBLE path is a
+    * correctly-rounded strtod, which always agrees with Spark. */
+  def dsumSql(expr: String): String =
+    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(20,6))) AS STRING) AS DOUBLE)"
 
   /** SQL fragment for the oracle side of davg. */
   def davgSql(expr: String): String = s"(${dsumSql(expr)} / COUNT(*))"

@@ -650,7 +650,7 @@ object Aggregations {
     "d_agg_gini" ->
       """WITH rev AS (
         |  SELECT c_mktsegment AS seg, c_custkey,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS v
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS STRING) AS DOUBLE) AS v
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  GROUP BY seg, c_custkey),
         |rk AS (

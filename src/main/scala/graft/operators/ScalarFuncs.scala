@@ -330,7 +330,7 @@ object ScalarFuncs {
         |  substring(c_name, 10, 5) AS name_sub,
         |  concat_ws('-', c_mktsegment, c_custkey) AS seg_key,
         |  CAST(length(c_name) AS INT) AS name_len,
-        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_pad,
+        |  lpad(CAST(c_custkey AS STRING), 10, '0') AS key_pad,
         |  regexp_replace(c_name, '0+', '0', 'g') AS name_squeeze,
         |  regexp_extract(c_name, '#(\d+)', 1) AS name_digits,
         |  split_part(c_name, '#', 2) AS name_part
@@ -407,7 +407,7 @@ object ScalarFuncs {
         |  FROM events GROUP BY user_id, event_type)
         |SELECT user_id,
         |  CAST(to_json(array_agg({'key': event_type, 'value': cnt}
-        |    ORDER BY event_type)) AS VARCHAR) AS entries,
+        |    ORDER BY event_type)) AS STRING) AS entries,
         |  max(CASE WHEN event_type = 'click' THEN cnt END) AS click_cnt,
         |  CAST(count(*) AS INT) AS n_types
         |FROM counts GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -431,7 +431,7 @@ object ScalarFuncs {
     "h_url_funcs" ->
       """SELECT doc_id,
         |  source || '.example.com' AS host,
-        |  '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+        |  '/docs/' || CAST(doc_id AS STRING) AS path,
         |  lang AS qlang
         |FROM documents ORDER BY doc_id""".stripMargin,
     "h_regex_funcs" ->
@@ -449,12 +449,12 @@ object ScalarFuncs {
         |ORDER BY o_orderkey""".stripMargin,
     "h_array_agg" ->
       """SELECT o_custkey,
-        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+        |  string_agg(CAST(o_orderkey AS STRING), ',' ORDER BY o_orderkey) AS order_keys,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "h_array_agg_typed" ->
       """SELECT o_custkey,
-        |  CAST(to_json(list(o_orderkey ORDER BY o_orderkey)) AS VARCHAR)
+        |  CAST(to_json(list(o_orderkey ORDER BY o_orderkey)) AS STRING)
         |    AS order_keys,
         |  min(o_orderkey) AS first_key,
         |  max(o_orderkey) AS last_key,
@@ -463,14 +463,17 @@ object ScalarFuncs {
     "h_pivot" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_n,
-        |  coalesce(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
-        |    THEN o_totalprice END AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS f_rev,
+        |  coalesce(CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+        |    THEN o_totalprice END AS DECIMAL(20,6))) AS STRING) AS DOUBLE),
+        |    0.0) AS f_rev,
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_n,
-        |  coalesce(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O'
-        |    THEN o_totalprice END AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS o_rev,
+        |  coalesce(CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O'
+        |    THEN o_totalprice END AS DECIMAL(20,6))) AS STRING) AS DOUBLE),
+        |    0.0) AS o_rev,
         |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_n,
-        |  coalesce(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'
-        |    THEN o_totalprice END AS DECIMAL(20,6))) AS DOUBLE), 0.0) AS p_rev
+        |  coalesce(CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P'
+        |    THEN o_totalprice END AS DECIMAL(20,6))) AS STRING) AS DOUBLE),
+        |    0.0) AS p_rev
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
     "h_mask_funcs" ->

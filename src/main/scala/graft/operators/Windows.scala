@@ -374,23 +374,24 @@ object Windows {
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "e_window_running" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS DOUBLE)
-        |    AS running_spend
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS STRING)
+        |    AS DOUBLE) AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e_window_sliding_avg" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS DOUBLE)
-        |    / count(*) OVER w AS mov_avg3
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS STRING)
+        |    AS DOUBLE) / count(*) OVER w AS mov_avg3
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "e_window_range_frame" ->
       """SELECT user_id, event_id, epoch_us(ts) // 1000000 AS ts_s,
-        |  CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS DOUBLE) AS sum_1h
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(20,6))) OVER w AS STRING)
+        |    AS DOUBLE) AS sum_1h
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
