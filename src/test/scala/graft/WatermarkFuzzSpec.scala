@@ -235,6 +235,32 @@ class WatermarkFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("RetentionStream: arbitrary admissible schedules — the " +
+    "aggregated cohort table converges to the batch fold (250 " +
+    "schedules; the rebase retractions make even out-of-order " +
+    "arrival exact, so retention takes the STRONG property)") {
+    def cells(ds: Seq[CohortDelta]): Map[(Long, Long), Long] =
+      ds.groupBy(d => (d.cohort_week, d.week_offset))
+        .view.mapValues(_.map(_.delta).sum).filter(_._2 > 0).toMap
+    // reinterpret the generator's minute offsets as DAYS so schedules
+    // actually cross week boundaries (0..42 weeks)
+    def toEv(e: (Long, Long, Long, String)) =
+      WeekEvent(e._1, e._2 / minMs * 86400000000L)
+    var sawRebase = false
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      val (got, adm) = run[(Long, Long, Long, String), RetentionState, CohortDelta](
+        sc.batches, _._2, _._1, sc.delayMs,
+        (k, it, st) => RetentionStream.process(k, it.map(toEv), st))
+      val ref = flushAll[(Long, Long, Long, String), RetentionState, CohortDelta](
+        adm, _._1,
+        (k, it, st) => RetentionStream.process(k, it.map(toEv), st))
+      assert(cells(got) == cells(ref), s"schedule $sc:\n got $got\n ref $ref")
+      sawRebase ||= got.exists(_.delta < 0)
+    }
+    assert(sawRebase, "no schedule exercised the retraction path — " +
+      "generators too weak for the property to mean anything")
+  }
+
   test("harness teeth: the r11 single-triple sessionize fold FAILS " +
     "this property — the generators are strong enough to catch the " +
     "bug class they exist for") {
