@@ -406,6 +406,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KMV estimator accuracy holds OFF the fixture distribution: " +
+    "random sparse/clustered/dense id sets estimate within 3σ") {
+    // pure-Scala twin of the Sketches.lehmerHash + kmvEstimate
+    // arithmetic (the oracle checks determinism; THIS checks the
+    // estimator is not accidentally pathological for the hash family
+    // on other id shapes)
+    val M = 2147483647L
+    def h(id: Long): Long =
+      ((((id % M) * 48271 % M) * 69621 % M) << 31) |
+        (((id + 1) % M) * 16807 % M * 48271 % M)
+    val k = 128
+    def estimate(ids: Set[Long]): Double = {
+      val hs = ids.map(h).toSeq.sorted
+      if (hs.size < k) hs.size.toDouble
+      else math.floor((k - 1).toDouble * 4611686018427387904.0 / hs(k - 1))
+    }
+    val shapes = Seq[(String, Gen[Long])](
+      ("sparse", Gen.chooseNum(0L, Long.MaxValue / 4)),
+      ("clustered", Gen.chooseNum(0L, 50L).flatMap(c =>
+        Gen.chooseNum(0L, 40L).map(o => c * 1000000L + o))),
+      ("dense", Gen.chooseNum(0L, 3000L)))
+    shapes.foreach { case (name, g) =>
+      samples(Gen.listOfN(1500, g), 20).foreach { xs =>
+        val ids = xs.toSet
+        val est = estimate(ids)
+        val se = 1.0 / math.sqrt(k - 2) // ≈ 9%
+        assert(math.abs(est - ids.size) <= 3 * se * ids.size + 1,
+          s"$name: est $est vs exact ${ids.size}")
+      }
+    }
+  }
+
   test("graft_kmv is partitioning-invariant through a real exchange") {
     graft.functions.VectorExprs.register(spark)
     val ids = samples(Gen.chooseNum(0L, 500L), 60)
