@@ -415,6 +415,37 @@ case class ShingleArray(left: Expression, right: Expression)
   * SimHash band pipeline built on it hash-matches a SQL twin. Bits
   * 62–63 of H are structurally zero (each half < 2³¹), which both
   * engines' signatures reflect identically. */
+case class PolyHash64(child: Expression)
+    extends UnaryExpression with codegen.CodegenFallback {
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_polyhash"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val M = 2147483647L
+    var h1 = 0L
+    var h2 = 0L
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      h1 = (h1 * 31 + c) % M
+      h2 = (h2 * 131 + c) % M
+      i += 1
+    }
+    (((h1 * 48271L) % M) << 31) | ((h2 * 16807L) % M)
+  }
+
+  override protected def withNewChildInternal(c: Expression): PolyHash64 =
+    copy(child = c)
+}
+
 /** Exact-decimal weighted dot of two TERM-SORTED sparse vectors
   * (`array<struct<term:string, w:double>>`, as built by
   * `sort_array(collect_list(struct(term, w)))`) — the per-pair verify
@@ -473,37 +504,6 @@ case class WeightedDotSorted(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WeightedDotSorted =
     copy(left = newLeft, right = newRight)
-}
-
-case class PolyHash64(child: Expression)
-    extends UnaryExpression with codegen.CodegenFallback {
-  import org.apache.spark.sql.types.StringType
-  import org.apache.spark.unsafe.types.UTF8String
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string, got ${child.dataType.sql}")
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_polyhash"
-
-  protected override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val M = 2147483647L
-    var h1 = 0L
-    var h2 = 0L
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      h1 = (h1 * 31 + c) % M
-      h2 = (h2 * 131 + c) % M
-      i += 1
-    }
-    (((h1 * 48271L) % M) << 31) | ((h2 * 16807L) % M)
-  }
-
-  override protected def withNewChildInternal(c: Expression): PolyHash64 =
-    copy(child = c)
 }
 
 /** Native SimHash-64 aggregate: per-group bit-vote counts folded into

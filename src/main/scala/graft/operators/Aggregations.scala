@@ -689,7 +689,8 @@ object Aggregations {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "d_agg_approx_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
-         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events),
+         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events
+         |  WHERE user_id IS NOT NULL),
          |r AS (SELECT event_type, hv,
          |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS cnt
@@ -703,7 +704,8 @@ object Aggregations {
     // daily→union composition on the Spark side is lossless.
     "d_agg_sketch_union" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
-         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events),
+         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events
+         |  WHERE user_id IS NOT NULL),
          |r AS (SELECT event_type, hv,
          |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
          |    count(*) OVER (PARTITION BY event_type) AS cnt
@@ -720,7 +722,8 @@ object Aggregations {
     // Spark side's union-of-day-sketches by the KMV merge identity
     "d_agg_sketch_range" ->
       s"""WITH h AS (SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
-         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events),
+         |    ${Sketches.lehmerHash("user_id")} AS hv FROM events
+         |  WHERE user_id IS NOT NULL),
          |anchors AS (SELECT DISTINCT event_type, day FROM h),
          |win AS (SELECT DISTINCT a.event_type, a.day, h.hv
          |  FROM anchors a JOIN h
@@ -739,7 +742,10 @@ object Aggregations {
     "d_agg_approx_percentile" ->
       s"""WITH s AS (SELECT DISTINCT l_returnflag AS g,
          |    ${Sketches.lineitemRowHash} AS hv, l_extendedprice AS v
-         |  FROM lineitem),
+         |  FROM lineitem
+         |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+         |    AND l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
          |r AS (SELECT g, v,
          |    row_number() OVER (PARTITION BY g ORDER BY hv, v) AS rn
          |  FROM s),
@@ -755,7 +761,8 @@ object Aggregations {
     "d_agg_quantile_sketch_union" ->
       s"""WITH s AS (SELECT DISTINCT event_type AS g,
          |    ${Sketches.lehmerHash("event_id")} AS hv, value AS v
-         |  FROM events),
+         |  FROM events
+         |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
          |r AS (SELECT g, v,
          |    row_number() OVER (PARTITION BY g ORDER BY hv, v) AS rn
          |  FROM s),

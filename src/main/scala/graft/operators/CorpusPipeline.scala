@@ -62,8 +62,20 @@ object CorpusPipeline {
       // ledger hash cannot move — CorpusPipelineSpec pins stored ≡
       // inline (the conf-driven run trains inline and must equal the
       // entry's stored-artifact run).
+      // The stored scores are joined onto d0's OWN doc ids before the
+      // threshold (r12 review): the artifact covers the whole corpus,
+      // but the 25th percentile must be computed over exactly the
+      // population flowing through THIS pipeline run — a subset
+      // caller would otherwise silently threshold against the
+      // full-corpus distribution. (For subset callers the two paths
+      // remain deliberately different LMs — stored scores come from
+      // the STANDING corpus's model, inline trains on the subset's
+      // own 80% split; the full-corpus registry entry, where the
+      // pinned stored ≡ inline equality lives, sees identical scores
+      // either way.)
       val scored = graft.Caches.persisted(lmPrefix match {
-        case Some(p) => s.table(s"${p}_scores")
+        case Some(p) =>
+          s.table(s"${p}_scores").join(d0.select("doc_id"), "doc_id")
         case None =>
           val (uni, big) = TextOps.bigramLmTrain(
             txt.filter(TextOps.splitBucket(col("doc_id")) < 80))

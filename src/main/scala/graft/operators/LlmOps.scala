@@ -898,7 +898,8 @@ object LlmOps {
           .as("vec"),
           sqrt(Det.dsum(col("w") * col("w"))).as("nrm"),
           max(col("w")).as("maxw"),
-          sum(col("w")).as("sumw")))
+          sum(col("w")).as("sumw"),
+          count(lit(1)).as("nt")))
       val cand = rareShingleCandidates(shingleEx(s, d), oracledDfCutoff(s))
       // docvecs is one ~1 KB row per document (≈ 64 weights), so the
       // broadcast decision divides the family row limit by that
@@ -913,20 +914,25 @@ object LlmOps {
       // Prefix-filter-family upper bound from per-doc scalars only:
       // dot(a,b) = Σ w_a(t)·w_b(t) ≤ min(Σw_a·max w_b, Σw_b·max w_a)
       // (every matched term of a contributes at most w_a(t)·max w_b).
-      // Pruned at 0.75 — a 0.05 guard band below the τ=0.8 gate, far
-      // wider than the decimal-vs-double quantization slack (≤ 1e-4),
-      // so no qualifying pair can be lost. Only survivors fetch the
-      // vectors and pay the merge dot.
+      // The emitted score is the DECIMAL(·,6) quantized dot, which
+      // exceeds the true dot by at most 5·10⁻⁷ per matched term, and
+      // matched terms ≤ min(|a|,|b|) — so the prune keeps a pair iff
+      // ub + min(nt_a,nt_b)·5e-7 ≥ 0.8·‖a‖‖b‖, an ABSOLUTE slack that
+      // stays sound even for degenerate near-zero-norm documents
+      // (r12 review: the old 0.05·‖a‖‖b‖ relative band vanished
+      // exactly when the quantization slack didn't). Only survivors
+      // fetch the vectors and pay the merge dot.
       val stats = docvecs.select(col("doc_id"), col("nrm"), col("maxw"),
-        col("sumw"))
+        col("sumw"), col("nt"))
       val pruned = cand
-        .join(wSide(stats.toDF("doc_a", "nrm_a", "maxw_a", "sumw_a")),
-          "doc_a")
-        .join(wSide(stats.toDF("doc_b", "nrm_b", "maxw_b", "sumw_b")),
-          "doc_b")
+        .join(wSide(stats.toDF("doc_a", "nrm_a", "maxw_a", "sumw_a",
+          "nt_a")), "doc_a")
+        .join(wSide(stats.toDF("doc_b", "nrm_b", "maxw_b", "sumw_b",
+          "nt_b")), "doc_b")
         .filter(least(col("sumw_a") * col("maxw_b"),
           col("sumw_b") * col("maxw_a"))
-          >= lit(0.75) * col("nrm_a") * col("nrm_b"))
+          + least(col("nt_a"), col("nt_b")) * lit(5e-7)
+          >= lit(0.8) * col("nrm_a") * col("nrm_b"))
       pruned
         .join(wSide(docvecs.select(col("doc_id").as("doc_a"),
           col("vec").as("vec_a"))), "doc_a")

@@ -26,51 +26,45 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object DriftStream {
 
-  /** Re-publish a store stranded mid-swap (ADVICE r11): the publish
-    * below is write-`_next` → drop main → RENAME `_next` to main, so
-    * the only unsafe window leaves `_next` complete and main missing —
-    * finishing the rename restores the fold's result exactly. With
-    * main present, a leftover `_next` is a NOT-YET-COMMITTED batch's
-    * write (the stream will replay that batchId against main) and is
-    * discarded by the next fold's reset. */
-  private[graft] def recover(s: SparkSession, table: String): Unit = {
-    val tmp = table + "_next"
-    if (!s.catalog.tableExists(table) && s.catalog.tableExists(tmp))
-      s.sql(s"ALTER TABLE $tmp RENAME TO $table")
-  }
-
   /** Merge a batch's term counts into the running store table
-    * (created on first batch). */
+    * (created on first batch). `batchId` makes the fold IDEMPOTENT
+    * under foreachBatch replay (r12 review): a summed-counts store is
+    * not naturally replay-safe — if the rename commits but the
+    * process dies before the streaming checkpoint commits the
+    * batchId, the engine re-delivers the batch and a naive fold would
+    * double-count it. The store therefore carries the last folded
+    * batchId on every row (vocabulary-sized table — a constant column
+    * is noise), published ATOMICALLY with the counts by the same
+    * rename; a replayed batch sees its own id in the store and skips.
+    * Pass None for non-streaming callers (each batch folded once by
+    * construction). */
   private[graft] def foldBatch(s: SparkSession, table: String,
-                               batch: DataFrame): Unit = {
-    recover(s, table)
+                               batch: DataFrame,
+                               batchId: Option[Long] = None): Unit = {
+    StoreSwap.recover(s, table)
+    val exists = s.catalog.tableExists(table)
+    if (batchId.isDefined && exists &&
+        s.table(table).schema.fieldNames.contains("batch_id")) {
+      val last = s.table(table).agg(max(col("batch_id"))).head.getLong(0)
+      if (last >= batchId.get) return // replayed batch: already folded
+    }
     val counts = TextOps.termCounts(batch)
     val merged =
-      if (s.catalog.tableExists(table))
-        s.table(table).unionByName(counts)
+      if (exists)
+        s.table(table).select("tok", "c").unionByName(counts)
           .groupBy("tok").agg(sum(col("c")).as("c"))
       else counts
-    // stage-then-RENAME publish (the merge reads the table it
-    // replaces, so it cannot write in place): ONE write of the merged
-    // counts, then a metadata swap — the r11 advice closed both the
-    // double-write and the unrecoverable crash window of the old
-    // write-twice shape. DedupArtifacts.reset also clears stale
-    // warehouse DIRECTORIES a previous JVM left behind, which a bare
-    // DROP TABLE cannot see.
-    val tmp = table + "_next"
-    graft.operators.DedupArtifacts.reset(s, tmp)
-    merged.write.format("parquet").saveAsTable(tmp)
-    graft.operators.DedupArtifacts.reset(s, table)
-    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    StoreSwap.publish(s, table,
+      merged.withColumn("batch_id", lit(batchId.getOrElse(-1L))))
   }
 
   /** Start the monitor: each micro-batch of (… text …) rows folds
-    * into the running count store. */
+    * into the running count store, replay-safe via the batchId. */
   def start(docs: DataFrame, table: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        foldBatch(batch.sparkSession, table, batch.toDF())
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        foldBatch(batch.sparkSession, table, batch.toDF(), Some(batchId))
       }
       .start()
 
@@ -78,7 +72,7 @@ object DriftStream {
     * (js_nats, vocab), the batch entry's exact output shape. */
   def drift(s: SparkSession, refTable: String,
             curTable: String): DataFrame = {
-    recover(s, refTable); recover(s, curTable)
+    StoreSwap.recover(s, refTable); StoreSwap.recover(s, curTable)
     TextOps.jsDivergence(s.table(refTable), s.table(curTable))
   }
 }

@@ -27,20 +27,17 @@ import graft.operators.Sketches
   */
 object KmvStream {
 
-  /** Re-publish a store stranded mid-swap — [[DriftStream.recover]]
-    * semantics. */
-  private[graft] def recover(s: SparkSession, table: String): Unit = {
-    val tmp = table + "_next"
-    if (!s.catalog.tableExists(table) && s.catalog.tableExists(tmp))
-      s.sql(s"ALTER TABLE $tmp RENAME TO $table")
-  }
-
   /** Fold one batch of (event_type, user_id) rows into the running
-    * sketch table `(event_type, sk array<bigint>)`. */
+    * sketch table `(event_type, sk array<bigint>)`. Publish/recovery
+    * go through the shared [[StoreSwap]] discipline. Unlike the
+    * summed-counts drift store, this fold is replay-safe WITHOUT a
+    * batchId guard — and deliberately, not by accident: the KMV merge
+    * is a set UNION, so re-folding a committed batch is idempotent
+    * (union with an already-absorbed sketch changes nothing). */
   private[graft] def foldBatch(s: SparkSession, table: String,
                                batch: DataFrame): Unit = {
     graft.functions.VectorExprs.register(s)
-    recover(s, table)
+    StoreSwap.recover(s, table)
     val k = Sketches.KmvK
     val sk = batch
       .withColumn("hv", expr(Sketches.lehmerHash("user_id")))
@@ -52,11 +49,7 @@ object KmvStream {
           .groupBy("event_type")
           .agg(expr(s"graft_kmv_union(sk, $k)").as("sk"))
       else sk
-    val tmp = table + "_next"
-    graft.operators.DedupArtifacts.reset(s, tmp)
-    merged.write.format("parquet").saveAsTable(tmp)
-    graft.operators.DedupArtifacts.reset(s, table)
-    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    StoreSwap.publish(s, table, merged)
   }
 
   /** Start the fold over a stream of (… event_type, user_id …) rows. */
@@ -72,7 +65,7 @@ object KmvStream {
     * entry's exact estimator arithmetic over the stored sketch. */
   def estimate(s: SparkSession, table: String): DataFrame = {
     graft.functions.VectorExprs.register(s)
-    recover(s, table)
+    StoreSwap.recover(s, table)
     s.table(table)
       .select(col("event_type"),
         expr(Sketches.kmvEstimate("sk")).as("approx_users"))

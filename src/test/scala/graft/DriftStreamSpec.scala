@@ -69,6 +69,30 @@ class DriftStreamSpec extends SparkSpec {
     assert(got == expected, s"streamed: $got vs $expected")
   }
 
+  test("a replayed batchId does not double-count (r12 review): the " +
+    "fold is idempotent under foreachBatch redelivery") {
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(TextOps.splitBucket(col("doc_id")) >= 80)
+    drop("drift_cur_r"); drop("drift_ref_r")
+    TextOps.termCounts(
+      docs.filter(TextOps.splitBucket(col("doc_id")) < 80))
+      .write.format("parquet").saveAsTable("drift_ref_r")
+    val (h1, h2) = (delta.filter(col("doc_id") % 2 === 0),
+      delta.filter(col("doc_id") % 2 =!= 0))
+    DriftStream.foldBatch(spark, "drift_cur_r", h1, Some(0L))
+    DriftStream.foldBatch(spark, "drift_cur_r", h2, Some(1L))
+    val want = DriftStream.drift(spark, "drift_ref_r", "drift_cur_r")
+      .as[(Double, Long)].collect().toSeq
+    assert(want == expected)
+    // the crash-between-rename-and-checkpoint-commit scenario: the
+    // engine redelivers batch 1 — the fold must see its id in the
+    // store and change NOTHING (the old shape double-counted here)
+    DriftStream.foldBatch(spark, "drift_cur_r", h2, Some(1L))
+    val after = DriftStream.drift(spark, "drift_ref_r", "drift_cur_r")
+      .as[(Double, Long)].collect().toSeq
+    assert(after == want, s"replayed batch double-counted: $after vs $want")
+  }
+
   test("publish crash windows recover (r12, ADVICE r11): a store " +
     "stranded as _next is restored; a stale _next beside a live store " +
     "is discarded") {
