@@ -462,6 +462,38 @@ object Aggregations {
         .orderBy("event_type")
     },
 
+    // The quantile RANGE QUERY from stored day samples (r12): trailing
+    // 7-day p50/p95 per (event_type, day), answered entirely from the
+    // daily bottom-k row samples — the percentile twin of
+    // d_agg_sketch_range, completing the stored-sketch symmetry
+    // (point / union / range for both families). Same scale shape:
+    // a bounded (groups × days) self-join over kilobyte sample rows,
+    // one union + interpolation per anchor day, raw events scanned
+    // once at store build. Oracled by the same bottom-k merge
+    // identity: union-of-day-samples over the range ≡ one-shot
+    // bottom-k of the range's (hash, value) pairs.
+    "d_agg_quantile_sketch_range" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val k = Sketches.KSampleEventsK
+      val daily = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("hv", expr(Sketches.lehmerHash("event_id")))
+        .groupBy("event_type", "day")
+        .agg(expr(s"graft_ksample(hv, value, $k)").as("sk"))
+        .transform(graft.Caches.persisted)
+      val anchors = daily.select(col("event_type").as("a_type"),
+        col("day").as("a_day"))
+      anchors.join(daily,
+          col("event_type") === col("a_type") &&
+            col("day").between(date_sub(col("a_day"), 6), col("a_day")))
+        .groupBy(col("a_type").as("event_type"), col("a_day").as("day"))
+        .agg(expr(s"graft_ksample_union(sk, $k)").as("sk"))
+        .select(col("event_type"), col("day"),
+          expr(Sketches.ksampleQuantile("sk", "0.5")).as("p50_approx"),
+          expr(Sketches.ksampleQuantile("sk", "0.95")).as("p95_approx"))
+        .orderBy("event_type", "day")
+    },
+
     // Approximate percentile via the deterministic bottom-k row sample
     // (r12): hash each lineitem row's unique natural key (orderkey,
     // linenumber, partkey, suppkey) with the 2-universal Lehmer family,
@@ -737,6 +769,32 @@ object Aggregations {
          |SELECT event_type, day, ${Sketches.kmvEstimateOracle}
          |    AS approx_users
          |FROM r WHERE rn = least(cnt, ${Sketches.KmvK})
+         |ORDER BY event_type, day""".stripMargin,
+
+    // one-shot bottom-k per trailing window — hash-equal to the
+    // union-of-day-samples by the bottom-k merge identity
+    "d_agg_quantile_sketch_range" ->
+      s"""WITH s AS (SELECT DISTINCT event_type AS g,
+         |    CAST(ts AS DATE) AS day,
+         |    ${Sketches.lehmerHash("event_id")} AS hv, value AS v
+         |  FROM events
+         |  WHERE event_id IS NOT NULL AND value IS NOT NULL),
+         |anchors AS (SELECT DISTINCT g, day FROM s),
+         |win AS (SELECT DISTINCT a.g, a.day, s.hv, s.v
+         |  FROM anchors a JOIN s
+         |    ON s.g = a.g AND s.day BETWEEN a.day - 6 AND a.day),
+         |r AS (SELECT g, day, v,
+         |    row_number() OVER (PARTITION BY g, day ORDER BY hv, v) AS rn
+         |  FROM win),
+         |kk AS (SELECT g, day, v FROM r
+         |  WHERE rn <= ${Sketches.KSampleEventsK}),
+         |qq AS (SELECT g, day, v,
+         |    row_number() OVER (PARTITION BY g, day ORDER BY v) AS vr,
+         |    count(*) OVER (PARTITION BY g, day) AS n FROM kk)
+         |SELECT g AS event_type, day,
+         |  ${Sketches.ksampleQuantileOracle("0.5")} AS p50_approx,
+         |  ${Sketches.ksampleQuantileOracle("0.95")} AS p95_approx
+         |FROM qq GROUP BY g, day, n
          |ORDER BY event_type, day""".stripMargin,
 
     "d_agg_approx_percentile" ->

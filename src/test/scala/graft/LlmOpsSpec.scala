@@ -237,6 +237,34 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("d_agg_quantile_sketch_range: per-window p50/p95 from stored " +
+    "day samples stay within the sampling rank bracket of exact") {
+    val got = SparkEntry.queries("d_agg_quantile_sketch_range")(spark, sfDir)
+      .as[(String, java.sql.Date, Double, Double)].collect()
+    assert(got.nonEmpty)
+    val raw = Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .select("event_type", "day", "value").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getDate(1).toLocalDate, r.getDouble(2))))
+      .toMap
+    got.foreach { case (t, day, p50, p95) =>
+      val d0 = day.toLocalDate
+      val xs = raw(t).collect {
+        case (d, v) if !d.isBefore(d0.minusDays(6)) && !d.isAfter(d0) => v
+      }.sorted
+      def rankOf(v: Double) = xs.count(_ <= v).toDouble / xs.length
+      // discrete-rank granularity: the leading anchor days have
+      // windows of only a handful of rows, where one value step moves
+      // the rank by 1/n — widen the bracket accordingly
+      val g = 1.0 / xs.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.05 + g,
+        s"$t $day (n=${xs.length}) p50 rank ${rankOf(p50)}")
+      assert(rankOf(p95) >= 0.95 - 0.03 - g && rankOf(p95) <= 1.0,
+        s"$t $day (n=${xs.length}) p95 rank ${rankOf(p95)}")
+    }
+  }
+
   test("d_agg_quantile_sketch_union: day-sample unions track exact " +
     "percentiles within the sampling rank bound; GK digest interop " +
     "obeys its own bounds") {
