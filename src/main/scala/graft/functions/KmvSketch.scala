@@ -50,12 +50,11 @@ final class KmvBuffer(val k: Int) {
   var n: Int = 0
   var hs: Array[Long] = new Array[Long](math.min(k, 64))
 
-  /** Largest currently-kept hash, or MaxValue while below capacity. */
-  @inline private def ceiling: Long =
-    if (n == k) hs(n - 1) else Long.MaxValue
-
   def insert(h: Long): Unit = {
-    if (h >= ceiling) return
+    // Fast-reject only at capacity (r13, ADVICE): a MaxValue-sentinel
+    // ceiling would drop h == Long.MaxValue even while below k,
+    // diverging from a DISTINCT-based twin on full-range 64-bit input.
+    if (n == k && h >= hs(n - 1)) return
     // binary search for the insertion point; drop exact duplicates
     var lo = 0; var hi = n
     while (lo < hi) {

@@ -43,8 +43,13 @@ private[graft] object Sketches {
     * combination of (orderkey·8+linenumber) and (partkey·10⁶+suppkey)
     * into each half (the LlmOps MinHash idiom). */
   val lineitemRowHash: String = {
-    val x1 = "(l_orderkey * 8 + l_linenumber)"
-    val x2 = "(l_partkey * 1000000 + l_suppkey)"
+    // Reduce each factor mod M BEFORE multiplying (r13, ADVICE): the
+    // raw (l_partkey*10⁶+l_suppkey)*48271 product exceeds 2⁶³ once
+    // partkey ~2·10⁸ (sf ~1000), where Spark wraps silently to
+    // negative hashes that invalidate the (k−1)·2⁶²/h_(k) estimator.
+    // After reduction every intermediate is < M·10⁶ < 2⁵¹.
+    val x1 = s"(((l_orderkey % $M) * 8 + l_linenumber) % $M)"
+    val x2 = s"(((l_partkey % $M) * 1000000 + l_suppkey) % $M)"
     val h1 = s"((($x1 * 48271) % $M + ($x2 * 16807) % $M) % $M) * 69621 % $M"
     val h2 = s"((($x1 * 69621) % $M + ($x2 * 48271) % $M + 1) % $M) * 16807 % $M"
     s"($h1) * 2147483648 + ($h2)"
@@ -367,7 +372,10 @@ object Aggregations {
     // HLL production-interop path stays spec-gated in LlmOpsSpec.
     "d_agg_approx_distinct" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      Tables.events(s, d)
+      // null user_ids dropped BEFORE the groupBy (r13, ADVICE): the
+      // twin's WHERE removes an all-null group entirely; an unfiltered
+      // Spark groupBy would keep it as an empty-sketch row.
+      Tables.events(s, d).filter(col("user_id").isNotNull)
         .withColumn("hv", expr(Sketches.lehmerHash("user_id")))
         .groupBy("event_type")
         .agg(expr(s"graft_kmv(hv, ${Sketches.KmvK})").as("sk"))
@@ -387,7 +395,8 @@ object Aggregations {
     // mergeability instead of declaring it.
     "d_agg_sketch_union" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val daily = Tables.events(s, d)
+      // group presence = non-null-user events on BOTH sides (r13)
+      val daily = Tables.events(s, d).filter(col("user_id").isNotNull)
         .withColumn("day", to_date(col("ts")))
         .withColumn("hv", expr(Sketches.lehmerHash("user_id")))
         .groupBy("event_type", "day")
@@ -414,7 +423,7 @@ object Aggregations {
     // former.
     "d_agg_sketch_range" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val daily = Tables.events(s, d)
+      val daily = Tables.events(s, d).filter(col("user_id").isNotNull)
         .withColumn("day", to_date(col("ts")))
         .withColumn("hv", expr(Sketches.lehmerHash("user_id")))
         .groupBy("event_type", "day")
@@ -743,7 +752,7 @@ object Aggregations {
          |    count(*) OVER (PARTITION BY event_type) AS cnt
          |  FROM h),
          |d AS (SELECT event_type, count(DISTINCT CAST(ts AS DATE)) AS n_days
-         |  FROM events GROUP BY 1)
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
          |SELECT r.event_type, ${Sketches.kmvEstimateOracle} AS approx_users,
          |  n_days
          |FROM r JOIN d USING (event_type)

@@ -37,7 +37,14 @@ object DriftStream {
     * is noise), published ATOMICALLY with the counts by the same
     * rename; a replayed batch sees its own id in the store and skips.
     * Pass None for non-streaming callers (each batch folded once by
-    * construction). */
+    * construction).
+    *
+    * LIFECYCLE CONTRACT: the store table and the streaming checkpoint
+    * form ONE unit — batchIds are scoped to a checkpoint, so starting
+    * a query with a FRESH checkpoint against an EXISTING store would
+    * restart ids at 0 and the guard would mis-read every early batch
+    * as a replay. Reset (drop) the store table whenever the
+    * checkpoint is reset; DriftStreamSpec pins the contract. */
   private[graft] def foldBatch(s: SparkSession, table: String,
                                batch: DataFrame,
                                batchId: Option[Long] = None): Unit = {
@@ -45,7 +52,11 @@ object DriftStream {
     val exists = s.catalog.tableExists(table)
     if (batchId.isDefined && exists &&
         s.table(table).schema.fieldNames.contains("batch_id")) {
-      val last = s.table(table).agg(max(col("batch_id"))).head.getLong(0)
+      // coalesce: a zero-row store (first batch tokenized to nothing)
+      // has no max — treat as "nothing folded yet", not an NPE.
+      val last = s.table(table)
+        .agg(coalesce(max(col("batch_id")), lit(Long.MinValue)))
+        .head.getLong(0)
       if (last >= batchId.get) return // replayed batch: already folded
     }
     val counts = TextOps.termCounts(batch)
