@@ -81,3 +81,174 @@ object JdbcSinkSpec {
   // in local mode) — a driver-captured field would not round-trip
   val captured = new ConcurrentLinkedQueue[java.lang.Long]()
 }
+
+/** §2.A `a_sink_jdbc`, EXECUTED (r13, VERDICT item 1): the full
+  * create→load→upsert→delete→re-run cycle against embedded Derby
+  * (`jdbc:derby:memory:`), asserted row-for-row — the staged
+  * session-temp-table MERGE protocol, schema-drift ALTERs, and the
+  * cursor advance sharing a load transaction all run for real. The
+  * PostgreSQL SQL generation above stays as the production-dialect
+  * unit surface; this suite is the proof the protocol itself works.
+  */
+class DerbySinkSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.sources.{DerbySql, JdbcCursorStore, JdbcExec}
+  import java.sql.Timestamp
+
+  // one in-memory database per suite run; Derby keeps it alive for the
+  // JVM's lifetime once created
+  private val url = s"jdbc:derby:memory:graftsink${System.nanoTime};create=true"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("amount", DecimalType(18, 2)),
+    StructField("modstamp", TimestampType),
+    StructField("active", BooleanType),
+    StructField("score", DoubleType)))
+
+  private def mkRows(ids: Range, tag: String, ver: Int) = ids.map { i =>
+    (i.toLong, s"$tag$i", BigDecimal(i).setScale(2) + BigDecimal("0.25"),
+      Timestamp.valueOf(f"2026-01-01 00:0$ver:00"), i % 2 == 0,
+      i * 1.5 + ver)
+  }.toDF("id", "name", "amount", "modstamp", "active", "score")
+    // tuple encoding infers DecimalType(38,18) — past Derby's cap of 31
+    .withColumn("amount", col("amount").cast(DecimalType(18, 2)))
+
+  private def readBack() =
+    JdbcExec.readTable(spark, url, "account_tgt")
+      .orderBy("id").collect().toSeq
+
+  private def expect(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("id").collect().toSeq
+
+  test("executed cycle: create, bulk load, upsert, delete, idempotent re-run") {
+    JdbcExec.withConnection(url) { conn =>
+      JdbcExec.ensureTable(conn, "account_tgt", schema, pk = Seq("id"))
+      assert(JdbcExec.tableExists(conn, "account_tgt"))
+      JdbcExec.ensureTable(conn, "account_tgt", schema, pk = Seq("id")) // no-op
+    }
+
+    // 1) bulk load 1..100 across 4 partitions (4 concurrent MERGEs)
+    val v1 = mkRows(1 to 100, "n", ver = 1).repartition(4)
+    JdbcExec.writeUpsert(v1, url, "account_tgt", Seq("id"), batchSize = 17)
+    assert(readBack() == expect(v1))
+
+    // 2) upsert: 40 updated rows (51..90, new values) + 20 inserts
+    val v2 = mkRows(51 to 90, "upd", ver = 2)
+      .unionByName(mkRows(101 to 120, "new", ver = 2)).repartition(3)
+    JdbcExec.writeUpsert(v2, url, "account_tgt", Seq("id"), batchSize = 17)
+    val afterUpsert = expect(
+      mkRows(1 to 50, "n", 1).unionByName(mkRows(51 to 90, "upd", 2))
+        .unionByName(mkRows(91 to 100, "n", 1))
+        .unionByName(mkRows(101 to 120, "new", 2)))
+    assert(readBack() == afterUpsert)
+
+    // 3) soft-delete propagation: tombstone ids 10..19 → real DELETEs
+    val dead = (10L to 19L).toDF("id")
+    JdbcExec.writeDeletes(dead, url, "account_tgt", Seq("id"), batchSize = 3)
+    val afterDelete = afterUpsert.filterNot(r => (10L to 19L).contains(r.getLong(0)))
+    assert(readBack() == afterDelete)
+
+    // 4) idempotent re-run: replaying the same upsert + deletes is a no-op
+    JdbcExec.writeUpsert(v2, url, "account_tgt", Seq("id"), batchSize = 17)
+    JdbcExec.writeDeletes(dead, url, "account_tgt", Seq("id"), batchSize = 3)
+    assert(readBack() == afterDelete)
+  }
+
+  test("schema drift: ensureColumns ALTERs only the missing fields") {
+    val drifted = schema.add(StructField("new_field__c", DoubleType))
+    JdbcExec.withConnection(url) { conn =>
+      JdbcExec.ensureTable(conn, "drift_tgt", schema, pk = Seq("id"))
+      JdbcExec.ensureColumns(conn, "drift_tgt", drifted)
+      JdbcExec.ensureColumns(conn, "drift_tgt", drifted) // idempotent
+    }
+    val row = Seq((1L, "a", BigDecimal("1.00"),
+      Timestamp.valueOf("2026-01-01 00:00:00"), true, 0.5, 9.75))
+      .toDF("id", "name", "amount", "modstamp", "active", "score",
+        "new_field__c")
+      .withColumn("amount", col("amount").cast(DecimalType(18, 2)))
+    JdbcExec.writeUpsert(row, url, "drift_tgt", Seq("id"), batchSize = 10)
+    val got = JdbcExec.readTable(spark, url, "drift_tgt").collect()
+    assert(got.length == 1 && got.head.getAs[Double]("new_field__c") == 9.75)
+  }
+
+  test("cursor advance shares the load transaction; rollback leaves both untouched") {
+    val cursors = new JdbcCursorStore(url, "sync_state")
+    cursors.init(); cursors.init() // idempotent
+    assert(cursors.get("account").isEmpty)
+    JdbcExec.withConnection(url) { conn =>
+      JdbcExec.ensureTable(conn, "txn_tgt", schema, pk = Seq("id"))
+      // crash sim: load a batch + advance the cursor, then ROLLBACK —
+      // neither the rows nor the cursor may survive
+      conn.setAutoCommit(false)
+      JdbcExec.loadBatch(conn, "txn_tgt", schema, Seq("id"),
+        mkRows(1 to 5, "x", 1).collect().iterator, batchSize = 2)
+      cursors.putInTxn(conn, "account", 500L)
+      conn.rollback()
+    }
+    assert(JdbcExec.readTable(spark, url, "txn_tgt").isEmpty)
+    assert(cursors.get("account").isEmpty)
+    // the committed path: one transaction carries load + cursor
+    JdbcExec.withConnection(url) { conn =>
+      conn.setAutoCommit(false)
+      JdbcExec.loadBatch(conn, "txn_tgt", schema, Seq("id"),
+        mkRows(1 to 5, "x", 1).collect().iterator, batchSize = 2)
+      cursors.putInTxn(conn, "account", 500L)
+      conn.commit()
+    }
+    assert(JdbcExec.readTable(spark, url, "txn_tgt").count() == 5)
+    assert(cursors.get("account").contains(500L))
+  }
+
+  test("syncOnce: incremental pull → upsert + tombstones → cursor, replay converges") {
+    val source = mkRows(1 to 30, "s", 1)
+      .withColumn("cur", col("id") * 10)
+      .withColumn("is_deleted", col("id").isin(4L, 9L))
+    JdbcExec.withConnection(url) { conn =>
+      JdbcExec.ensureTable(conn, "sync_tgt", source.schema, pk = Seq("id"))
+    }
+    def pull(past: Long) = source.filter(col("cur") > past)
+    val c1 = JdbcExec.syncOnce(spark, url, "sync_tgt", Seq("id"),
+      "sync_state2", "account", pull, "cur", "is_deleted", batchSize = 7)
+    assert(c1 == 300L)
+    val live = JdbcExec.readTable(spark, url, "sync_tgt")
+    assert(live.count() == 28 && live.filter(col("id").isin(4L, 9L)).isEmpty)
+    // nothing new past the cursor → cursor holds, state unchanged
+    val c2 = JdbcExec.syncOnce(spark, url, "sync_tgt", Seq("id"),
+      "sync_state2", "account", pull, "cur", "is_deleted", batchSize = 7)
+    assert(c2 == 300L)
+    // crash-replay sim: reset the cursor (as if the advance never
+    // committed) and re-run — idempotent writes converge to the same state
+    JdbcExec.withConnection(url) { conn =>
+      conn.setAutoCommit(false)
+      new JdbcCursorStore(url, "sync_state2").putInTxn(conn, "account", 150L)
+      conn.commit()
+    }
+    val before = JdbcExec.readTable(spark, url, "sync_tgt")
+      .orderBy("id").collect().toSeq
+    val c3 = JdbcExec.syncOnce(spark, url, "sync_tgt", Seq("id"),
+      "sync_state2", "account", pull, "cur", "is_deleted", batchSize = 7)
+    assert(c3 == 300L)
+    assert(JdbcExec.readTable(spark, url, "sync_tgt")
+      .orderBy("id").collect().toSeq == before)
+  }
+
+  test("Derby DDL + MERGE text: the dialect deltas are explicit") {
+    val ddl = DerbySql.createTableSql("t", StructType(schema.take(3)),
+      pk = Seq("id"))
+    assert(ddl == """CREATE TABLE "t" ("id" BIGINT NOT NULL, """ +
+      """"name" VARCHAR(32672), "amount" DECIMAL(18,2), PRIMARY KEY ("id"))""")
+    val merge = DerbySql.mergeSql("t", "stg_t", StructType(schema.take(3)),
+      pk = Seq("id"))
+    assert(merge == """MERGE INTO "t" t USING SESSION."stg_t" s """ +
+      """ON t."id" = s."id" WHEN MATCHED THEN UPDATE SET """ +
+      """"name" = s."name", "amount" = s."amount" """ +
+      """WHEN NOT MATCHED THEN INSERT ("id", "name", "amount") """ +
+      """VALUES (s."id", s."name", s."amount")""")
+    // array/map columns have no Derby lowering — fail fast, loudly
+    intercept[IllegalArgumentException] {
+      DerbySql.derbyType(ArrayType(StringType))
+    }
+  }
+}
