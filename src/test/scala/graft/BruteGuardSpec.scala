@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.BruteGuard
+
+/** r13 (VERDICT item 3): the fail-fast gate on the two declared
+  * quadratic baselines. Results under the cap are untouched (the
+  * oracle gate pins the hashes); over the cap the entries refuse to
+  * run and the message names the sub-quadratic sibling.
+  */
+class BruteGuardSpec extends SparkSpec {
+
+  private def withCap[A](rows: Long)(f: => A): A = {
+    spark.conf.set(BruteGuard.MaxRowsKey, rows.toString)
+    try f finally spark.conf.unset(BruteGuard.MaxRowsKey)
+  }
+
+  test("gate is identity under the cap") {
+    val df = Tables.embeddings(spark, sfDir)
+    assert(BruteGuard.gate(df, "e", "s") eq df)
+  }
+
+  test("gate throws over the cap, naming the ANN sibling") {
+    val ex = withCap(10) {
+      intercept[IllegalStateException] {
+        BruteGuard.gate(Tables.embeddings(spark, sfDir), "j_sim_cosine_topk",
+          "j_ann_ivf_topk")
+      }
+    }
+    assert(ex.getMessage.contains("j_ann_ivf_topk"))
+    assert(ex.getMessage.contains(BruteGuard.MaxRowsKey))
+  }
+
+  test("both baseline entries are gated end-to-end") {
+    for (entry <- Seq("j_sim_cosine_topk", "l_expr_native_cosine")) {
+      val ex = withCap(10) {
+        intercept[IllegalStateException] {
+          SparkEntry.queries(entry)(spark, sfDir).collect()
+        }
+      }
+      assert(ex.getMessage.contains("j_ann_ivf_topk"), entry)
+      // …and under the default cap they still run (smoke; the oracle
+      // gate pins the exact rows at sf0.01)
+      assert(SparkEntry.queries(entry)(spark, sfDir).count() == 10, entry)
+    }
+  }
+}
