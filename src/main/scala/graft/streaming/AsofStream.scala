@@ -78,49 +78,68 @@ object AsofStream {
     * band closed (strictly > any admissible in-band click's ms). */
   private def horizonMs(p: (Long, Long)): Long = (p._2 + TolUs) / 1000 + 1
 
-  def process(flushAtEnd: Boolean)(
-      uid: Long, events: Iterator[AsofEvent],
-      state: GroupState[AsofState]): Iterator[AsofMatch] = {
-    val evs = events.toSeq
-    val st = state.getOption.getOrElse(AsofState(Nil, Nil))
-    // distinct by id: micro-batch replays must not double-buffer
+  /** The PURE streaming fold step, shared verbatim by the
+    * `flatMapGroupsWithState` twin below and the `transformWithState`
+    * port ([[AsofStreamTws]], r13) — one implementation, so the two
+    * state APIs cannot drift on semantics: merge arrivals into the
+    * buffered state (distinct by id — replays must not
+    * double-buffer), resolve the purchases whose band the watermark
+    * has closed (including ones ALREADY beyond horizon at arrival —
+    * the r11 clamp), prune clicks no live or future-admissible
+    * purchase can need. Returns (emitted rows, surviving state or
+    * None, wake-at ms — provably > the watermark when defined). */
+  private[streaming] def step(uid: Long, st: AsofState,
+                              evs: Seq[AsofEvent], wmUs: Long)
+      : (Seq[AsofMatch], Option[AsofState], Option[Long]) = {
     val ps = (st.purchases ++
       evs.filter(_.isLeft).map(e => (e.event_id, e.ts_us)))
       .distinct
     val cs = (st.clicks ++
       evs.filterNot(_.isLeft).map(e => (e.event_id, e.ts_us)))
       .distinct
-    val out = Seq.newBuilder[AsofMatch]
+    val (proven, live) = ps.partition { case (_, pts) => pts + TolUs < wmUs }
+    val out = proven.sortBy(p => (p._2, p._1)).map(p => resolve(uid, p, cs))
+    // prune clicks no live or future-admissible purchase can need
+    val keepFrom = wmUs min
+      live.map(_._2).minOption.getOrElse(Long.MaxValue)
+    val liveClicks = cs.filter { case (_, cts) => cts > keepFrom }
+    if (live.isEmpty && liveClicks.isEmpty) (out, None, None)
+    else {
+      // wake at the oldest surviving horizon; with no pending
+      // purchase, at the last click's own ts (> watermark since it
+      // survived the prune) so the buffer self-cleans
+      val at =
+        if (live.nonEmpty) live.map(horizonMs).min
+        else liveClicks.map(_._2 / 1000 + 1).max
+      (out, Some(AsofState.of(live, liveClicks)), Some(at))
+    }
+  }
+
+  def process(flushAtEnd: Boolean)(
+      uid: Long, events: Iterator[AsofEvent],
+      state: GroupState[AsofState]): Iterator[AsofMatch] = {
+    val evs = events.toSeq
+    val st = state.getOption.getOrElse(AsofState(Nil, Nil))
     if (flushAtEnd) {
       // batch mode: every event is on the table at iterator exhaustion
-      ps.sortBy(p => (p._2, p._1))
-        .foreach(p => out += resolve(uid, p, cs))
+      val ps = (st.purchases ++
+        evs.filter(_.isLeft).map(e => (e.event_id, e.ts_us))).distinct
+      val cs = (st.clicks ++
+        evs.filterNot(_.isLeft).map(e => (e.event_id, e.ts_us))).distinct
       state.remove()
+      ps.sortBy(p => (p._2, p._1)).map(p => resolve(uid, p, cs)).iterator
     } else {
-      val wmUs = state.getCurrentWatermarkMs() * 1000
-      // data and timeout invocations share this path: resolve the
-      // purchases whose band the watermark has closed (including ones
-      // ALREADY beyond horizon at arrival — the clamp), keep the rest
-      val (proven, live) = ps.partition { case (_, pts) => pts + TolUs < wmUs }
-      proven.sortBy(p => (p._2, p._1))
-        .foreach(p => out += resolve(uid, p, cs))
-      // prune clicks no live or future-admissible purchase can need
-      val keepFrom = wmUs min
-        live.map(_._2).minOption.getOrElse(Long.MaxValue)
-      val liveClicks = cs.filter { case (_, cts) => cts > keepFrom }
-      if (live.isEmpty && liveClicks.isEmpty) state.remove()
-      else {
-        state.update(AsofState.of(live, liveClicks))
-        // wake at the oldest surviving horizon; with no pending
-        // purchase, at the last click's own ts (> watermark since it
-        // survived the prune) so the buffer self-cleans
-        val at =
-          if (live.nonEmpty) live.map(horizonMs).min
-          else liveClicks.map(_._2 / 1000 + 1).max
-        state.setTimeoutTimestamp(at)
+      // data and timeout invocations share this path
+      val (out, next, wake) =
+        step(uid, st, evs, state.getCurrentWatermarkMs() * 1000)
+      next match {
+        case None => state.remove()
+        case Some(s2) =>
+          state.update(s2)
+          state.setTimeoutTimestamp(wake.get)
       }
+      out.iterator
     }
-    out.result().iterator
   }
 
   /** Batch as-of through the state API (one call per group, fully

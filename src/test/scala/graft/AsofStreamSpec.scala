@@ -157,4 +157,66 @@ class AsofStreamSpec extends SparkSpec {
       s.purchases.isEmpty && s.clicks == List((200L, 310L * hourUs))), st.current)
     assert(st.lastTimeout.exists(_ > wmMs), st.lastTimeout)
   }
+
+  test("transformWithState port (r13): identical rows to the fMGWS " +
+    "twin on the same micro-batch schedule, both real engines, " +
+    "including the carry, flush, and clamp legs") {
+    // tws requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val ctx = spark.sqlContext
+      def ts(hour: Long) = new Timestamp(hour * 3600000L)
+      // one schedule exercising all three proven behaviors: the
+      // cross-batch carry + in-band selection (user 1), the
+      // watermark-jump clamp + lone-click self-clean (user 3), and
+      // the watermark-driving side (user 2)
+      val batches: Seq[Seq[AsEv]] = Seq(
+        Seq(AsEv(1, 100, ts(10), isLeft = true)),
+        Seq(AsEv(1, 200, ts(11), isLeft = false),
+          AsEv(1, 201, ts(13), isLeft = false),
+          AsEv(1, 101, ts(13), isLeft = true)),
+        Seq(AsEv(2, 900, ts(40), isLeft = false)),
+        Seq(AsEv(3, 300, ts(85), isLeft = true),
+          AsEv(2, 901, ts(300), isLeft = false)),
+        Seq(AsEv(3, 400, ts(310), isLeft = false)),
+        Seq(AsEv(2, 902, ts(400), isLeft = false)))
+      def drive(name: String,
+                mk: org.apache.spark.sql.Dataset[(Long, Long, Timestamp, Boolean)] =>
+                  org.apache.spark.sql.Dataset[graft.streaming.AsofMatch])
+          : Set[(Long, Long, Long, Option[Long], Option[Long])] = {
+        val input = MemoryStream[AsEv]
+        val q = mk(input.toDF()
+            .withWatermark("ts", "0 seconds")
+            .select(col("user_id"), col("event_id"), col("ts"), col("isLeft"))
+            .as[(Long, Long, Timestamp, Boolean)])
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+          assert(q.exception.isEmpty, s"$name crashed: ${q.exception}")
+        } finally q.stop()
+        spark.table(name)
+          .as[(Long, Long, Long, Option[Long], Option[Long])]
+          .collect().toSet
+      }
+      val tws = drive("asof_tws_r13", graft.streaming.AsofStreamTws.asofStreaming)
+      val fm = drive("asof_fmgws_r13", AsofStream.asofStreaming)
+      assert(tws == fm, s"API ports diverged:\n tws $tws\n fm  $fm")
+      // and both match the known resolutions of the proven legs
+      val u13 = tws.filter(r => r._2 == 1L || r._2 == 3L)
+      assert(u13 == Set(
+        (100L, 1L, 10L * hourUs, Some(200L), Some(11L * hourUs)),
+        (101L, 1L, 13L * hourUs, None, None),
+        (300L, 3L, 85L * hourUs, None, None)), s"unexpected: $u13")
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

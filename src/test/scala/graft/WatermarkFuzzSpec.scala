@@ -211,6 +211,135 @@ class WatermarkFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  // ---- transformWithState simulation (r13, VERDICT item 5) ----
+  // The REAL AsofProcessor driven through an in-memory
+  // StatefulProcessorHandle that replicates the TWS contract: named
+  // ValueState per key, timers that accumulate until deleted, expired
+  // timers firing as handleExpiredTimer once the watermark passes,
+  // late rows filtered against the previous batch's watermark.
+
+  private class SimValueState[T]
+      extends org.apache.spark.sql.streaming.ValueState[T] {
+    private var v: Option[T] = None
+    override def exists(): Boolean = v.isDefined
+    override def get(): T = v.getOrElse(null.asInstanceOf[T])
+    override def update(s: T): Unit = v = Some(s)
+    override def clear(): Unit = v = None
+  }
+
+  private class SimHandle
+      extends org.apache.spark.sql.streaming.StatefulProcessorHandle {
+    import org.apache.spark.sql.Encoder
+    import org.apache.spark.sql.streaming.{ListState, MapState, QueryInfo, TTLConfig, ValueState}
+    val timers = scala.collection.mutable.SortedSet.empty[Long]
+    private val states =
+      scala.collection.mutable.Map.empty[String, SimValueState[_]]
+    override def getValueState[T](name: String, enc: Encoder[T],
+                                  ttl: TTLConfig): ValueState[T] =
+      states.getOrElseUpdate(name, new SimValueState[T])
+        .asInstanceOf[ValueState[T]]
+    override def getValueState[T](name: String, ttl: TTLConfig)(
+        implicit enc: Encoder[T]): ValueState[T] =
+      getValueState(name, enc, ttl)
+    override def getListState[T](n: String, e: Encoder[T],
+                                 t: TTLConfig): ListState[T] =
+      throw new UnsupportedOperationException("sim: ValueState only")
+    override def getListState[T](n: String, t: TTLConfig)(
+        implicit e: Encoder[T]): ListState[T] =
+      throw new UnsupportedOperationException("sim: ValueState only")
+    override def getMapState[K, V](n: String, ek: Encoder[K], ev: Encoder[V],
+                                   t: TTLConfig): MapState[K, V] =
+      throw new UnsupportedOperationException("sim: ValueState only")
+    override def getMapState[K, V](n: String, t: TTLConfig)(
+        implicit ek: Encoder[K], ev: Encoder[V]): MapState[K, V] =
+      throw new UnsupportedOperationException("sim: ValueState only")
+    override def getQueryInfo(): QueryInfo =
+      throw new UnsupportedOperationException("sim")
+    override def registerTimer(t: Long): Unit = timers += t
+    override def deleteTimer(t: Long): Unit = timers -= t
+    override def listTimers(): Iterator[Long] = timers.toSeq.iterator
+    override def deleteIfExists(name: String): Unit = states.remove(name)
+  }
+
+  private def timerValues(wmMs: Long) =
+    new org.apache.spark.sql.streaming.TimerValues {
+      override def getCurrentProcessingTimeInMs(): Long = 0L
+      override def getCurrentWatermarkInMs(): Long = wmMs
+    }
+
+  /** Drive one schedule through real AsofProcessor instances (one per
+    * key, each with its own SimHandle — state and timers are keyed in
+    * the real engine too). Mirrors [[run]]'s watermark discipline. */
+  private def runTwsAsof(batches: Seq[Seq[(Long, Long, Long, String)]],
+                         delayMs: Long)
+      : (Seq[AsofMatch], Seq[(Long, Long, Long, String)]) = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val procs = scala.collection.mutable
+      .Map.empty[Long, (AsofProcessor, SimHandle)]
+    def procFor(k: Long) = procs.getOrElseUpdate(k, {
+      val p = new AsofProcessor
+      val h = new SimHandle
+      p.setHandle(h)
+      p.init(OutputMode.Append(), TimeMode.EventTime())
+      (p, h)
+    })
+    val out = Seq.newBuilder[AsofMatch]
+    val admitted = Seq.newBuilder[(Long, Long, Long, String)]
+    var filterWm = 0L
+    var wm = 0L
+    var maxTs = Long.MinValue
+    def toTuple(e: (Long, Long, Long, String)) =
+      (e._1, e._3, new java.sql.Timestamp(e._2), e._4 == "purchase")
+    def fireExpired(): Unit =
+      procs.toSeq.sortBy(_._1).foreach { case (k, (p, h)) =>
+        h.timers.toSeq.filter(_ <= wm).foreach { t =>
+          h.deleteTimer(t) // the engine removes a timer once it fires
+          out ++= p.handleExpiredTimer(k, timerValues(wm),
+            new org.apache.spark.sql.streaming.ExpiredTimerInfo {
+              override def getExpiryTimeInMs(): Long = t
+            })
+        }
+      }
+    batches.foreach { batch =>
+      val live = batch.filter(_._2 >= filterWm)
+      admitted ++= live
+      live.foreach(e => maxTs = maxTs max e._2)
+      live.map(_._1).distinct.foreach { k =>
+        val (p, _) = procFor(k)
+        out ++= p.handleInputRows(k,
+          live.filter(_._1 == k).map(toTuple).iterator, timerValues(wm))
+      }
+      fireExpired()
+      filterWm = wm
+      if (maxTs != Long.MinValue) wm = wm max (maxTs - delayMs)
+    }
+    wm = (if (maxTs == Long.MinValue) 0L else maxTs) + delayMs +
+      365L * 86400000L
+    var rounds = 0
+    while (procs.values.exists(_._2.timers.exists(_ <= wm)) && rounds < 64) {
+      fireExpired()
+      rounds += 1
+    }
+    assert(rounds < 64, "tws timer drain did not quiesce")
+    (out.result(), admitted.result())
+  }
+
+  test("AsofStreamTws (transformWithState): the same 250 arbitrary " +
+    "schedules as the fMGWS twin — no crash, exact batch parity") {
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      def toEv(e: (Long, Long, Long, String)) =
+        AsofEvent(e._1, e._3, e._2 * 1000, isLeft = e._4 == "purchase")
+      val (got, adm) = runTwsAsof(sc.batches, sc.delayMs)
+      val ref = flushAll[(Long, Long, Long, String), AsofState, AsofMatch](
+        adm, _._1,
+        (k, it, st) => AsofStream.process(flushAtEnd = true)(k,
+          it.map(toEv), st))
+      assert(got.sortBy(m => (m.user_id, m.p_id)) ==
+        ref.sortBy(m => (m.user_id, m.p_id)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
   test("AttributionStream: no crash on arbitrary schedules; parity " +
     "with the batch fold on in-order schedules (125 + 125)") {
     def toEv(e: (Long, Long, Long, String)) =
