@@ -148,6 +148,36 @@ object AnnOps {
                                       candExtra: Seq[String] = Nil): DataFrame =
     pairAcrossBuckets(asg, asg, key, nRows, candExtra)
 
+  /** Exact-duplicate collapse for the ANN pair stage (r13, VERDICT
+    * item 4): group vectors by CONTENT, do the quadratic work once per
+    * DISTINCT vector, expand members back afterwards. This is the
+    * dup-dense-cell answer the sf1 clique-stress rehearsal asked for —
+    * a crawl corpus is full of bit-identical embeddings (boilerplate
+    * pages, mirrored docs), and a k-per-dup-clique candidate set pays
+    * the n_dup² arithmetic for pairs whose scores are all equal.
+    *
+    * EXACTNESS (why the oracle hashes cannot move): members of a
+    * group share `u` bitwise, so (a) their centroid rankings are
+    * identical — the rep's probe/home cells ARE each member's; (b)
+    * every expanded pair's dot is computed on the same two arrays the
+    * all-individuals plan would feed it — the same fp value, not an
+    * approximation; and (c) per-individual top-k cuts are recovered
+    * from per-REP cuts by the +1 rule: removing one element (self)
+    * from a (score desc, id asc)-sorted list leaves its first k
+    * intact within the first k+1, and any member's candidate ranking
+    * is the rep's. Non-dup inputs collapse to singleton groups and
+    * the plan degrades to one extra row-count-sized groupBy.
+    *
+    * Returns (repU: one (vec_id = min member id, u) row per distinct
+    * vector; mem: (rep, ind) membership map). */
+  private[operators] def dupGroups(u: DataFrame): (DataFrame, DataFrame) = {
+    val g = graft.Caches.persisted(
+      u.groupBy("u").agg(min(col("vec_id")).as("vec_id"),
+        collect_list(col("vec_id")).as("mem")))
+    (g.select("vec_id", "u"),
+     g.select(col("vec_id").as("rep"), explode(col("mem")).as("ind")))
+  }
+
   /** Probe/candidate form of the bucketed pairing (multi-probe IVF:
     * the probe side carries one row per probed cell, the candidate side
     * one row per home cell). Same size-driven broadcast/co-partition
@@ -169,7 +199,8 @@ object AnnOps {
   private[graft] def pairAcrossBuckets(probe: DataFrame, cand: DataFrame,
                                        key: String, nRows: Long,
                                        candExtra: Seq[String] = Nil,
-                                       candBuckets: Option[Int] = None): DataFrame = {
+                                       candBuckets: Option[Int] = None,
+                                       keepSelf: Boolean = false): DataFrame = {
     val a = probe.select(col("vec_id"), col(key), col("u").as("ua"))
     val b = cand.select(Seq(col("vec_id").as("nn_id"), col(key),
       col("u").as("ub")) ++ candExtra.map(col): _*)
@@ -182,8 +213,11 @@ object AnnOps {
         case None => (a.repartition(col(key)).hint("merge"),
                       b.repartition(col(key)))
       }
-    pa.join(pb, Seq(key))
-      .filter(col("vec_id") =!= col("nn_id"))
+    val joined = pa.join(pb, Seq(key))
+    // dup-collapsed callers keep the self-REP pair (a vector's exact
+    // twins are real candidates) and drop self after expansion
+    (if (keepSelf) joined
+     else joined.filter(col("vec_id") =!= col("nn_id")))
       .withColumn("cos", expr("graft_dot(ua, ub)"))
       // arrays projected away BEFORE the window shuffle (pair rows
       // carrying 2×64 doubles would dominate the exchange)
@@ -207,7 +241,8 @@ object AnnOps {
     * (vec_id, nn_id, approx). */
   private[graft] def pqPairs(probes: DataFrame, cands: DataFrame,
                              key: String, nRows: Long,
-                             candBuckets: Option[Int] = None): DataFrame = {
+                             candBuckets: Option[Int] = None,
+                             keepSelf: Boolean = false): DataFrame = {
     val limit = probes.sparkSession.conf
       .get(BroadcastRowLimitKey, "1000000").toLong
     val (pa, pb) =
@@ -217,8 +252,9 @@ object AnnOps {
         case None => (probes.repartition(col(key)).hint("merge"),
                       cands.repartition(col(key)))
       }
-    pa.join(pb, Seq(key))
-      .filter(col("vec_id") =!= col("nn_id"))
+    val joined = pa.join(pb, Seq(key))
+    (if (keepSelf) joined
+     else joined.filter(col("vec_id") =!= col("nn_id")))
       .withColumn("approx", expr("graft_dot8(qa, qb)"))
       .select("vec_id", "nn_id", "approx")
   }
@@ -503,13 +539,34 @@ object AnnOps {
       val u = unit(s, d)
       val cents = kmeansCentroids(u, k = 16, iters = 5, maxSample = 256)
         .toSeq.toDF("cell_id", "cu")
-      val ranked = ivfRank(u, cents)
+      // exact-dup collapse (r13, VERDICT item 4): rank + pair once per
+      // DISTINCT vector — dup-dense cells (the sf1 clique stress: 24 s
+      // steady) stop paying n_dup² dots for equal scores. Results are
+      // bit-identical (dupGroups scaladoc), so the oracle twin is
+      // untouched: a member's top-3 lies within its rep's top-4
+      // expanded candidates (+1 covers the self-exclusion).
+      val (repU, mem) = dupGroups(u.select(col("vec_id"), col("u")))
+      val ranked = ivfRank(repU, cents)
       val probes = ranked.filter(col("rn") <= 8)
         .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
       val cands = ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
-      top3(pairAcrossBuckets(probes, cands, "cell",
-        Tables.rowCount(s, d, "embeddings")))
+      val repPairs = pairAcrossBuckets(probes, cands, "cell",
+        Tables.rowCount(s, d, "embeddings"), keepSelf = true)
+      val candInd = repPairs
+        .join(mem.select(col("rep").as("nn_id"), col("ind")), "nn_id")
+        .select(col("vec_id"), col("ind").as("nn_ind"), col("cos"))
+      val w4 = Window.partitionBy("vec_id")
+        .orderBy(desc("cos"), asc("nn_ind"))
+      val top4 = candInd.withColumn("r4", row_number().over(w4))
+        .filter(col("r4") <= 4)
+      val expanded = top4
+        .join(mem.select(col("rep").as("vec_id"), col("ind").as("p_ind")),
+          "vec_id")
+        .filter(col("p_ind") =!= col("nn_ind"))
+        .select(col("p_ind").as("vec_id"), col("nn_ind").as("nn_id"),
+          col("cos"))
+      top3(expanded)
     },
 
     // ANN-assisted embedding near-dup (§2.Q) — the sub-quadratic
@@ -591,8 +648,15 @@ object AnnOps {
       val u = unit(s, d)
       val cents = kmeansCentroids(u, k = 16, iters = 5, maxSample = 256)
         .toSeq.toDF("cell_id", "cu")
-      val ranked = ivfRank(u, cents)
-      val q = quantized(u).select(col("vec_id"), col("q"))
+      // exact-dup collapse (r13, VERDICT item 4), as in j_ann_ivf_
+      // kmeans: int8 scoring once per distinct pair; a member's
+      // top-32 survivor set is recovered from its rep's top-33
+      // expanded candidates (+1 covers self-exclusion), so the
+      // survivor set — and hence the oracle hash — is EXACTLY the
+      // all-individuals pipeline's.
+      val (repU, mem) = dupGroups(u.select(col("vec_id"), col("u")))
+      val ranked = ivfRank(repU, cents)
+      val q = quantized(repU).select(col("vec_id"), col("q"))
       val probes = ranked.filter(col("rn") <= 8)
         .select(col("vec_id"), col("cell_id").as("cell"))
         .join(q, "vec_id")
@@ -601,12 +665,23 @@ object AnnOps {
         .select(col("vec_id"), col("cell_id").as("cell"))
         .join(q, "vec_id")
         .select(col("vec_id").as("nn_id"), col("cell"), col("q").as("qb"))
-      val survivors = pqPairs(probes, cands, "cell",
-        Tables.rowCount(s, d, "embeddings"))
-        .withColumn("ck", row_number().over(Window.partitionBy("vec_id")
-          .orderBy(desc("approx"), asc("nn_id"))))
+      val repPairs = pqPairs(probes, cands, "cell",
+        Tables.rowCount(s, d, "embeddings"), keepSelf = true)
+      val candInd = repPairs
+        .join(mem.select(col("rep").as("nn_id"), col("ind")), "nn_id")
+        .select(col("vec_id"), col("ind").as("nn_ind"), col("approx"))
+      val w33 = Window.partitionBy("vec_id")
+        .orderBy(desc("approx"), asc("nn_ind"))
+      val repSurv = candInd.withColumn("rk", row_number().over(w33))
+        .filter(col("rk") <= 33)
+      val survivors = repSurv
+        .join(mem.select(col("rep").as("vec_id"), col("ind").as("p_ind")),
+          "vec_id")
+        .filter(col("p_ind") =!= col("nn_ind"))
+        .withColumn("ck", row_number().over(Window.partitionBy("p_ind")
+          .orderBy(desc("approx"), asc("nn_ind"))))
         .filter(col("ck") <= 32)
-        .select("vec_id", "nn_id")
+        .select(col("p_ind").as("vec_id"), col("nn_ind").as("nn_id"))
       val exact = survivors
         .join(u.select(col("vec_id"), col("u").as("ua")), "vec_id")
         .join(u.select(col("vec_id").as("nn_id"), col("u").as("ub")),

@@ -376,4 +376,79 @@ class AnnOpsSpec extends SparkSpec {
     assert(lambda >= maxVar * 0.99, s"$lambda < max per-dim var $maxVar")
     Caches.release(spark)
   }
+
+  test("exact-dup collapse (r13): on a dup-dense corpus both IVF " +
+    "entries equal an independent all-individuals reference pipeline " +
+    "bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExprs.register(spark)
+    // three exact copies of every sf0.001 embedding, shifted ids —
+    // the ScaleGen clique stress in miniature, so multi-member dup
+    // groups (and the self-exclusion +1 rule) are actually exercised
+    val dir = java.nio.file.Files.createTempDirectory("dupann").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    (0 until 3).map(k => emb.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+      .reduce(_ unionByName _)
+      .coalesce(2).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val u = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+      .select(col("vec_id"), expr("graft_vdiv(v, nrm)").as("u"))
+    val cents = graft.operators.AnnOps
+      .kmeansCentroids(u, k = 16, iters = 5, maxSample = 256)
+      .toSeq.toDF("cell_id", "cu")
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(desc("cdot"), asc("cell_id"))
+    val ranked = u.join(broadcast(cents))
+      .withColumn("cdot", expr("graft_dot(u, cu)"))
+      .withColumn("rn", row_number().over(wAsg))
+    val probes = ranked.filter(col("rn") <= 8)
+      .select(col("vec_id"), col("cell_id").as("cell"), col("u").as("ua"))
+    val cands = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("nn_id"), col("cell_id").as("cell"),
+        col("u").as("ub"))
+    val wTop = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nn_id"))
+    def fmt(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq.sorted
+    // reference 1: per-INDIVIDUAL multi-probe IVF top-3
+    val refKmeans = probes.join(cands, Seq("cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("cos", expr("graft_dot(ua, ub)"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("rk"), col("nn_id"),
+        round(col("cos"), 4).as("cos"))
+    val gotKmeans = SparkEntry.queries("j_ann_ivf_kmeans")(spark, dir)
+    assert(fmt(gotKmeans) == fmt(refKmeans), "j_ann_ivf_kmeans diverged")
+    // reference 2: per-INDIVIDUAL int8 survivors (top-32) + exact re-rank
+    val q8 = u.select(col("vec_id"),
+      transform(col("u"), x => round(x * lit(127.0)).cast("byte")).as("q"))
+    val wCk = Window.partitionBy("vec_id")
+      .orderBy(desc("approx"), asc("nn_id"))
+    val refSurv = probes.drop("ua").join(q8, "vec_id")
+      .select(col("vec_id"), col("cell"), col("q").as("qa"))
+      .join(cands.drop("ub").join(
+          q8.select(col("vec_id").as("nn_id"), col("q").as("qb")), "nn_id")
+        .select(col("nn_id"), col("cell"), col("qb")), Seq("cell"))
+      .filter(col("vec_id") =!= col("nn_id"))
+      .withColumn("approx", expr("graft_dot8(qa, qb)"))
+      .withColumn("ck", row_number().over(wCk)).filter(col("ck") <= 32)
+      .select("vec_id", "nn_id")
+    val refPq = refSurv
+      .join(u.select(col("vec_id"), col("u").as("ua")), "vec_id")
+      .join(u.select(col("vec_id").as("nn_id"), col("u").as("ub")), "nn_id")
+      .withColumn("cos", expr("graft_dot(ua, ub)"))
+      .withColumn("rk", row_number().over(wTop)).filter(col("rk") <= 3)
+      .select(col("vec_id"), col("rk"), col("nn_id"),
+        round(col("cos"), 4).as("cos"))
+    val gotPq = SparkEntry.queries("j_ann_ivf_pq")(spark, dir)
+    assert(fmt(gotPq) == fmt(refPq), "j_ann_ivf_pq diverged")
+    // the dup groups really were multi-member (the test has teeth)
+    assert(u.groupBy("u").count().filter(col("count") >= 3).count() > 0)
+    Caches.release(spark)
+  }
 }
