@@ -93,6 +93,26 @@ class DriftStreamSpec extends SparkSpec {
     assert(after == want, s"replayed batch double-counted: $after vs $want")
   }
 
+  test("an empty first micro-batch does not poison the store (r13, " +
+    "ADVICE r12): the next fold proceeds instead of NPE-ing on a " +
+    "null max(batch_id)") {
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(TextOps.splitBucket(col("doc_id")) >= 80)
+    drop("drift_cur_e"); drop("drift_ref_e")
+    TextOps.termCounts(
+      docs.filter(TextOps.splitBucket(col("doc_id")) < 80))
+      .write.format("parquet").saveAsTable("drift_ref_e")
+    // batch 0 tokenizes to nothing → a ZERO-ROW store is published;
+    // the r12 shape then NPE'd reading max(batch_id) on batch 1 and
+    // permanently failed the query via foreachBatch
+    DriftStream.foldBatch(spark, "drift_cur_e", delta.limit(0), Some(0L))
+    assert(spark.table("drift_cur_e").isEmpty)
+    DriftStream.foldBatch(spark, "drift_cur_e", delta, Some(1L))
+    val got = DriftStream.drift(spark, "drift_ref_e", "drift_cur_e")
+      .as[(Double, Long)].collect().toSeq
+    assert(got == expected, s"post-empty-batch fold: $got vs $expected")
+  }
+
   test("publish crash windows recover (r12, ADVICE r11): a store " +
     "stranded as _next is restored; a stale _next beside a live store " +
     "is discarded") {
