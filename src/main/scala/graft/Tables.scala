@@ -257,6 +257,27 @@ object Det {
   /** Round a double to 4 decimals — for expressions (stddev, corr,
     * cosine…) that cannot go through exact decimals. Both engines
     * round half away from zero.
+    *
+    * KNOWN HAZARD (r13, found by the sf1 full-suite oracle): when the
+    * value lands exactly on a .00005 half-way boundary, Spark rounds
+    * the double's SHORTEST DECIMAL repr (BigDecimal.valueOf) while
+    * DuckDB rounds the binary value — one final digit apart. Rare
+    * (needs the boundary to split the ulp), invisible at fixture
+    * densities, bitten twice at sf1. Where the rounded value is an
+    * AVERAGE of decimal-quantized terms, use [[r4AvgMicrosSql]] to do
+    * the rounding in exact integer arithmetic instead.
     */
   def r4(c: Column): Column = round(c, 4)
+
+  /** Exact 4-decimal HALF-AWAY-FROM-ZERO rounding of an average
+    * (Σ micros)/(n·10⁶), as SQL over BIGINT columns `sm` (the
+    * decimal-quantized sum scaled to micros, possibly negative) and
+    * `n` (the count) — half-up of |a|/b is (2·10⁴·|a| + b) div (2b),
+    * all intermediates exact integers on both engines, then ONE
+    * correctly-rounded IEEE division by 10⁴. `div` is the engine's
+    * integer-division token: "div" (Spark), "//" (DuckDB). */
+  def r4AvgMicrosSql(div: String): String =
+    s"CAST(CASE WHEN sm < 0 THEN -((-sm * 20000 + n * 1000000) $div " +
+      s"(2 * n * 1000000)) ELSE (sm * 20000 + n * 1000000) $div " +
+      s"(2 * n * 1000000) END AS DOUBLE) / CAST(10000 AS DOUBLE)"
 }

@@ -805,10 +805,14 @@ object LlmOps {
     // Exact n-gram jaccard, skew-safe: candidates from the rare-shingle
     // blocker (per-key fan-out ≤ DfCutoff — a hot stopword trigram can
     // no longer drive the self-join quadratic), then the exact
-    // verification stage counts ALL shared shingles for those pairs, so
-    // the emitted pairs, counts, and scores are identical to the
-    // all-pairs formulation (LlmOpsSpec proves it; the oracle below IS
-    // the unblocked formulation).
+    // verification stage counts ALL shared shingles for those pairs.
+    // On a corpus whose τ≥0.2 pairs all share a rare shingle this
+    // equals the all-pairs formulation (LlmOpsSpec proves it at the
+    // fixture density); dup-dense corpora multiply document
+    // frequencies until whole cliques share only hot shingles, so the
+    // honest general claim — and since r13 the twin's — is exactness
+    // ON the blocked candidate set (the j_dedup_cascade convention;
+    // the sf1 clique-stress oracle is what exposed the difference).
     "j_jaccard_shingle_pairs" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       blockedPairStats(shingleEx(s, d), oracledDfCutoff(s))
@@ -1513,14 +1517,34 @@ object LlmOps {
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_windows FROM inter
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Blocked derivation frame on BOTH sides (r13, found by the sf1
+    // full-suite oracle): this twin used to compute ALL pairs — fine
+    // at sf0.01 where every τ≥0.2 pair shares a rare shingle, but a
+    // dup-dense corpus multiplies document frequencies until whole
+    // cliques share only hot shingles and blocking recall visibly
+    // drops. The oracle now runs the SAME rare-shingle candidate
+    // derivation (the j_dedup_cascade convention), so the claim is
+    // exactness ON the blocked candidate set at every magnitude, with
+    // the recall approximation disclosed here instead of hidden in a
+    // density assumption.
     "j_jaccard_shingle_pairs" ->
       s"""WITH sh AS (SELECT doc_id, $shSql AS s FROM documents),
          |sizes AS (SELECT doc_id, len(s) AS n_sh FROM sh),
          |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM ex GROUP BY shingle),
+         |rare AS (
+         |  SELECT ex.doc_id, ex.shingle FROM ex
+         |  JOIN dfreq ON dfreq.shingle = ex.shingle
+         |  WHERE dfreq.df <= ${DfCutoff}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
          |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-         |  FROM ex a JOIN ex b
-         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN ex a ON a.doc_id = c.doc_a
+         |  JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_common,
          |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jac

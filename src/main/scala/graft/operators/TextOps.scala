@@ -771,12 +771,19 @@ object TextOps {
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term")))
       val lm = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
       val total = tok.agg(count(lit(1)).as("total"))
+      // final rounding in exact integer arithmetic (r13, found by the
+      // sf1 full-suite oracle): round(double, 4) is a half-way trap —
+      // see Det.r4's hazard note. The per-term quantization to
+      // DECIMAL(20,6) is the standing dsum idiom; only the average's
+      // 4-decimal rounding moves to integers.
       tok.join(broadcast(lm), "term").crossJoin(broadcast(total))
         .groupBy("doc_id")
-        .agg(round(
-          Det.dsum(log(col("cnt").cast(DoubleType) /
-            col("total").cast(DoubleType))) / count(lit(1)), 4)
-          .as("lm_score"))
+        .agg((sum(log(col("cnt").cast(DoubleType) /
+            col("total").cast(DoubleType)).cast(DecimalType(20, 6)))
+            * lit(1000000)).cast("long").as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("doc_id"),
+          expr(Det.r4AvgMicrosSql("div")).as("lm_score"))
         .orderBy("doc_id")
     },
 
@@ -1659,18 +1666,23 @@ object TextOps {
         |SELECT CAST(rank AS INT) AS rank, term, freq,
         |  round(CAST(freq AS DOUBLE) / total, 4) AS share
         |FROM top, tot ORDER BY rank""".stripMargin,
+    // integer-rounded average (r13): same micros/half-away formula as
+    // the Spark side — Det.r4AvgMicrosSql, "//" = DuckDB integer div
     "j_text_unigram_lm" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
          |  FROM documents),
          |lm AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
-         |tot AS (SELECT count(*) AS total FROM tok)
-         |SELECT doc_id,
-         |  round(${Det.dsumSql(
-               "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))")}
-         |    / COUNT(*), 4) AS lm_score
-         |FROM tok JOIN lm USING (term) CROSS JOIN tot
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |tot AS (SELECT count(*) AS total FROM tok),
+         |per AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+         |      AS DECIMAL(20,6))) * 1000000 AS BIGINT) AS sm,
+         |    COUNT(*) AS n
+         |  FROM tok JOIN lm USING (term) CROSS JOIN tot
+         |  GROUP BY doc_id)
+         |SELECT doc_id, ${Det.r4AvgMicrosSql("//")} AS lm_score
+         |FROM per ORDER BY doc_id""".stripMargin,
     // stage-for-stage twin of bigramLmScore: same pair derivation
     // (prev NULL at position 1), same 80/20 Lehmer split, same
     // backoff arithmetic with every literal cast to DOUBLE so both

@@ -114,11 +114,30 @@ object Windows {
     // driver-sized operation, e.g. scoring a pre-aggregated table).
     "e_window_analytic" -> { (s, d) =>
       val w = Window.orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      // pr/cd rounded to 4 decimals IN EXACT INTEGER ARITHMETIC (r13,
+      // found by the sf1 full-suite oracle): round(double, 4) is a
+      // half-way trap — Spark rounds the double's SHORTEST DECIMAL
+      // repr, DuckDB the binary value, and at 1.5M rows some
+      // (rank-1)/(n-1) lands exactly on a .00005 boundary where they
+      // disagree by one final digit. Half-up of the true rational a/b
+      // is (20000a + b) div (2b), exact BIGINT on both engines; the
+      // final /10000.0 is one correctly-rounded IEEE division. The
+      // total (price, key) order makes rank ≡ row_number (no ties),
+      // so pr = (r-1)/(n-1) and cd = r/n.
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_totalprice"),
           ntile(4).over(w).as("quartile"),
-          Det.r4(percent_rank().over(w)).as("pr"),
-          Det.r4(cume_dist().over(w)).as("cd"))
+          // BIGINT from the start: row_number is INT and r*20000
+          // overflows INT at 10⁵ rows (ANSI mode fails loudly)
+          row_number().over(w).cast("bigint").as("r"),
+          count(lit(1)).over(wFull).as("n"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("quartile"),
+          when(col("n") === 1, lit(0.0)).otherwise(
+            expr("((r - 1) * 20000 + (n - 1)) div (2 * (n - 1))") / 10000.0)
+            .as("pr"),
+          (expr("(r * 20000 + n) div (2 * n)") / 10000.0).as("cd"))
         .orderBy("o_orderkey")
     },
 
@@ -397,13 +416,18 @@ object Windows {
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_s, event_id""".stripMargin,
     "e_window_analytic" ->
-      """SELECT o_orderkey, o_totalprice,
-        |  CAST(ntile(4) OVER w AS INT) AS quartile,
-        |  round(percent_rank() OVER w, 4) AS pr,
-        |  round(cume_dist() OVER w, 4) AS cd
-        |FROM orders
-        |WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
-        |ORDER BY o_orderkey""".stripMargin,
+      """WITH b AS (SELECT o_orderkey, o_totalprice,
+        |    CAST(ntile(4) OVER w AS INT) AS quartile,
+        |    row_number() OVER w AS r,
+        |    count(*) OVER () AS n
+        |  FROM orders
+        |  WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC))
+        |SELECT o_orderkey, o_totalprice, quartile,
+        |  CASE WHEN n = 1 THEN 0.0
+        |    ELSE (((r - 1) * 20000 + (n - 1)) // (2 * (n - 1))) / 10000.0
+        |  END AS pr,
+        |  ((r * 20000 + n) // (2 * n)) / 10000.0 AS cd
+        |FROM b ORDER BY o_orderkey""".stripMargin,
     "e_window_first_last" ->
       """SELECT DISTINCT user_id,
         |  first_value(event_type) OVER w AS first_type,
