@@ -276,6 +276,13 @@ object Det {
     * all intermediates exact integers on both engines, then ONE
     * correctly-rounded IEEE division by 10⁴. `div` is the engine's
     * integer-division token: "div" (Spark), "//" (DuckDB). */
+  /** Exact 4-decimal half-up rounding of a NONNEGATIVE integer ratio
+    * a/b — the direct-rational sibling of [[r4AvgMicrosSql]]:
+    * (2·10⁴·a + b) div 2b, then one IEEE division. */
+  def r4RatioSql(a: String, b: String, div: String): String =
+    s"CAST((20000 * ($a) + ($b)) $div (2 * ($b)) AS DOUBLE) " +
+      s"/ CAST(10000 AS DOUBLE)"
+
   def r4AvgMicrosSql(div: String): String =
     s"CAST(CASE WHEN sm < 0 THEN -((-sm * 20000 + n * 1000000) $div " +
       s"(2 * n * 1000000)) ELSE (sm * 20000 + n * 1000000) $div " +

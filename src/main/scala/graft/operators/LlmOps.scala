@@ -862,8 +862,13 @@ object LlmOps {
         .join(src.toDF("doc_b", "source_b"), "doc_b")
         .groupBy(least(col("source_a"), col("source_b")).as("src_x"),
           greatest(col("source_a"), col("source_b")).as("src_y"))
+        // integer-rounded average (r13) — Det.r4's half-way-trap note
         .agg(count(lit(1)).as("n_pairs"),
-          Det.r4(Det.dsum(col("jac")) / count(lit(1))).as("avg_jac"))
+          (sum(col("jac").cast(DecimalType(20, 6))) * lit(1000000))
+            .cast("long").as("sm"),
+          count(lit(1)).as("n"))
+        .select(col("src_x"), col("src_y"), col("n_pairs"),
+          expr(Det.r4AvgMicrosSql("div")).as("avg_jac"))
         .orderBy("src_x", "src_y")
     },
 
@@ -1450,9 +1455,14 @@ object LlmOps {
          |  FROM pr
          |  JOIN documents da ON da.doc_id = pr.doc_a
          |  JOIN documents db ON db.doc_id = pr.doc_b)
-         |SELECT src_x, src_y, count(*) AS n_pairs,
-         |  round(${graft.Det.dsumSql("jac")} / count(*), 4) AS avg_jac
-         |FROM wj GROUP BY src_x, src_y ORDER BY src_x, src_y""".stripMargin,
+         |, per AS (
+         |  SELECT src_x, src_y, count(*) AS n_pairs,
+         |    CAST(SUM(CAST(jac AS DECIMAL(20,6))) * 1000000 AS BIGINT) AS sm,
+         |    count(*) AS n
+         |  FROM wj GROUP BY src_x, src_y)
+         |SELECT src_x, src_y, n_pairs,
+         |  ${graft.Det.r4AvgMicrosSql("//")} AS avg_jac
+         |FROM per ORDER BY src_x, src_y""".stripMargin,
     // stage-for-stage twin of the tf-idf sparse similarity join: same
     // weights, same rare-SHINGLE blocking, same decimal-exact dots
     "j_sim_tfidf_pairs" ->

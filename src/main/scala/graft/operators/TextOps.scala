@@ -751,8 +751,9 @@ object TextOps {
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("freq"), asc("term"))).cast("int"))
         .select(col("rank"), col("term"), col("freq"),
-          Det.r4(col("freq").cast(DoubleType) /
-            col("total").cast(DoubleType)).as("share"))
+          // corpus-denominator rational → exact integer rounding
+          // (r13; the round(double,4) half-way class, Det.r4 note)
+          expr(Det.r4RatioSql("freq", "total", "div")).as("share"))
         .orderBy("rank")
     },
 
@@ -1145,7 +1146,12 @@ object TextOps {
       .join(broadcast(uni.toDF("prev", "pc")), Seq("prev"), "left")
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
-      .agg(round(Det.dsum(log(prob)) / count(lit(1)), 4).as("lm_score"))
+      // integer-rounded average (r13): same micros/half-away shape as
+      // the unigram entry — see Det.r4's half-way-trap note
+      .agg((sum(log(prob).cast(DecimalType(20, 6))) * lit(1000000))
+          .cast("long").as("sm"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id"), expr(Det.r4AvgMicrosSql("div")).as("lm_score"))
   }
 
   // portable (Java regex ∩ RE2) PII patterns — no alternation, no
@@ -1223,10 +1229,15 @@ object TextOps {
        |  LEFT JOIN ${pfx}uni u ON u.w = sc.cur
        |  LEFT JOIN ${pfx}uni up ON up.w = sc.prev
        |  CROSS JOIN ${pfx}tot),
-       |${pfx}scores AS$mat (
+       |${pfx}per AS (
        |  SELECT doc_id,
-       |    round(${Det.dsumSql("ln(prob)")} / count(*), 4) AS lm_score
-       |  FROM ${pfx}probs GROUP BY doc_id)""".stripMargin
+       |    CAST(SUM(CAST(ln(prob) AS DECIMAL(20,6))) * 1000000 AS BIGINT)
+       |      AS sm,
+       |    count(*) AS n
+       |  FROM ${pfx}probs GROUP BY doc_id),
+       |${pfx}scores AS$mat (
+       |  SELECT doc_id, ${Det.r4AvgMicrosSql("//")} AS lm_score
+       |  FROM ${pfx}per)""".stripMargin
   }
 
   private def bigramLmCte: String =
@@ -1653,7 +1664,7 @@ object TextOps {
          |    AS n_id
          |FROM e ORDER BY doc_id""".stripMargin,
     "j_text_zipf" ->
-      """WITH tf AS (
+      s"""WITH tf AS (
         |  SELECT term, count(*) AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS term
         |        FROM documents)
@@ -1664,7 +1675,7 @@ object TextOps {
         |    row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
         |  FROM tf ORDER BY freq DESC, term ASC LIMIT 50)
         |SELECT CAST(rank AS INT) AS rank, term, freq,
-        |  round(CAST(freq AS DOUBLE) / total, 4) AS share
+        |  ${Det.r4RatioSql("freq", "total", "//")} AS share
         |FROM top, tot ORDER BY rank""".stripMargin,
     // integer-rounded average (r13): same micros/half-away formula as
     // the Spark side — Det.r4AvgMicrosSql, "//" = DuckDB integer div
