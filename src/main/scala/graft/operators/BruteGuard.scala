@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Fail-fast size gate on the DECLARED quadratic baselines (r13,
   * VERDICT item 3) — the [[graft.plans.CosineKnnCandidateGuard]]
@@ -8,10 +8,18 @@ import org.apache.spark.sql.DataFrame
   * (`j_sim_cosine_topk`, `l_expr_native_cosine`): they exist as
   * correctness baselines for the ANN family, and nothing else should
   * stop a caller pointing one at a 100× corpus by accident. The gate
-  * is a conf-capped input-COUNT check (a parquet count is
-  * metadata-only — no extra scan) that throws with the sub-quadratic
-  * sibling's name in the message; results never change for inputs
-  * under the cap, and a deliberate oversized run just raises the conf.
+  * is a conf-capped input-COUNT check that throws with the
+  * sub-quadratic sibling's name in the message; results never change
+  * for inputs under the cap, and a deliberate oversized run just
+  * raises the conf.
+  *
+  * For the registry entries the count comes straight from the parquet
+  * FOOTERS ([[gatePath]]) — driver-side block metadata, zero Spark
+  * jobs, so the gate costs milliseconds even on a warm bench loop
+  * (the r13 first cut ran `df.count()`, a real 32-task job per
+  * invocation — measurable at bench headline granularity). The
+  * DataFrame overload stays for gating arbitrary (non-parquet-leaf)
+  * inputs.
   *
   * Default cap 100 000 rows = 5× the sf1 rehearsal's 20 000 vectors
   * (where the baselines are measured and DISCLOSED super-linear,
@@ -22,15 +30,49 @@ object BruteGuard {
   val MaxRowsKey = "spark.graft.brute.maxInputRows"
   val DefaultMaxRows = 100000L
 
-  /** Gate `df` (the baseline's input side) and return it unchanged. */
-  def gate(df: DataFrame, entry: String, sibling: String): DataFrame = {
-    val max = df.sparkSession.conf.getOption(MaxRowsKey)
-      .map(_.toLong).getOrElse(DefaultMaxRows)
-    val n = df.count()
-    if (n > max) throw new IllegalStateException(
+  private def maxRows(s: SparkSession): Long =
+    s.conf.getOption(MaxRowsKey).map(_.toLong).getOrElse(DefaultMaxRows)
+
+  private def refuse(entry: String, sibling: String, n: Long,
+                     max: Long): Nothing =
+    throw new IllegalStateException(
       s"$entry is a declared O(n²) brute-force baseline and its input " +
         s"has $n rows (> $MaxRowsKey=$max). Use the sub-quadratic " +
         s"sibling $sibling, or raise the conf for a deliberate run.")
+
+  /** Total row count of `path` (a parquet file or a directory of
+    * part-files) from the footers' block metadata — driver-side only,
+    * no Spark job. */
+  def footerRows(s: SparkSession, path: String): Long = {
+    val conf = s.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(root)
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** Gate a parquet-backed input by its footer row count. */
+  def gatePath(s: SparkSession, path: String, entry: String,
+               sibling: String): Unit = {
+    val max = maxRows(s)
+    val n = footerRows(s, path)
+    if (n > max) refuse(entry, sibling, n, max)
+  }
+
+  /** Gate `df` (the baseline's input side) and return it unchanged —
+    * for inputs that are not a plain parquet leaf. */
+  def gate(df: DataFrame, entry: String, sibling: String): DataFrame = {
+    val max = maxRows(df.sparkSession)
+    val n = df.count()
+    if (n > max) refuse(entry, sibling, n, max)
     df
   }
 }

@@ -1127,8 +1127,9 @@ object LlmOps {
     "j_sim_cosine_topk" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       // fail-fast size gate (r13): declared O(n²) baseline — refuse a
-      // 100× accident with the ANN sibling named (BruteGuard)
-      BruteGuard.gate(Tables.embeddings(s, d), "j_sim_cosine_topk",
+      // 100× accident with the ANN sibling named; footer row count,
+      // no Spark job (BruteGuard)
+      BruteGuard.gatePath(s, s"$d/embeddings.parquet", "j_sim_cosine_topk",
         "j_ann_ivf_topk / j_dedup_embed_ann")
       // pre-normalize once per row (n × dim work) so the n² inner loop
       // is a bare dot product; broadcast one side (n × dim doubles)

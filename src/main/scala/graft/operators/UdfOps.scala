@@ -55,9 +55,11 @@ object UdfOps {
     // graft_cosine) — same semantics and oracle as j_sim_cosine_topk.
     "l_expr_native_cosine" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      // fail-fast size gate (r13): declared O(n²) baseline (BruteGuard)
-      val e = graft.operators.BruteGuard.gate(Tables.embeddings(s, d),
-          "l_expr_native_cosine", "j_ann_ivf_topk")
+      // fail-fast size gate (r13): declared O(n²) baseline — footer
+      // row count, no Spark job (BruteGuard)
+      graft.operators.BruteGuard.gatePath(s, s"$d/embeddings.parquet",
+        "l_expr_native_cosine", "j_ann_ivf_topk")
+      val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       val a = graft.Par.spread(
         e.select(col("vec_id").as("vec_a"), col("v").as("va")))

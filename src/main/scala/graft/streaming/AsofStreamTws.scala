@@ -1,73 +1,37 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
-/** `transformWithState` port of the streaming as-of twin (r13,
-  * VERDICT item 5) — the API path a 100 TB deployment would actually
-  * use: Spark 4's StatefulProcessor over the RocksDB store supersedes
+/** `transformWithState` port of the streaming as-of twin (r13, VERDICT
+  * item 5) — the API path a 100 TB deployment would actually use:
+  * Spark 4's StatefulProcessor over the RocksDB store supersedes
   * `flatMapGroupsWithState` (typed state variables, explicit timers,
-  * state-var evolution), and this port records the mapping for every
-  * other fMGWS twin in this package:
-  *
-  *  - the GroupState value      → a named `ValueState[AsofState]`
-  *  - `setTimeoutTimestamp(at)` → `registerTimer(at)` with
-  *    delete-then-register bookkeeping (fMGWS keeps ONE armed timeout
-  *    per key and every set replaces it; TWS timers accumulate, so
-  *    the port must maintain the one-armed-wake invariant itself —
-  *    `listTimers` is authoritative, no shadow state)
-  *  - `hasTimedOut` invocations → `handleExpiredTimer`
-  *  - `getCurrentWatermarkMs`   → `timerValues.getCurrentWatermarkInMs`
-  *
-  * ALL semantics live in [[AsofStream.step]], shared verbatim with
-  * the fMGWS twin — the port is bookkeeping only, so the two API
-  * paths cannot drift. AsofStreamSpec runs the same micro-batch
-  * schedule through both engines' real streaming queries and asserts
-  * identical output; WatermarkFuzzSpec drives this processor (real
-  * class, simulated handle) through the same 250 arbitrary-order
-  * schedules as the fMGWS twin.
+  * state-var evolution). ALL semantics live in [[AsofStream.step]],
+  * shared verbatim with the fMGWS twin; the fMGWS→TWS bookkeeping is
+  * [[StepProcessor]], shared with every other ported twin — the port
+  * is a type signature, so the two API paths cannot drift.
+  * AsofStreamSpec runs the same micro-batch schedule through both
+  * engines' real streaming queries and asserts identical output;
+  * WatermarkFuzzSpec drives this processor (real class, simulated
+  * handle) through the same 250 arbitrary-order schedules as the
+  * fMGWS twin.
   */
 class AsofProcessor
-    extends StatefulProcessor[Long, (Long, Long, java.sql.Timestamp, Boolean),
-      AsofMatch] {
-
-  @transient private var st: ValueState[AsofState] = _
-
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    st = getHandle.getValueState[AsofState](
-      "asof", Encoders.product[AsofState], TTLConfig.NONE)
-
-  private def invoke(uid: Long, evs: Seq[AsofEvent],
-                     wmUs: Long): Iterator[AsofMatch] = {
-    val cur = if (st.exists()) st.get() else AsofState(Nil, Nil)
-    val (out, next, wake) = AsofStream.step(uid, cur, evs, wmUs)
-    val armed = getHandle.listTimers().toSeq
-    next match {
-      case None =>
-        st.clear()
-        armed.foreach(getHandle.deleteTimer)
-      case Some(s2) =>
-        st.update(s2)
-        val at = wake.get
-        if (!armed.contains(at)) {
-          armed.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(at)
-        }
-    }
-    out.iterator
-  }
-
-  override def handleInputRows(
-      uid: Long, rows: Iterator[(Long, Long, java.sql.Timestamp, Boolean)],
-      timers: TimerValues): Iterator[AsofMatch] =
-    invoke(uid,
+    extends StepProcessor[(Long, Long, java.sql.Timestamp, Boolean),
+      AsofState, AsofMatch] {
+  override protected def stateName: String = "asof"
+  override protected def stateEncoder: Encoder[AsofState] =
+    Encoders.product[AsofState]
+  override protected def emptyState: AsofState = AsofState(Nil, Nil)
+  override protected def step(
+      uid: Long, st: AsofState,
+      rows: Seq[(Long, Long, java.sql.Timestamp, Boolean)], wmUs: Long)
+      : (Seq[AsofMatch], Option[AsofState], Option[Long]) =
+    AsofStream.step(uid, st,
       rows.map { case (_, id, ts, left) =>
-        AsofEvent(uid, id, ts.getTime * 1000, left) }.toSeq,
-      timers.getCurrentWatermarkInMs() * 1000)
-
-  override def handleExpiredTimer(uid: Long, timers: TimerValues,
-                                  info: ExpiredTimerInfo): Iterator[AsofMatch] =
-    invoke(uid, Nil, timers.getCurrentWatermarkInMs() * 1000)
+        AsofEvent(uid, id, ts.getTime * 1000, left) },
+      wmUs)
 }
 
 object AsofStreamTws {

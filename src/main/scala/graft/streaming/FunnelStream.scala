@@ -113,9 +113,27 @@ object FunnelStream {
       : Iterator[FunnelSession] = {
     val st = state.getOption
       .getOrElse(FunnelBufState(-1L, 0L, 0L, -1L, -1L, -1L, Nil, Nil, Nil))
-    val wmUs = state.getCurrentWatermarkMs() * 1000
+    val (out, next, wake) = step(uid, st, events.toSeq,
+      state.getCurrentWatermarkMs() * 1000)
+    next match {
+      case None => state.remove()
+      case Some(s2) =>
+        state.update(s2)
+        state.setTimeoutTimestamp(wake.get)
+    }
+    out.iterator
+  }
+
+  /** The PURE streaming fold step, shared verbatim by the fMGWS twin
+    * above and the `transformWithState` port ([[FunnelStreamTws]],
+    * r13) — one implementation, so the two state APIs cannot drift on
+    * semantics. Returns (emitted sessions, surviving state or None,
+    * wake-at ms — provably > the watermark when defined). */
+  private[streaming] def step(uid: Long, st: FunnelBufState,
+                              arrived: Seq[FunnelEvent], wmUs: Long)
+      : (Seq[FunnelSession], Option[FunnelBufState], Option[Long]) = {
     val raw = (st.rawTs.lazyZip(st.rawId).lazyZip(st.rawTp)
-      .map((t, i, p) => FunnelEvent(uid, t, i, p)) ++ events)
+      .map((t, i, p) => FunnelEvent(uid, t, i, p)) ++ arrived)
       .toSeq.sortBy(e => (e.ts_us, e.event_id))
     val (freeze, rest) = raw.partition(_.ts_us < wmUs)
     var cur: Option[FunnelState] =
@@ -135,17 +153,16 @@ object FunnelStream {
     cur.foreach { s =>
       if (wmUs >= s.last + GapUs) { out += emit(uid, s); cur = None }
     }
-    if (cur.isEmpty && rest.isEmpty) state.remove()
+    if (cur.isEmpty && rest.isEmpty) (out.result(), None, None)
     else {
       val c = cur.getOrElse(FunnelState(-1L, 0L, 0L, -1L, -1L, -1L))
-      state.update(FunnelBufState(c.start, c.last, c.n, c.vTs, c.cTs,
+      val next = FunnelBufState(c.start, c.last, c.n, c.vTs, c.cTs,
         c.pTs, rest.map(_.ts_us), rest.map(_.event_id),
-        rest.map(_.event_type)))
+        rest.map(_.event_type))
       val horizonUs = (cur.map(_.last + GapUs).toSeq ++
         rest.headOption.map(_.ts_us + GapUs)).min
-      state.setTimeoutTimestamp(horizonUs / 1000 + 1)
+      (out.result(), Some(next), Some(horizonUs / 1000 + 1))
     }
-    out.result().iterator
   }
 
   /** Streaming funnel over (user_id, ts, event_id, event_type) rows

@@ -90,6 +90,24 @@ object GapIslandsStream {
     out.result().iterator
   }
 
+  /** The PURE streaming fold step, shared by the fMGWS twin and the
+    * `transformWithState` port ([[GapIslandsStreamTws]], r13) — one
+    * implementation, so the two state APIs cannot drift on semantics.
+    * Watermark in µs (the [[StepProcessor]] convention); returns
+    * (emitted islands, surviving state or None, wake-at ms — the
+    * oldest unproven horizon, > the watermark by construction of the
+    * partition). */
+  private[streaming] def step(uid: Long, st: IslandState,
+                              arrived: Seq[DayEvent], wmUs: Long)
+      : (Seq[Island], Option[IslandState], Option[Long]) = {
+    val merged = mergeDays(st.intervals, arrived.map(_.ts_us / DayUs))
+    val wm = wmUs / 1000
+    val (proven, live) = merged.partition(horizonMs(_) <= wm)
+    val out = proven.map(isl(uid, _))
+    if (live.isEmpty) (out, None, None)
+    else (out, Some(IslandState.of(live)), Some(live.map(horizonMs).min))
+  }
+
   /** Batch islands through the state API (one call per group, all
     * intervals flushed) — GapIslandsStreamSpec proves it equals the
     * `e_window_gap_islands` windowed plan row-for-row. */
@@ -106,11 +124,16 @@ object GapIslandsStream {
     * the timeout is never in the past). */
   def processStreaming(uid: Long, events: Iterator[DayEvent],
                        state: GroupState[IslandState]): Iterator[Island] = {
-    val out = process(flushAtEnd = false)(uid, events, state)
-    state.getOption.foreach { s =>
-      state.setTimeoutTimestamp(s.intervals.map(horizonMs).min)
+    val st = state.getOption.getOrElse(IslandState(Nil))
+    val (out, next, wake) = step(uid, st, events.toSeq,
+      state.getCurrentWatermarkMs() * 1000)
+    next match {
+      case None => state.remove()
+      case Some(s2) =>
+        state.update(s2)
+        state.setTimeoutTimestamp(wake.get)
     }
-    out
+    out.iterator
   }
 
   /** Streaming islands over watermarked (user_id, ts) rows. */

@@ -88,8 +88,26 @@ object Sessionize {
   def processStreaming(uid: Long, events: Iterator[SessionEvent],
                        state: GroupState[SessionBufState]): Iterator[Session] = {
     val st = state.getOption.getOrElse(SessionBufState(-1L, 0L, 0L, Nil))
-    val wmUs = state.getCurrentWatermarkMs() * 1000
-    val raw = (st.raw ++ events.map(_.ts_us)).sorted
+    val (out, next, wake) = step(uid, st, events.map(_.ts_us).toSeq,
+      state.getCurrentWatermarkMs() * 1000)
+    next match {
+      case None => state.remove()
+      case Some(s2) =>
+        state.update(s2)
+        state.setTimeoutTimestamp(wake.get)
+    }
+    out.iterator
+  }
+
+  /** The PURE streaming fold step, shared verbatim by the fMGWS twin
+    * above and the `transformWithState` port ([[SessionizeTws]],
+    * r13) — one implementation, so the two state APIs cannot drift on
+    * semantics. Returns (emitted sessions, surviving state or None,
+    * wake-at ms — provably > the watermark when defined). */
+  private[streaming] def step(uid: Long, st: SessionBufState,
+                              arrivedUs: Seq[Long], wmUs: Long)
+      : (Seq[Session], Option[SessionBufState], Option[Long]) = {
+    val raw = (st.raw ++ arrivedUs).sorted
     val (freeze, rest) = raw.partition(_ < wmUs)
     var cur: Option[SessionState] =
       if (st.first_us >= 0) Some(SessionState(st.first_us, st.last_us, st.n))
@@ -116,20 +134,19 @@ object Sessionize {
         cur = None
       }
     }
-    if (cur.isEmpty && rest.isEmpty) state.remove()
+    if (cur.isEmpty && rest.isEmpty) (out.result(), None, None)
     else {
-      state.update(SessionBufState(
+      val next = SessionBufState(
         cur.map(_.first_us).getOrElse(-1L),
         cur.map(_.last_us).getOrElse(0L),
-        cur.map(_.n).getOrElse(0L), rest))
+        cur.map(_.n).getOrElse(0L), rest)
       // earliest instant anything can close; both candidates are
       // provably ahead of the watermark (open session: wm < last+gap;
       // raw: ts ≥ wm), so the timeout is never in the past
       val horizonUs = (cur.map(_.last_us + GapUs).toSeq ++
         rest.headOption.map(_ + GapUs)).min
-      state.setTimeoutTimestamp(horizonUs / 1000 + 1)
+      (out.result(), Some(next), Some(horizonUs / 1000 + 1))
     }
-    out.result().iterator
   }
 
   /** Streaming sessionization over (user_id, ts) rows whose `ts` is

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** The shared `flatMapGroupsWithState` → `transformWithState`
+  * bookkeeping (r13, VERDICT item 5 widened): every fMGWS twin in this
+  * package is already factored into a PURE step function
+  * `(key, state, events, watermark) → (emits, state', wake)`, so the
+  * port to Spark 4's StatefulProcessor API is the same four-line
+  * mapping each time — this base class holds it ONCE:
+  *
+  *  - the GroupState value      → a named `ValueState[S]`
+  *  - `setTimeoutTimestamp(at)` → `registerTimer(at)` with
+  *    delete-then-register bookkeeping (fMGWS keeps ONE armed timeout
+  *    per key and every set replaces it; TWS timers accumulate, so the
+  *    port maintains the one-armed-wake invariant itself —
+  *    `listTimers` is authoritative, no shadow state)
+  *  - `hasTimedOut` invocations → `handleExpiredTimer`
+  *  - `getCurrentWatermarkMs`   → `timerValues.getCurrentWatermarkInMs`
+  *
+  * Concrete processors ([[AsofProcessor]], [[SessionProcessor]],
+  * [[FunnelProcessor]]) supply only the state name, encoder, empty
+  * value, and a delegation to their twin's step — semantics stay in
+  * exactly one place per operator, so the two state-API paths cannot
+  * drift. WatermarkFuzzSpec drives the real processor classes through
+  * an in-memory StatefulProcessorHandle over the same arbitrary-order
+  * schedules as the fMGWS twins; TwsPortsSpec runs both REAL engines
+  * (RocksDB provider) on identical micro-batch schedules.
+  *
+  * The step contract this relies on (proven per twin by the fuzz
+  * property): `wake` is defined iff `state'` is, and is provably
+  * later than the current watermark — so a surviving key always has
+  * exactly one live timer and a cleared key has none.
+  */
+abstract class StepProcessor[I, S, O] extends StatefulProcessor[Long, I, O] {
+
+  protected def stateName: String
+  protected def stateEncoder: Encoder[S]
+  protected def emptyState: S
+  /** The twin's pure step, watermark in event-time MICROSECONDS (the
+    * package convention); returned wake instant in milliseconds. */
+  protected def step(key: Long, st: S, rows: Seq[I], wmUs: Long)
+      : (Seq[O], Option[S], Option[Long])
+
+  @transient private var st: ValueState[S] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[S](stateName, stateEncoder, TTLConfig.NONE)
+
+  private def invoke(key: Long, rows: Seq[I], wmUs: Long): Iterator[O] = {
+    val cur = if (st.exists()) st.get() else emptyState
+    val (out, next, wake) = step(key, cur, rows, wmUs)
+    val armed = getHandle.listTimers().toSeq
+    next match {
+      case None =>
+        st.clear()
+        armed.foreach(getHandle.deleteTimer)
+      case Some(s2) =>
+        st.update(s2)
+        val at = wake.get
+        if (!armed.contains(at)) {
+          armed.foreach(getHandle.deleteTimer)
+          getHandle.registerTimer(at)
+        }
+    }
+    out.iterator
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[I],
+                               timers: TimerValues): Iterator[O] =
+    invoke(key, rows.toSeq, timers.getCurrentWatermarkInMs() * 1000)
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[O] =
+    invoke(key, Nil, timers.getCurrentWatermarkInMs() * 1000)
+}

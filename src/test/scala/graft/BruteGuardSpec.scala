@@ -30,6 +30,19 @@ class BruteGuardSpec extends SparkSpec {
     assert(ex.getMessage.contains(BruteGuard.MaxRowsKey))
   }
 
+  test("footer row count equals the scan count (no Spark job on the " +
+    "registry path)") {
+    assert(BruteGuard.footerRows(spark, s"$sfDir/embeddings.parquet") ==
+      Tables.embeddings(spark, sfDir).count())
+    val ex = withCap(10) {
+      intercept[IllegalStateException] {
+        BruteGuard.gatePath(spark, s"$sfDir/embeddings.parquet",
+          "j_sim_cosine_topk", "j_ann_ivf_topk")
+      }
+    }
+    assert(ex.getMessage.contains("j_ann_ivf_topk"))
+  }
+
   test("both baseline entries are gated end-to-end") {
     for (entry <- Seq("j_sim_cosine_topk", "l_expr_native_cosine")) {
       val ex = withCap(10) {

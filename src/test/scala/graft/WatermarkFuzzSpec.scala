@@ -267,29 +267,31 @@ class WatermarkFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       override def getCurrentWatermarkInMs(): Long = wmMs
     }
 
-  /** Drive one schedule through real AsofProcessor instances (one per
-    * key, each with its own SimHandle — state and timers are keyed in
-    * the real engine too). Mirrors [[run]]'s watermark discipline. */
-  private def runTwsAsof(batches: Seq[Seq[(Long, Long, Long, String)]],
-                         delayMs: Long)
-      : (Seq[AsofMatch], Seq[(Long, Long, Long, String)]) = {
-    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+  /** Drive one schedule through real StatefulProcessor instances (one
+    * per key, each with its own SimHandle — state and timers are keyed
+    * in the real engine too). Mirrors [[run]]'s watermark discipline.
+    * Generic over the processor (r13: asof, sessionize, funnel ports
+    * all ride the same driver). */
+  private def runTws[I, O](batches: Seq[Seq[(Long, Long, Long, String)]],
+                           delayMs: Long,
+                           mkProc: () => org.apache.spark.sql.streaming.StatefulProcessor[Long, I, O],
+                           toInput: ((Long, Long, Long, String)) => I)
+      : (Seq[O], Seq[(Long, Long, Long, String)]) = {
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode}
     val procs = scala.collection.mutable
-      .Map.empty[Long, (AsofProcessor, SimHandle)]
+      .Map.empty[Long, (StatefulProcessor[Long, I, O], SimHandle)]
     def procFor(k: Long) = procs.getOrElseUpdate(k, {
-      val p = new AsofProcessor
+      val p = mkProc()
       val h = new SimHandle
       p.setHandle(h)
       p.init(OutputMode.Append(), TimeMode.EventTime())
       (p, h)
     })
-    val out = Seq.newBuilder[AsofMatch]
+    val out = Seq.newBuilder[O]
     val admitted = Seq.newBuilder[(Long, Long, Long, String)]
     var filterWm = 0L
     var wm = 0L
     var maxTs = Long.MinValue
-    def toTuple(e: (Long, Long, Long, String)) =
-      (e._1, e._3, new java.sql.Timestamp(e._2), e._4 == "purchase")
     def fireExpired(): Unit =
       procs.toSeq.sortBy(_._1).foreach { case (k, (p, h)) =>
         h.timers.toSeq.filter(_ <= wm).foreach { t =>
@@ -307,7 +309,7 @@ class WatermarkFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
       live.map(_._1).distinct.foreach { k =>
         val (p, _) = procFor(k)
         out ++= p.handleInputRows(k,
-          live.filter(_._1 == k).map(toTuple).iterator, timerValues(wm))
+          live.filter(_._1 == k).map(toInput).iterator, timerValues(wm))
       }
       fireExpired()
       filterWm = wm
@@ -329,13 +331,67 @@ class WatermarkFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
     samples(schedGen(inOrder = false), 250).foreach { sc =>
       def toEv(e: (Long, Long, Long, String)) =
         AsofEvent(e._1, e._3, e._2 * 1000, isLeft = e._4 == "purchase")
-      val (got, adm) = runTwsAsof(sc.batches, sc.delayMs)
+      val (got, adm) = runTws[(Long, Long, java.sql.Timestamp, Boolean), AsofMatch](
+        sc.batches, sc.delayMs, () => new AsofProcessor,
+        e => (e._1, e._3, new java.sql.Timestamp(e._2), e._4 == "purchase"))
       val ref = flushAll[(Long, Long, Long, String), AsofState, AsofMatch](
         adm, _._1,
         (k, it, st) => AsofStream.process(flushAtEnd = true)(k,
           it.map(toEv), st))
       assert(got.sortBy(m => (m.user_id, m.p_id)) ==
         ref.sortBy(m => (m.user_id, m.p_id)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("SessionizeTws (transformWithState): the same 250 arbitrary " +
+    "schedules as the fMGWS twin — no crash, exact batch parity") {
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      val (got, adm) = runTws[(Long, java.sql.Timestamp), Session](
+        sc.batches, sc.delayMs, () => new SessionProcessor,
+        e => (e._1, new java.sql.Timestamp(e._2)))
+      val ref = flushAll[(Long, Long, Long, String), SessionState, Session](
+        adm, _._1,
+        (k, it, st) => Sessionize.process(flushAtEnd = true)(k,
+          it.map(e => SessionEvent(e._1, e._2 * 1000)), st))
+      assert(got.sortBy(s => (s.user_id, s.first_us, s.last_us)) ==
+        ref.sortBy(s => (s.user_id, s.first_us, s.last_us)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("GapIslandsStreamTws (transformWithState): the same 250 " +
+    "arbitrary schedules as the fMGWS twin — no crash, exact batch " +
+    "parity") {
+    // minute offsets reinterpreted as DAY offsets (the island unit)
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      val batches = sc.batches.map(_.map(e =>
+        e.copy(_2 = e._2 / minMs * 86400000L)))
+      val (got, adm) = runTws[(Long, java.sql.Timestamp), Island](
+        batches, sc.delayMs * 1440, () => new IslandProcessor,
+        e => (e._1, new java.sql.Timestamp(e._2)))
+      val ref = flushAll[(Long, Long, Long, String), IslandState, Island](
+        adm, _._1,
+        (k, it, st) => GapIslandsStream.process(flushAtEnd = true)(k,
+          it.map(e => DayEvent(e._1, e._2 * 1000)), st))
+      assert(got.sortBy(i => (i.user_id, i.island_start)) ==
+        ref.sortBy(i => (i.user_id, i.island_start)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("FunnelStreamTws (transformWithState): the same 250 arbitrary " +
+    "schedules as the fMGWS twin — no crash, exact batch parity") {
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      val (got, adm) = runTws[(Long, java.sql.Timestamp, Long, String), FunnelSession](
+        sc.batches, sc.delayMs, () => new FunnelProcessor,
+        e => (e._1, new java.sql.Timestamp(e._2), e._3, e._4))
+      val ref = flushAll[(Long, Long, Long, String), FunnelState, FunnelSession](
+        adm, _._1,
+        (k, it, st) => FunnelStream.process(flushAtEnd = true)(k,
+          it.map(e => FunnelEvent(e._1, e._2 * 1000, e._3, e._4)), st))
+      assert(got.sortBy(s => (s.user_id, s.session_start, s.n_events)) ==
+        ref.sortBy(s => (s.user_id, s.session_start, s.n_events)),
         s"schedule $sc:\n got $got\n ref $ref")
     }
   }
