@@ -38,11 +38,15 @@ object AttributionStream {
   private def channelOf(s: TouchState, ts: Long): String =
     if (s.tsUs >= 0 && ts - s.tsUs <= LookbackUs) s.touchType else "direct"
 
-  def process(uid: Long, events: Iterator[TouchEvent],
-              state: GroupState[TouchState]): Iterator[AttributedPurchase] = {
-    var cur = state.getOption.getOrElse(TouchState("", -1L))
+  /** Ordered fold of one batch of events against the running touch
+    * state — the shared kernel of the batch path, the fMGWS streaming
+    * path, and the TWS port. */
+  private def foldEvents(uid: Long, cur0: TouchState,
+                         evs: Seq[TouchEvent])
+      : (TouchState, Seq[AttributedPurchase]) = {
+    var cur = cur0
     val out = Seq.newBuilder[AttributedPurchase]
-    events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+    evs.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       e.event_type match {
         case "view" | "click" => cur = TouchState(e.event_type, e.ts_us)
         case "purchase" =>
@@ -51,9 +55,35 @@ object AttributionStream {
         case _ =>
       }
     }
+    (cur, out.result())
+  }
+
+  def process(uid: Long, events: Iterator[TouchEvent],
+              state: GroupState[TouchState]): Iterator[AttributedPurchase] = {
+    val (cur, out) = foldEvents(uid,
+      state.getOption.getOrElse(TouchState("", -1L)), events.toSeq)
     if (state.hasTimedOut) state.remove()
     else if (cur.tsUs >= 0) state.update(cur)
-    out.result().iterator
+    out.iterator
+  }
+
+  /** The PURE streaming fold step, shared by the fMGWS twin and the
+    * `transformWithState` port ([[AttributionStreamTws]], r13) — one
+    * implementation, so the two state APIs cannot drift on semantics.
+    * State whose lookback horizon the watermark has passed is dropped
+    * (it could only ever yield 'direct', which is also what NO state
+    * yields — the r11 clamp); otherwise the wake at touch + lookback
+    * is provably > the watermark. */
+  private[streaming] def step(uid: Long, st: TouchState,
+                              arrived: Seq[TouchEvent], wmUs: Long)
+      : (Seq[AttributedPurchase], Option[TouchState], Option[Long]) = {
+    val (cur, out) = foldEvents(uid, st, arrived)
+    if (cur.tsUs < 0) (out, None, None)
+    else {
+      val horizonMs = cur.tsUs / 1000 + LookbackUs / 1000
+      if (horizonMs <= wmUs / 1000) (out, None, None)
+      else (out, Some(cur), Some(horizonMs))
+    }
   }
 
   /** Batch attribution through the state API (one call per group) —
@@ -77,13 +107,16 @@ object AttributionStream {
   def processStreaming(uid: Long, events: Iterator[TouchEvent],
                        state: GroupState[TouchState])
       : Iterator[AttributedPurchase] = {
-    val out = process(uid, events, state)
-    state.getOption.foreach { s =>
-      val horizonMs = s.tsUs / 1000 + LookbackUs / 1000
-      if (horizonMs <= state.getCurrentWatermarkMs()) state.remove()
-      else state.setTimeoutTimestamp(horizonMs)
+    val st = state.getOption.getOrElse(TouchState("", -1L))
+    val (out, next, wake) = step(uid, st, events.toSeq,
+      state.getCurrentWatermarkMs() * 1000)
+    next match {
+      case None => state.remove()
+      case Some(s2) =>
+        state.update(s2)
+        state.setTimeoutTimestamp(wake.get)
     }
-    out
+    out.iterator
   }
 
   /** Streaming attribution over watermarked

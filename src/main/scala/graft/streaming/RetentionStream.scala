@@ -52,16 +52,37 @@ object RetentionStream {
   def process(uid: Long, events: Iterator[WeekEvent],
               state: GroupState[RetentionState],
               maxOffset: Long = Long.MaxValue): Iterator[CohortDelta] = {
-    val wks = events.map(_.ts_us / WeekUs).toSeq.distinct.sorted
-    if (wks.isEmpty) return Iterator.empty
+    val st = state.getOption.getOrElse(RetentionState(Long.MaxValue, Nil))
+    val (out, next, _) = step(uid, st, events.toSeq, 0L, maxOffset)
+    // NoTimeout twin: state is never removed, only grown/rebased
+    next.filter(_ != st).foreach(state.update)
+    out.iterator
+  }
+
+  /** The PURE fold step, shared by the fMGWS twin and the
+    * `transformWithState` port ([[RetentionStreamTws]], r13) — one
+    * implementation, so the two state APIs cannot drift on semantics.
+    * The watermark is UNUSED and the wake always None: a user's cohort
+    * must survive arbitrary idle gaps, so this twin never arms a timer
+    * — the state bound comes from `maxOffset` (the report horizon),
+    * not from eviction. Empty state is the (Long.MaxValue, Nil)
+    * sentinel. */
+  private[streaming] def step(uid: Long, st: RetentionState,
+                              arrived: Seq[WeekEvent], wmUs: Long,
+                              maxOffset: Long = Long.MaxValue)
+      : (Seq[CohortDelta], Option[RetentionState], Option[Long]) = {
+    val empty = st.cohortWk == Long.MaxValue && st.weeks.isEmpty
+    val keep = if (empty) None else Some(st)
+    val wks = arrived.map(_.ts_us / WeekUs).distinct.sorted
+    if (wks.isEmpty) return (Nil, keep, None)
     val out = Seq.newBuilder[CohortDelta]
-    var (cw, seen) = state.getOption
-      .map(s => (s.cohortWk, s.weeks.toSet))
-      .getOrElse((Long.MaxValue, Set.empty[Long]))
+    var (cw, seen) =
+      if (empty) (Long.MaxValue, Set.empty[Long])
+      else (st.cohortWk, st.weeks.toSet)
     val fresh = wks.filterNot(seen)
+    var changed = false
     if (fresh.nonEmpty) {
       val minNew = fresh.head
-      var changed = false
       if (seen.isEmpty) { cw = minNew; changed = true }
       else if (minNew < cw) {
         // rebase: the true cohort is earlier than every cell emitted so
@@ -80,9 +101,10 @@ object RetentionStream {
           changed = true
         }
       }
-      if (changed) state.update(RetentionState(cw, seen.toList))
     }
-    out.result().iterator
+    (out.result(),
+      if (changed) Some(RetentionState(cw, seen.toList)) else keep,
+      None)
   }
 
   /** Batch fold through the state API — RetentionStreamSpec proves

@@ -29,9 +29,18 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * (RocksDB provider) on identical micro-batch schedules.
   *
   * The step contract this relies on (proven per twin by the fuzz
-  * property): `wake` is defined iff `state'` is, and is provably
-  * later than the current watermark — so a surviving key always has
-  * exactly one live timer and a cleared key has none.
+  * property): a defined `wake` implies a defined `state'` and is
+  * provably later than the current watermark — so a surviving key has
+  * exactly one live timer (or none, for the NoTimeout twins such as
+  * retention whose state must survive arbitrary idle gaps) and a
+  * cleared key has none.
+  *
+  * ONE measured engine difference the port does NOT hide (pinned by
+  * TwsPortsSpec's boundary test, r13): the TWS late-row filter is
+  * STRICT — a row whose event time EQUALS the current watermark is
+  * dropped, where fMGWS admits it (even event-time 0 against the
+  * initial watermark 0). Spark's own engines differ at equality;
+  * rows strictly inside the watermark behave identically on both.
   */
 abstract class StepProcessor[I, S, O] extends StatefulProcessor[Long, I, O] {
 
@@ -58,10 +67,14 @@ abstract class StepProcessor[I, S, O] extends StatefulProcessor[Long, I, O] {
         armed.foreach(getHandle.deleteTimer)
       case Some(s2) =>
         st.update(s2)
-        val at = wake.get
-        if (!armed.contains(at)) {
-          armed.foreach(getHandle.deleteTimer)
-          getHandle.registerTimer(at)
+        wake match {
+          case Some(at) =>
+            if (!armed.contains(at)) {
+              armed.foreach(getHandle.deleteTimer)
+              getHandle.registerTimer(at)
+            }
+          case None => // surviving state with no wake (NoTimeout twins)
+            armed.foreach(getHandle.deleteTimer)
         }
     }
     out.iterator

@@ -57,20 +57,30 @@ object ZscoreStream {
     else None
   }
 
-  def process(uid: Long, events: Iterator[ValueEvent],
-              state: GroupState[ZscoreState]): Iterator[AnomalyHit] = {
-    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    var cur = state.getOption.getOrElse(ZscoreState(Nil, 0L))
+  /** Ordered fold of one batch against the ring — the shared kernel
+    * of the batch path, the fMGWS streaming path, and the TWS port. */
+  private def foldEvents(uid: Long, cur0: ZscoreState,
+                         evs: Seq[ValueEvent])
+      : (ZscoreState, Seq[AnomalyHit]) = {
+    var cur = cur0
     val out = Seq.newBuilder[AnomalyHit]
-    events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+    evs.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       zOf(cur.window, e.value).foreach { z =>
         out += AnomalyHit(e.event_id, uid, e.value, z)
       }
       cur = ZscoreState((cur.window :+ e.value).takeRight(WindowN),
         e.ts_us)
     }
+    (cur, out.result())
+  }
+
+  def process(uid: Long, events: Iterator[ValueEvent],
+              state: GroupState[ZscoreState]): Iterator[AnomalyHit] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val (cur, out) = foldEvents(uid,
+      state.getOption.getOrElse(ZscoreState(Nil, 0L)), events.toSeq)
     state.update(cur)
-    out.result().iterator
+    out.iterator
   }
 
   /** Batch scoring through the state API — ZscoreStreamSpec proves it
@@ -86,17 +96,37 @@ object ZscoreStream {
   def processStreaming(uid: Long, events: Iterator[ValueEvent],
                        state: GroupState[ZscoreState])
       : Iterator[AnomalyHit] = {
-    val out = process(uid, events, state)
-    state.getOption.foreach { s =>
-      // idle-eviction clamp (r11, the AttributionStream lesson):
-      // if the idle horizon is already behind the watermark the
-      // user IS idle-expired — drop the ring now, exactly what
-      // the timeout would have done
-      val horizonMs = s.lastUs / 1000 + IdleTimeoutUs / 1000
-      if (horizonMs <= state.getCurrentWatermarkMs()) state.remove()
-      else state.setTimeoutTimestamp(horizonMs)
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    val st = state.getOption.getOrElse(ZscoreState(Nil, 0L))
+    val (out, next, wake) = step(uid, st, events.toSeq,
+      state.getCurrentWatermarkMs() * 1000)
+    next match {
+      case None => state.remove()
+      case Some(s2) =>
+        state.update(s2)
+        state.setTimeoutTimestamp(wake.get)
     }
-    out
+    out.iterator
+  }
+
+  /** The PURE streaming fold step, shared by the fMGWS twin and the
+    * `transformWithState` port ([[ZscoreStreamTws]], r13) — one
+    * implementation, so the two state APIs cannot drift on semantics.
+    * Idle-eviction clamp (r11, the AttributionStream lesson): a ring
+    * whose idle horizon is already behind the watermark IS
+    * idle-expired — dropped now, exactly what the timeout would have
+    * done; otherwise the wake at last + idle-timeout is provably > the
+    * watermark. */
+  private[streaming] def step(uid: Long, st: ZscoreState,
+                              arrived: Seq[ValueEvent], wmUs: Long)
+      : (Seq[AnomalyHit], Option[ZscoreState], Option[Long]) = {
+    val (cur, out) = foldEvents(uid, st, arrived)
+    if (cur.lastUs == 0L && cur.window.isEmpty) (out, None, None)
+    else {
+      val horizonMs = cur.lastUs / 1000 + IdleTimeoutUs / 1000
+      if (horizonMs <= wmUs / 1000) (out, None, None)
+      else (out, Some(cur), Some(horizonMs))
+    }
   }
 
   /** Streaming scoring with idle-state eviction. */

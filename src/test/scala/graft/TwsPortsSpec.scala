@@ -151,4 +151,146 @@ class TwsPortsSpec extends SparkSpec {
         s"ordered-replay funnel leg missing: $fm")
     }
   }
+
+  test("AttributionStreamTws: identical rows to the fMGWS twin on the " +
+    "same micro-batch schedule, both real engines — cross-batch touch " +
+    "carry, in-lookback credit, and the no-touch direct leg") {
+    withRocksDb {
+      def ev(uid: Long, tMin: Long, id: Long, tp: String) =
+        (uid, new Timestamp(tMin * minMs), id, tp, 1.5)
+      // user 1: view in batch 1 credits a purchase that arrives in
+      // batch 2 (the cross-batch carry); user 3 purchases with no
+      // touch ever → 'direct'; user 2's click→purchase inside one
+      // batch; later batches advance the watermark
+      val batches = Seq(
+        Seq(ev(1, 100, 10, "view")),
+        Seq(ev(1, 110, 11, "purchase"), ev(3, 150, 30, "purchase")),
+        Seq(ev(2, 200, 20, "click"), ev(2, 205, 21, "purchase")),
+        Seq(ev(2, 1000, 22, "view")),
+        Seq(ev(2, 2000, 23, "view")))
+      def toHits(
+          mk: Dataset[(Long, Timestamp, Long, String, Double)] => Dataset[AttributedPurchase],
+          name: String) =
+        drive[(Long, Timestamp, Long, String, Double), AttributedPurchase](
+          name, batches,
+          ds => mk(ds.toDF("user_id", "ts", "event_id", "event_type", "value")
+            .withWatermark("ts", "10 minutes")
+            .as[(Long, Timestamp, Long, String, Double)]))
+          .as[AttributedPurchase].collect().toSet
+      val fm = toHits(AttributionStream.attributionStreaming, "attr_fmgws_r13")
+      val tws = toHits(AttributionStreamTws.attributionStreaming, "attr_tws_r13")
+      assert(tws == fm, s"API ports diverged:\n tws $tws\n fm  $fm")
+      assert(fm == Set(
+        AttributedPurchase(1L, 11L, "view", 1.5),
+        AttributedPurchase(3L, 30L, "direct", 1.5),
+        AttributedPurchase(2L, 21L, "click", 1.5)),
+        s"attribution legs wrong: $fm")
+    }
+  }
+
+  test("RetentionStreamTws: identical delta multisets to the fMGWS " +
+    "twin on the same micro-batch schedule, both real engines — " +
+    "including the earlier-cohort rebase retraction leg") {
+    withRocksDb {
+      val dayMs = 86400000L
+      def ev(uid: Long, day: Long) = (uid, new Timestamp(day * dayMs))
+      // user 1: week 2 arrives first, then an admissible day-1 event
+      // reveals the TRUE week-0 cohort → the rebase must retract the
+      // (2,0) cell and re-emit under cohort 0; user 2 is a plain
+      // two-week cohort. Every event time stays strictly ABOVE the
+      // running watermark — at ts == watermark the two engines
+      // legitimately differ (the boundary test below pins it).
+      val batches = Seq(
+        Seq(ev(1, 15)),          // week 2
+        Seq(ev(1, 1)),           // week 0 — rebase (admissible: 30d delay)
+        Seq(ev(1, 22), ev(2, 3)), // week 3 under the new cohort; user 2 week 0
+        Seq(ev(2, 10)),          // user 2 week 1
+        Seq(ev(2, 60)))          // watermark push
+      def toDeltas(
+          mk: Dataset[(Long, Timestamp)] => Dataset[CohortDelta],
+          name: String) =
+        drive[(Long, Timestamp), CohortDelta](name, batches,
+          ds => mk(ds.toDF("user_id", "ts")
+            .withWatermark("ts", "30 days")
+            .as[(Long, Timestamp)]))
+          .as[CohortDelta].collect().toSeq
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val fm = toDeltas(RetentionStream.deltasStreaming(_), "ret_fmgws_r13")
+      val tws = toDeltas(RetentionStreamTws.deltasStreaming(_), "ret_tws_r13")
+      assert(tws == fm, s"API ports diverged:\n tws $tws\n fm  $fm")
+      // the rebase leg actually fired: a −1 retraction of the stale
+      // (cohort 2, offset 0) cell exists in the stream
+      assert(fm.contains(CohortDelta(2L, 0L, -1L)),
+        s"rebase retraction leg missing: $fm")
+    }
+  }
+
+  test("ZscoreStreamTws: identical rows to the fMGWS twin on the same " +
+    "micro-batch schedule, both real engines — ring warm-up across " +
+    "batches, then an outlier past the sample floor scores") {
+    withRocksDb {
+      def ev(uid: Long, tMin: Long, id: Long, v: Double) =
+        (uid, new Timestamp(tMin * minMs), id, v)
+      // user 1 warms the ring with 10 values split across two batches
+      // (cross-batch state carry), then an outlier scores against the
+      // full ring; a trailing normal value and user 2 advance the
+      // watermark
+      val warmA = (0 until 6).map(i => ev(1, 100 + i, 1000 + i, (i % 5).toDouble))
+      val warmB = (6 until 10).map(i => ev(1, 100 + i, 1000 + i, (i % 5).toDouble))
+      val batches = Seq(
+        warmA,
+        warmB,
+        Seq(ev(1, 115, 1010, 50.0)), // outlier, ring has 10 samples
+        Seq(ev(1, 116, 1011, 2.0), ev(2, 300, 2000, 1.0)),
+        Seq(ev(2, 2000, 2001, 1.0)))
+      def toHits(
+          mk: Dataset[(Long, Timestamp, Long, Double)] => Dataset[AnomalyHit],
+          name: String) =
+        drive[(Long, Timestamp, Long, Double), AnomalyHit](name, batches,
+          ds => mk(ds.toDF("user_id", "ts", "event_id", "value")
+            .withWatermark("ts", "10 minutes")
+            .as[(Long, Timestamp, Long, Double)]))
+          .as[AnomalyHit].collect().toSet
+      val fm = toHits(ZscoreStream.zscoreStreaming, "z_fmgws_r13")
+      val tws = toHits(ZscoreStreamTws.zscoreStreaming, "z_tws_r13")
+      assert(tws == fm, s"API ports diverged:\n tws $tws\n fm  $fm")
+      // the outlier leg scored exactly once, against the warmed ring
+      assert(fm.map(_.event_id) == Set(1010L),
+        s"outlier leg wrong: $fm")
+    }
+  }
+
+  test("engine boundary (pinned): a row whose event time EQUALS the " +
+    "current watermark is admitted by fMGWS but dropped by " +
+    "transformWithState — Spark's own engines differ at equality, so " +
+    "the port schedules (and the fuzz sim) keep off the boundary") {
+    withRocksDb {
+      val dayMs = 86400000L
+      def ev(uid: Long, day: Long) = (uid, new Timestamp(day * dayMs))
+      // batch 1: user 2 at day 60 → watermark 30d after the batch
+      // batch 2: user 1 at day 30 — EXACTLY the watermark
+      val batches = Seq(
+        Seq(ev(2, 60)),
+        Seq(ev(1, 30)),
+        Seq(ev(2, 100)),
+        Seq(ev(2, 200)))
+      def user1Cells(
+          mk: Dataset[(Long, Timestamp)] => Dataset[CohortDelta],
+          name: String) =
+        drive[(Long, Timestamp), CohortDelta](name, batches,
+          ds => mk(ds.toDF("user_id", "ts")
+            .withWatermark("ts", "30 days")
+            .as[(Long, Timestamp)]))
+          .as[CohortDelta].collect().toSeq
+          .filter(_.cohort_week == 4) // day 30 = week 4: user 1's cohort
+      val fm = user1Cells(RetentionStream.deltasStreaming(_),
+        "boundary_fmgws_r13")
+      val tws = user1Cells(RetentionStreamTws.deltasStreaming(_),
+        "boundary_tws_r13")
+      assert(fm == Seq(CohortDelta(4L, 0L, 1L)),
+        s"fMGWS no longer admits the at-watermark row: $fm")
+      assert(tws.isEmpty,
+        s"TWS no longer drops the at-watermark row: $tws")
+    }
+  }
 }

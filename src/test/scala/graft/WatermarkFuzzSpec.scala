@@ -303,7 +303,11 @@ class WatermarkFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
         }
       }
     batches.foreach { batch =>
-      val live = batch.filter(_._2 >= filterWm)
+      // the REAL TWS engine's late filter is STRICT (a row with
+      // ts == watermark is dropped — even ts 0 against the initial
+      // watermark 0 — where fMGWS admits it; pinned by TwsPortsSpec's
+      // boundary test), so the sim is strict too
+      val live = batch.filter(_._2 > filterWm)
       admitted ++= live
       live.foreach(e => maxTs = maxTs max e._2)
       live.map(_._1).distinct.foreach { k =>
@@ -392,6 +396,79 @@ class WatermarkFuzzSpec extends org.scalatest.funsuite.AnyFunSuite {
           it.map(e => FunnelEvent(e._1, e._2 * 1000, e._3, e._4)), st))
       assert(got.sortBy(s => (s.user_id, s.session_start, s.n_events)) ==
         ref.sortBy(s => (s.user_id, s.session_start, s.n_events)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("RetentionStreamTws (transformWithState): the same 250 " +
+    "arbitrary schedules as the fMGWS twin under the STRONG property " +
+    "— the aggregated cohort table converges to the batch fold") {
+    def cells(ds: Seq[CohortDelta]): Map[(Long, Long), Long] =
+      ds.groupBy(d => (d.cohort_week, d.week_offset))
+        .view.mapValues(_.map(_.delta).sum).filter(_._2 > 0).toMap
+    // minute offsets reinterpreted as DAY offsets (the cohort unit)
+    def toEv(e: (Long, Long, Long, String)) =
+      WeekEvent(e._1, e._2 / minMs * 86400000000L)
+    samples(schedGen(inOrder = false), 250).foreach { sc =>
+      val batches = sc.batches.map(_.map(e =>
+        e.copy(_2 = e._2 / minMs * 86400000L)))
+      val (got, adm) = runTws[(Long, java.sql.Timestamp), CohortDelta](
+        batches, sc.delayMs * 1440, () => new RetentionProcessor,
+        e => (e._1, new java.sql.Timestamp(e._2)))
+      val ref = flushAll[(Long, Long, Long, String), RetentionState, CohortDelta](
+        adm, _._1,
+        (k, it, st) => RetentionStream.process(k,
+          it.map(e => WeekEvent(e._1, e._2 * 1000)), st))
+      assert(cells(got) == cells(ref), s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("AttributionStreamTws (transformWithState): no crash on " +
+    "arbitrary schedules; exact parity with the batch fold on " +
+    "in-order schedules (125 + 125 — the fMGWS twin's envelope)") {
+    def toEv(e: (Long, Long, Long, String)) =
+      TouchEvent(e._1, e._2 * 1000, e._3, e._4, 1.5)
+    def toIn(e: (Long, Long, Long, String)) =
+      (e._1, new java.sql.Timestamp(e._2), e._3, e._4, 1.5)
+    samples(schedGen(inOrder = false), 125).foreach { sc =>
+      runTws[(Long, java.sql.Timestamp, Long, String, Double), AttributedPurchase](
+        sc.batches, sc.delayMs, () => new AttributionProcessor, toIn)
+      // no-crash is the assertion
+    }
+    samples(schedGen(inOrder = true), 125).foreach { sc =>
+      val (got, adm) = runTws[(Long, java.sql.Timestamp, Long, String, Double), AttributedPurchase](
+        sc.batches, sc.delayMs, () => new AttributionProcessor, toIn)
+      val ref = flushAll[(Long, Long, Long, String), TouchState, AttributedPurchase](
+        adm, _._1,
+        (k, it, st) => AttributionStream.process(k, it.map(toEv), st))
+      assert(got.sortBy(p => (p.user_id, p.event_id)) ==
+        ref.sortBy(p => (p.user_id, p.event_id)),
+        s"schedule $sc:\n got $got\n ref $ref")
+    }
+  }
+
+  test("ZscoreStreamTws (transformWithState): no crash on arbitrary " +
+    "schedules; exact parity with the batch fold on in-order " +
+    "schedules (125 + 125 — the fMGWS twin's envelope)") {
+    def valueOf(id: Long): Double =
+      (id % 7L).toDouble + (if (id % 11 == 0) 50.0 else 0.0)
+    def toEv(e: (Long, Long, Long, String)) =
+      ValueEvent(e._1, e._2 * 1000, e._3, valueOf(e._3))
+    def toIn(e: (Long, Long, Long, String)) =
+      (e._1, new java.sql.Timestamp(e._2), e._3, valueOf(e._3))
+    samples(schedGen(inOrder = false), 125).foreach { sc =>
+      runTws[(Long, java.sql.Timestamp, Long, Double), AnomalyHit](
+        sc.batches, sc.delayMs, () => new ZscoreProcessor, toIn)
+      // no-crash is the assertion
+    }
+    samples(schedGen(inOrder = true), 125).foreach { sc =>
+      val (got, adm) = runTws[(Long, java.sql.Timestamp, Long, Double), AnomalyHit](
+        sc.batches, sc.delayMs, () => new ZscoreProcessor, toIn)
+      val ref = flushAll[(Long, Long, Long, String), ZscoreState, AnomalyHit](
+        adm, _._1,
+        (k, it, st) => ZscoreStream.process(k, it.map(toEv), st))
+      assert(got.sortBy(h => (h.user_id, h.event_id)) ==
+        ref.sortBy(h => (h.user_id, h.event_id)),
         s"schedule $sc:\n got $got\n ref $ref")
     }
   }
