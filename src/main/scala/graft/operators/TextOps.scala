@@ -30,6 +30,57 @@ object TextOps {
   def splitBucketSql(idExpr: String): String =
     s"((($idExpr % 2147483647) * 48271) % 2147483647) % 100"
 
+  /** The five doc-shape features of `j_quality_centroid`, each an
+    * integer capped at 10⁶ (the cap is what bounds every downstream
+    * intermediate by FEATURE RANGE, not corpus size): chars, tokens,
+    * punctuation chars, digit chars, uppercase chars. `cls` is the
+    * lang='en' weak label. */
+  def centroidFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("cls"),
+      expr("least(CAST(length(text) AS BIGINT), 1000000L)").as("x1"),
+      expr("least(CAST(size(filter(split(text, ' '), t -> t <> '')) " +
+        "AS BIGINT), 1000000L)").as("x2"),
+      expr("least(CAST(length(text) - length(regexp_replace(text, " +
+        "'[.,;:!?]', '')) AS BIGINT), 1000000L)").as("x3"),
+      expr("least(CAST(length(text) - length(regexp_replace(text, " +
+        "'[0-9]', '')) AS BIGINT), 1000000L)").as("x4"),
+      expr("least(CAST(length(text) - length(regexp_replace(text, " +
+        "'[A-Z]', '')) AS BIGINT), 1000000L)").as("x5"))
+
+  /** Exact nearest-centroid train+classify over a (doc_id, cls,
+    * x1..x5) feature frame: centroids of the `isBase` rows per class,
+    * every non-base row assigned to the nearer centroid. Centroid
+    * means are quantized to integer MICROS by half-up BIGINT rationals
+    * over the div/mod split of S/n (every intermediate ≤ 10⁶·n);
+    * squared distances sum as DECIMAL(38,0) (≤ 5×10²⁴ regardless of
+    * corpus size). Ties predict class 0. Shared by the registry entry
+    * and TextOpsSpec's planted-separation proof. */
+  def centroidClassify(feats: DataFrame,
+                                          isBase: Column): DataFrame = {
+    val cent = feats.filter(isBase).groupBy("cls").agg(
+      count(lit(1)).as("n"),
+      sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
+      sum("x4").as("s4"), sum("x5").as("s5"))
+    // half-up micros mean via div/mod split: 1e6·q + half_up(1e6·r/n)
+    val cq = cent.selectExpr("cls" +: (1 to 5).map(j =>
+      s"1000000L * (s$j div n) + (2000000L * (s$j % n) + n) div (2L * n)" +
+        s" AS m$j"): _*)
+    val cells = for (g <- 0 to 1; j <- 1 to 5)
+      yield max(when(col("cls") === g, col(s"m$j"))).as(s"c$g$j")
+    val cw = cq.agg(cells.head, cells.tail: _*)
+    def dist(g: Int): Column = (1 to 5).map { j =>
+      val diff = (col(s"x$j") * lit(1000000L) - col(s"c$g$j"))
+        .cast(DecimalType(38, 0))
+      diff * diff
+    }.reduce(_ + _)
+    feats.filter(!isBase).crossJoin(broadcast(cw))
+      .withColumn("pred", when(dist(1) < dist(0), lit(1L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("cls").as("actual"), col("pred"),
+        when(col("pred") === col("cls"), lit(1L)).otherwise(lit(0L))
+          .as("correct"))
+  }
+
   /** Collapse consecutive duplicate tokens of `text` per row — see
     * the j_text_scrub_runs entry. Expects (doc_id, text). The
     * previous-token probe is a GUARDED conditional (if's lazy-branch
@@ -861,6 +912,33 @@ object TextOps {
         .filter(col("n_feat") > 0)
         .withColumn("keep",
           when(col("score_sum") >= 0, lit(1)).otherwise(lit(0)))
+        .orderBy("doc_id")
+    },
+
+    // Nearest-centroid document classifier (§2.R widened, r13): the
+    // Rocchio-style TRAINED model gate beside j_quality_classifier's
+    // fixed-weight scorer — per-class centroids of five doc-shape
+    // features (chars, tokens, punctuation, digits, uppercase, each
+    // capped at 1e6) trained on the standing 80% Lehmer split; every
+    // 20%-split doc assigned to the nearer centroid by squared
+    // Euclidean distance. The arithmetic is EXACT end-to-end, so the
+    // integer prediction is hash-provable: centroid means quantize to
+    // integer micros by half-up BIGINT rationals over the div/mod
+    // split of S/n (intermediates ≤ 1e6·n), and distances sum as
+    // DECIMAL(38,0) squares — ≤ 5e24 at ANY corpus size, because the
+    // magnitude bound comes from the feature cap, not the doc count
+    // (the twin runs the same numbers in HUGEINT). Ties predict class
+    // 0. Labels are the lang='en' column — the honest weak-label
+    // stand-in for a curated quality set (the j_quality_classifier
+    // surrogate convention); the oracle proves the trainer+scorer
+    // algebra. Scale shape: training is ONE partial-aggregable
+    // groupBy(cls) to a 2-row frame; scoring broadcasts the 1-row
+    // pivoted centroids onto a doc-local projection — zero wide
+    // exchanges beyond the presentation sort.
+    "j_quality_centroid" -> { (s, d) =>
+      val feats = centroidFeatures(
+        Tables.documents(s, d).select("doc_id", "lang", "text"))
+      centroidClassify(feats, splitBucket(col("doc_id")) < 80)
         .orderBy("doc_id")
     },
 
@@ -1734,6 +1812,72 @@ object TextOps {
         |  CAST(sum(w) AS BIGINT) AS score_sum,
         |  CAST(CASE WHEN sum(w) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // twin of j_quality_centroid: identical feature extraction
+    // (regexp_replace with the 'g' flag = Spark's global default),
+    // the same div/mod half-up micros means, and the same squared
+    // distances — in HUGEINT, where Spark uses DECIMAL(38,0); the
+    // NUMBERS are equal, and only the integer prediction is hashed
+    "j_quality_centroid" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS cls,
+         |    LEAST(length(text), 1000000) AS x1,
+         |    LEAST(len(list_filter(string_split(text, ' '),
+         |      t -> t <> '')), 1000000) AS x2,
+         |    LEAST(length(text) - length(regexp_replace(text,
+         |      '[.,;:!?]', '', 'g')), 1000000) AS x3,
+         |    LEAST(length(text) - length(regexp_replace(text,
+         |      '[0-9]', '', 'g')), 1000000) AS x4,
+         |    LEAST(length(text) - length(regexp_replace(text,
+         |      '[A-Z]', '', 'g')), 1000000) AS x5
+         |  FROM documents),
+         |cent AS (
+         |  SELECT cls, count(*) AS n,
+         |    sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+         |    sum(x4) AS s4, sum(x5) AS s5
+         |  FROM f WHERE ${splitBucketSql("doc_id")} < 80 GROUP BY cls),
+         |cq AS (
+         |  SELECT cls,
+         |    1000000 * (s1 // n) + (2000000 * (s1 % n) + n) // (2 * n) AS m1,
+         |    1000000 * (s2 // n) + (2000000 * (s2 % n) + n) // (2 * n) AS m2,
+         |    1000000 * (s3 // n) + (2000000 * (s3 % n) + n) // (2 * n) AS m3,
+         |    1000000 * (s4 // n) + (2000000 * (s4 % n) + n) // (2 * n) AS m4,
+         |    1000000 * (s5 // n) + (2000000 * (s5 % n) + n) // (2 * n) AS m5
+         |  FROM cent),
+         |cw AS (
+         |  SELECT
+         |    max(CASE WHEN cls = 0 THEN m1 END) AS c01,
+         |    max(CASE WHEN cls = 0 THEN m2 END) AS c02,
+         |    max(CASE WHEN cls = 0 THEN m3 END) AS c03,
+         |    max(CASE WHEN cls = 0 THEN m4 END) AS c04,
+         |    max(CASE WHEN cls = 0 THEN m5 END) AS c05,
+         |    max(CASE WHEN cls = 1 THEN m1 END) AS c11,
+         |    max(CASE WHEN cls = 1 THEN m2 END) AS c12,
+         |    max(CASE WHEN cls = 1 THEN m3 END) AS c13,
+         |    max(CASE WHEN cls = 1 THEN m4 END) AS c14,
+         |    max(CASE WHEN cls = 1 THEN m5 END) AS c15
+         |  FROM cq),
+         |scored AS (
+         |  SELECT doc_id, cls,
+         |    CAST(1000000*x1 - c01 AS HUGEINT) * CAST(1000000*x1 - c01 AS HUGEINT)
+         |    + CAST(1000000*x2 - c02 AS HUGEINT) * CAST(1000000*x2 - c02 AS HUGEINT)
+         |    + CAST(1000000*x3 - c03 AS HUGEINT) * CAST(1000000*x3 - c03 AS HUGEINT)
+         |    + CAST(1000000*x4 - c04 AS HUGEINT) * CAST(1000000*x4 - c04 AS HUGEINT)
+         |    + CAST(1000000*x5 - c05 AS HUGEINT) * CAST(1000000*x5 - c05 AS HUGEINT)
+         |      AS d0,
+         |    CAST(1000000*x1 - c11 AS HUGEINT) * CAST(1000000*x1 - c11 AS HUGEINT)
+         |    + CAST(1000000*x2 - c12 AS HUGEINT) * CAST(1000000*x2 - c12 AS HUGEINT)
+         |    + CAST(1000000*x3 - c13 AS HUGEINT) * CAST(1000000*x3 - c13 AS HUGEINT)
+         |    + CAST(1000000*x4 - c14 AS HUGEINT) * CAST(1000000*x4 - c14 AS HUGEINT)
+         |    + CAST(1000000*x5 - c15 AS HUGEINT) * CAST(1000000*x5 - c15 AS HUGEINT)
+         |      AS d1
+         |  FROM f, cw WHERE ${splitBucketSql("doc_id")} >= 80)
+         |SELECT doc_id, CAST(cls AS BIGINT) AS actual,
+         |  CAST(CASE WHEN d1 < d0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+         |  CAST(CASE WHEN (CASE WHEN d1 < d0 THEN 1 ELSE 0 END) = cls
+         |    THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM scored ORDER BY doc_id""".stripMargin,
+
     // stage-for-stage twin of chargramProfile/chargramPredictions:
     // same trigram extraction (1-based positions 1..len-2), same
     // 80/20 Lehmer split, same (count desc, trigram asc) rank

@@ -410,4 +410,49 @@ class TextOpsSpec extends SparkSpec {
       "scrub is not idempotent")
   }
 
+  test("j_quality_centroid: planted separation — each test doc lands " +
+    "on its class centroid; the equidistant tie predicts class 0") {
+    import graft.operators.TextOps
+    // explicit feature rows: class 1 trains big docs, class 0 small;
+    // base flag carried as x-independent column. Features chosen so a
+    // tie case exists: centroids at (100,...) and (300,...) put a
+    // (200,...) doc exactly equidistant → pred 0 by contract.
+    def row(id: Long, cls: Long, v: Long, base: Boolean) =
+      (id, cls, v, v, v, v, v, base)
+    val feats = Seq(
+      row(1, 0, 90, base = true), row(2, 0, 110, base = true),
+      row(3, 1, 290, base = true), row(4, 1, 310, base = true),
+      row(10, 0, 120, base = false),  // nearer 100 → pred 0, correct
+      row(11, 1, 280, base = false),  // nearer 300 → pred 1, correct
+      row(12, 1, 140, base = false),  // nearer 100 → pred 0, wrong
+      row(13, 0, 200, base = false))  // EXACT tie → pred 0 by contract
+      .toDF("doc_id", "cls", "x1", "x2", "x3", "x4", "x5", "is_base")
+    val out = TextOps.centroidClassify(feats, col("is_base"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (10L, 0L, 0L, 1L),
+      (11L, 1L, 1L, 1L),
+      (12L, 1L, 0L, 0L),
+      (13L, 0L, 0L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("j_quality_centroid on the fixture: deterministic under " +
+    "repartitioning; predictions are total and binary") {
+    import graft.operators.TextOps
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text")
+    val isBase = TextOps.splitBucket(col("doc_id")) < 80
+    val a = TextOps.centroidClassify(
+      TextOps.centroidFeatures(docs), isBase)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    val b = TextOps.centroidClassify(
+      TextOps.centroidFeatures(docs.repartition(13)), isBase)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "repartitioning changed predictions")
+    assert(a.nonEmpty && a.forall(r => r._3 == 0L || r._3 == 1L))
+    // the 20% split is fully covered: one prediction per test doc
+    val nTest = docs.filter(!isBase).count()
+    assert(a.length.toLong == nTest)
+  }
+
 }
