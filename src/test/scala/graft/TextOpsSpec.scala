@@ -436,6 +436,30 @@ class TextOpsSpec extends SparkSpec {
       (13L, 0L, 0L, 1L)), s"got ${out.toSeq}")
   }
 
+  test("j_quality_centroid plan: the corpus never hash-shuffles — " +
+    "the only exchanges are the 2-row centroid aggregation paths " +
+    "(cls-keyed / single-partition) and the output sort; centroids " +
+    "reach the docs via broadcast") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("j_quality_centroid")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size <= 3, s"unexpected exchanges:\n$plan")
+      val parts = shuffles.map(_.outputPartitioning.toString.toLowerCase)
+      assert(parts.count(_.contains("range")) == 1,
+        s"exactly one sort exchange expected: $parts")
+      parts.filterNot(_.contains("range")).foreach { p =>
+        assert(p.contains("cls") || p.contains("singlepartition"),
+          s"a corpus-wide hash exchange crept in: $p\n$plan")
+      }
+      assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+        s"centroids must broadcast, not shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("j_quality_centroid on the fixture: deterministic under " +
     "repartitioning; predictions are total and binary") {
     import graft.operators.TextOps
