@@ -239,6 +239,40 @@ class ScaleOpsSpec extends SparkSpec {
         .filter(to_date(col("ts")) === "2024-01-05").count())
   }
 
+  test("c_join_bucketed entry: ONE exchange total (the output sort's " +
+    "range partition) — the bucket layout carries the join AND the " +
+    "key-grouped aggregation; result equals the plain parquet join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("c_join_bucketed")(spark, sfDir)
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(shuffles.size == 1,
+        s"bucketed join/agg must not shuffle:\n${df.queryExecution.executedPlan}")
+      assert(shuffles.head.outputPartitioning.toString.toLowerCase
+        .contains("range"),
+        s"the one exchange must be the sort: ${shuffles.head.outputPartitioning}")
+      // the layout is invisible in the result: equal to the plain join
+      val plain = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(count(lit(1)).as("n_items"),
+          graft.Det.dsum(col("l_quantity")).as("sum_qty"),
+          graft.Det.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderkey")
+        .collect().toSeq
+      assert(df.collect().toSeq == plain, "bucketed result diverged")
+      // a second invocation reuses the store (memoized once per
+      // session+sfDir): same rows again
+      assert(SparkEntry.queries("c_join_bucketed")(spark, sfDir)
+        .collect().toSeq == plain)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bucketed join plans without an exchange on the join key") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
