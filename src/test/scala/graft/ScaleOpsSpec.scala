@@ -243,15 +243,22 @@ class ScaleOpsSpec extends SparkSpec {
     "range partition) — the bucket layout carries the join AND the " +
     "key-grouped aggregation; result equals the plain parquet join") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // force the sort-merge path: at spec/bench SF the orders side fits
+    // the broadcast threshold and a BHJ would make the one-exchange
+    // pin pass WITHOUT exercising the bucket layout (at 100 TB neither
+    // fact side broadcasts — SMJ-over-buckets is the plan that matters)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val df = SparkEntry.queries("c_join_bucketed")(spark, sfDir)
-      val shuffles = df.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case j: SortMergeJoinExec => j }.nonEmpty,
+        s"expected the sort-merge-over-buckets join:\n$plan")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.size == 1,
-        s"bucketed join/agg must not shuffle:\n${df.queryExecution.executedPlan}")
+        s"bucketed join/agg must not shuffle:\n$plan")
       assert(shuffles.head.outputPartitioning.toString.toLowerCase
         .contains("range"),
         s"the one exchange must be the sort: ${shuffles.head.outputPartitioning}")
@@ -270,7 +277,10 @@ class ScaleOpsSpec extends SparkSpec {
       // session+sfDir): same rows again
       assert(SparkEntry.queries("c_join_bucketed")(spark, sfDir)
         .collect().toSeq == plain)
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
   }
 
   test("bucketed join plans without an exchange on the join key") {
