@@ -56,12 +56,25 @@ object TextOps {
     * squared distances sum as DECIMAL(38,0) (≤ 5×10²⁴ regardless of
     * corpus size). Ties predict class 0. Shared by the registry entry
     * and TextOpsSpec's planted-separation proof. */
-  def centroidClassify(feats: DataFrame,
-                                          isBase: Column): DataFrame = {
-    val cent = feats.filter(isBase).groupBy("cls").agg(
+  def centroidClassify(feats: DataFrame, isBase: Column): DataFrame =
+    centroidAssign(feats.filter(!isBase), centroidTrain(feats.filter(isBase)))
+
+  /** The trainer half: per-class count + feature sums — one
+    * partial-aggregable groupBy to a ≤2-row frame. The sums are
+    * ADDITIVE, so partial frames over any split of the corpus merge
+    * by re-summing — the property [[graft.streaming.CentroidStream]]
+    * builds its standing store on. */
+  def centroidTrain(feats: DataFrame): DataFrame =
+    feats.groupBy("cls").agg(
       count(lit(1)).as("n"),
       sum("x1").as("s1"), sum("x2").as("s2"), sum("x3").as("s3"),
       sum("x4").as("s4"), sum("x5").as("s5"))
+
+  /** The scorer half: assign every `feats` row to the nearer of the
+    * two class centroids in `cent` (the [[centroidTrain]] shape).
+    * Shared verbatim by the batch entry and the streaming store read,
+    * so the two paths cannot drift on arithmetic. */
+  def centroidAssign(feats: DataFrame, cent: DataFrame): DataFrame = {
     // half-up micros mean via div/mod split: 1e6·q + half_up(1e6·r/n)
     val cq = cent.selectExpr("cls" +: (1 to 5).map(j =>
       s"1000000L * (s$j div n) + (2000000L * (s$j % n) + n) div (2L * n)" +
@@ -74,7 +87,7 @@ object TextOps {
         .cast(DecimalType(38, 0))
       diff * diff
     }.reduce(_ + _)
-    feats.filter(!isBase).crossJoin(broadcast(cw))
+    feats.crossJoin(broadcast(cw))
       .withColumn("pred", when(dist(1) < dist(0), lit(1L)).otherwise(lit(0L)))
       .select(col("doc_id"), col("cls").as("actual"), col("pred"),
         when(col("pred") === col("cls"), lit(1L)).otherwise(lit(0L))
