@@ -269,13 +269,6 @@ object Det {
     */
   def r4(c: Column): Column = round(c, 4)
 
-  /** Exact 4-decimal HALF-AWAY-FROM-ZERO rounding of an average
-    * (Σ micros)/(n·10⁶), as SQL over BIGINT columns `sm` (the
-    * decimal-quantized sum scaled to micros, possibly negative) and
-    * `n` (the count) — half-up of |a|/b is (2·10⁴·|a| + b) div (2b),
-    * all intermediates exact integers on both engines, then ONE
-    * correctly-rounded IEEE division by 10⁴. `div` is the engine's
-    * integer-division token: "div" (Spark), "//" (DuckDB). */
   /** Exact 4-decimal half-up rounding of a NONNEGATIVE integer ratio
     * a/b — the direct-rational sibling of [[r4AvgMicrosSql]]:
     * (2·10⁴·a + b) div 2b, then one IEEE division. */
@@ -283,6 +276,13 @@ object Det {
     s"CAST((20000 * ($a) + ($b)) $div (2 * ($b)) AS DOUBLE) " +
       s"/ CAST(10000 AS DOUBLE)"
 
+  /** Exact 4-decimal HALF-AWAY-FROM-ZERO rounding of an average
+    * (Σ micros)/(n·10⁶), as SQL over BIGINT columns `sm` (the
+    * decimal-quantized sum scaled to micros, possibly negative) and
+    * `n` (the count) — half-up of |a|/b is (2·10⁴·|a| + b) div (2b),
+    * all intermediates exact integers on both engines, then ONE
+    * correctly-rounded IEEE division by 10⁴. `div` is the engine's
+    * integer-division token: "div" (Spark), "//" (DuckDB). */
   def r4AvgMicrosSql(div: String): String =
     s"CAST(CASE WHEN sm < 0 THEN -((-sm * 20000 + n * 1000000) $div " +
       s"(2 * n * 1000000)) ELSE (sm * 20000 + n * 1000000) $div " +

@@ -74,34 +74,55 @@ object ScaleOps {
 
   /** Once-per-(session, sfDir) bucketed catalog twins of orders and
     * lineitem for `c_join_bucketed` — both bucketed (and bucket-sorted)
-    * on the join key with the SAME bucket count, so the join and the
-    * downstream key-grouped aggregation plan with ZERO Exchange: the
-    * write-side shuffle happened once at bucket time and every
-    * subsequent join/agg on the key reuses it (the DedupArtifacts /
-    * AnnIndex store discipline applied to the plain TPC-H fact join).
-    */
+    * on the join key with the SAME bucket count
+    * ([[LlmOps.storeBuckets]]: conf override or one bucket per core —
+    * the r7 IncScale lesson; a fixed 8 under-parallelizes every later
+    * read on a large box), so the join and the downstream key-grouped
+    * aggregation plan with ZERO Exchange: the write-side shuffle
+    * happened once at bucket time and every subsequent join/agg on the
+    * key reuses it (the DedupArtifacts / AnnIndex store discipline
+    * applied to the plain TPC-H fact join).
+    *
+    * Memo mechanics (ADVICE r13): keyed by (session identity hash,
+    * sfDir) — a string pair, so no SparkSession instance is pinned for
+    * the JVM lifetime — and the table build runs under the memo
+    * instance's own lazy-init lock, never the map's bin lock. The
+    * builder closure is dropped after the build so the captured
+    * session is released. (The table NAMES depend only on sfDir, so an
+    * identity-hash reuse across sessions at worst skips a rebuild of
+    * tables that already exist in the shared warehouse.) */
+  private final class StoreMemo(b: () => (String, String)) {
+    @volatile private var builder: () => (String, String) = b
+    lazy val names: (String, String) = {
+      val n = builder(); builder = null; n
+    }
+  }
+
   private val bucketedJoinStores =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
-      (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), StoreMemo]()
 
   private[graft] def bucketedJoinStore(s: SparkSession,
                                        d: String): (String, String) =
-    bucketedJoinStores.computeIfAbsent((s, d), { _ =>
-      val slug = d.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_")
-      val to = s"graft_bkt_orders_$slug"
-      val tl = s"graft_bkt_lineitem_$slug"
-      DedupArtifacts.reset(s, to)
-      DedupArtifacts.reset(s, tl)
-      graft.sources.Layout.writeBucketed(
-        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
-        to, "o_orderkey", nBuckets = 8)
-      graft.sources.Layout.writeBucketed(
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_quantity", "l_extendedprice"),
-        tl, "l_orderkey", nBuckets = 8)
-      (to, tl)
-    })
+    bucketedJoinStores.computeIfAbsent(
+      (Integer.toHexString(System.identityHashCode(s)), d), { _ =>
+      new StoreMemo(() => {
+        val slug = d.replaceAll("[^a-zA-Z0-9]+", "_")
+          .stripPrefix("_").stripSuffix("_")
+        val to = s"graft_bkt_orders_$slug"
+        val tl = s"graft_bkt_lineitem_$slug"
+        val n = LlmOps.storeBuckets(s)
+        DedupArtifacts.reset(s, to)
+        DedupArtifacts.reset(s, tl)
+        graft.sources.Layout.writeBucketed(
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          to, "o_orderkey", nBuckets = n)
+        graft.sources.Layout.writeBucketed(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_quantity", "l_extendedprice"),
+          tl, "l_orderkey", nBuckets = n)
+        (to, tl)
+      })
+    }).names
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bucketed co-located fact join (§2 r13): orders ⋈ lineitem on the

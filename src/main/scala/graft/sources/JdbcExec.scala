@@ -171,14 +171,38 @@ object JdbcExec {
     case other => other.asInstanceOf[AnyRef]
   }
 
+  /** java.sql.Types code per Spark type — nulls must go through
+    * `ps.setNull(i, type)` because several drivers (embedded Derby
+    * included, version-dependent) reject an untyped
+    * `setObject(i, null)` (ADVICE r13). */
+  private[sources] def sqlType(dt: DataType): Int = dt match {
+    case StringType => java.sql.Types.VARCHAR
+    case BooleanType => java.sql.Types.BOOLEAN
+    case ByteType | ShortType | IntegerType => java.sql.Types.INTEGER
+    case LongType => java.sql.Types.BIGINT
+    case FloatType => java.sql.Types.REAL
+    case DoubleType => java.sql.Types.DOUBLE
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case DateType => java.sql.Types.DATE
+    case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
+    case BinaryType => java.sql.Types.VARBINARY
+    case other => throw new IllegalArgumentException(s"no SQL type for $other")
+  }
+
+  private[sources] def bindValue(ps: PreparedStatement, pos: Int, v: Any,
+                                 dt: DataType): Unit =
+    if (v == null) ps.setNull(pos, sqlType(dt))
+    else ps.setObject(pos, jdbcValue(v))
+
   private def stageRows(conn: Connection, stage: String, schema: StructType,
                         rows: Iterator[Row], batchSize: Int): Unit = {
     val ps = conn.prepareStatement(DerbySql.insertStageSql(stage, schema))
+    val types = schema.fields.map(_.dataType)
     try rows.grouped(batchSize).foreach { chunk =>
       chunk.foreach { r =>
         var i = 0
         while (i < schema.length) {
-          ps.setObject(i + 1, jdbcValue(r.get(i))); i += 1
+          bindValue(ps, i + 1, r.get(i), types(i)); i += 1
         }
         ps.addBatch()
       }
@@ -226,6 +250,7 @@ object JdbcExec {
                    pk: Seq[String], batchSize: Int = 1000): Unit = {
     val keyed = df.select(pk.map(org.apache.spark.sql.functions.col): _*)
     val width = pk.length
+    val keyTypes = keyed.schema.fields.map(_.dataType)
     val sql = DerbySql.deleteSql(table, pk)
     keyed.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) withConnection(url) { conn =>
@@ -235,7 +260,7 @@ object JdbcExec {
           try rows.grouped(batchSize).foreach { chunk =>
             chunk.foreach { r =>
               var i = 0
-              while (i < width) { ps.setObject(i + 1, jdbcValue(r.get(i))); i += 1 }
+              while (i < width) { bindValue(ps, i + 1, r.get(i), keyTypes(i)); i += 1 }
               ps.addBatch()
             }
             ps.executeBatch()
@@ -256,10 +281,15 @@ object JdbcExec {
     * shape run end-to-end in the target database: pull rows strictly
     * past the stored cursor, split soft-deletes, dedupe latest-wins
     * per key, MERGE the live rows, DELETE the tombstoned keys, then
-    * advance the cursor IN THE SAME TRANSACTION as the final (driver-
-    * side) load batch so a crash anywhere replays at most one pull
-    * into idempotent writes. Returns the new cursor (old one if the
-    * pull was empty). */
+    * advance the cursor LAST, in its own transaction. The cursor
+    * deliberately commits after (not atomically with) the distributed
+    * loads: correctness rests on the keyed writes being idempotent, so
+    * a crash anywhere before the cursor commit replays at most one
+    * pull into convergent MERGEs/DELETEs. The pulled batch is
+    * persist()ed before anything reads it, so the cursor, the upserts,
+    * and the deletes are all computed from ONE snapshot even when the
+    * underlying source mutates between actions (ADVICE r13). Returns
+    * the new cursor (old one if the pull was empty). */
   def syncOnce(spark: SparkSession, url: String, table: String,
                pk: Seq[String], stateTable: String, obj: String,
                pull: Long => DataFrame, cursorField: String,
@@ -268,29 +298,37 @@ object JdbcExec {
     val cursors = new JdbcCursorStore(url, stateTable)
     cursors.init()
     val last = cursors.get(obj).getOrElse(Long.MinValue)
-    val batch = pull(last)
-    if (batch.isEmpty) return last
-    // latest-wins per key on the cursor field (MERGE needs PK-unique)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*)
-      .orderBy(col(cursorField).desc, col(deletedField).desc)
-    val latest = batch
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .drop("_rn")
-    val live = latest.filter(!col(deletedField))
-    val dead = latest.filter(col(deletedField))
-    val newCursor = batch.agg(max(col(cursorField))).head().getLong(0)
-    val schema = live.schema
-    // distributed idempotent loads first …
-    writeUpsert(live, url, table, pk, batchSize)
-    writeDeletes(dead, url, table, pk, batchSize)
-    // … then the cursor advance commits last (single transaction).
-    withConnection(url) { conn =>
-      conn.setAutoCommit(false)
-      try { cursors.putInTxn(conn, obj, newCursor); conn.commit() }
-      catch { case e: Throwable => conn.rollback(); throw e }
-    }
-    newCursor
+    // Pin ONE snapshot of the pull: isEmpty, the max-cursor agg, the
+    // upsert and the delete below are four separate Spark actions, and
+    // an unpinned live source could serve each a different view.
+    val batch = pull(last).persist()
+    try {
+      if (batch.isEmpty) return last
+      // latest-wins per key on the cursor field (MERGE needs PK-unique)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pk.map(col): _*)
+        .orderBy(col(cursorField).desc, col(deletedField).desc)
+      val latest = batch
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .drop("_rn")
+        .persist()
+      try {
+        val live = latest.filter(!col(deletedField))
+        val dead = latest.filter(col(deletedField))
+        val newCursor = batch.agg(max(col(cursorField))).head().getLong(0)
+        // distributed idempotent loads first …
+        writeUpsert(live, url, table, pk, batchSize)
+        writeDeletes(dead, url, table, pk, batchSize)
+        // … then the cursor advance commits last, separately; replay
+        // of this window is safe because every load above is keyed.
+        withConnection(url) { conn =>
+          conn.setAutoCommit(false)
+          try { cursors.putInTxn(conn, obj, newCursor); conn.commit() }
+          catch { case e: Throwable => conn.rollback(); throw e }
+        }
+        newCursor
+      } finally latest.unpersist()
+    } finally batch.unpersist()
   }
 }
 

@@ -1,6 +1,7 @@
 package graft
 
 import java.util.concurrent.ConcurrentLinkedQueue
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.{IncrementalSource, JdbcUpsertSink}
@@ -232,6 +233,37 @@ class DerbySinkSpec extends SparkSpec {
     assert(c3 == 300L)
     assert(JdbcExec.readTable(spark, url, "sync_tgt")
       .orderBy("id").collect().toSeq == before)
+  }
+
+  test("null column values round-trip through the typed setNull path") {
+    // ADVICE r13: untyped setObject(i, null) is driver-dependent; the
+    // write path must go through ps.setNull(i, <sql type>). Exercise a
+    // null in every non-PK type the schema carries, both on insert and
+    // on a MERGE-update that overwrites a non-null with a null.
+    JdbcExec.withConnection(url) { conn =>
+      JdbcExec.ensureTable(conn, "null_tgt", schema, pk = Seq("id"))
+    }
+    val rows = Seq(
+      Row(1L, null, null, null, null, null),
+      Row(2L, "full", new java.math.BigDecimal("2.25"),
+        Timestamp.valueOf("2026-01-01 00:01:00"), true, 3.5))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    JdbcExec.writeUpsert(df, url, "null_tgt", Seq("id"), batchSize = 1)
+    val got = JdbcExec.readTable(spark, url, "null_tgt").orderBy("id").collect()
+    assert(got.length == 2)
+    assert((1 to 5).forall(got(0).isNullAt))
+    assert(got(1).getAs[String]("name") == "full")
+    // MERGE-update: row 2's name/score go null; typed nulls again
+    val upd = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(2L, null, new java.math.BigDecimal("9.00"),
+          Timestamp.valueOf("2026-01-01 00:02:00"), false, null)), 1), schema)
+    JdbcExec.writeUpsert(upd, url, "null_tgt", Seq("id"), batchSize = 5)
+    val after = JdbcExec.readTable(spark, url, "null_tgt").orderBy("id").collect()
+    assert(after(1).isNullAt(1) && after(1).isNullAt(5))
+    assert(after(1).getAs[java.math.BigDecimal]("amount")
+      .compareTo(new java.math.BigDecimal("9.00")) == 0)
   }
 
   test("Derby DDL + MERGE text: the dialect deltas are explicit") {
