@@ -264,8 +264,27 @@ object Det {
     * DuckDB rounds the binary value — one final digit apart. Rare
     * (needs the boundary to split the ulp), invisible at fixture
     * densities, bitten twice at sf1. Where the rounded value is an
-    * AVERAGE of decimal-quantized terms, use [[r4AvgMicrosSql]] to do
-    * the rounding in exact integer arithmetic instead.
+    * AVERAGE of decimal-quantized terms, use [[r4AvgMicrosSql]]; for
+    * a RATIO OF COUNTS use [[r4Ratio]]/[[r4RatioSql]]; for a ratio of
+    * integer-micros sums use the wide pair
+    * [[r4RatioWideSparkSql]]/[[r4RatioWideDuckSql]].
+    *
+    * r14 migrated every small-denominator-rational site (jaccard,
+    * containment, gini, regr_avgx/avgy — after r13's window-analytic
+    * percentiles and unigram-LM averages). The sites still on raw r4
+    * are, by class, NOT exactly reformulable and carry a boundary
+    * probability of ~measure zero or denominators too composite to
+    * land on m/2·10⁴:
+    *  - sqrt/log/exp-derived: stddev, corr, z-score, PMI, JS
+    *    divergence, geometric mean, sqrt mix weights, cosines;
+    *  - engine-interpolated order statistics: median, percentile,
+    *    quantile interpolation (half-integer or engine-identical
+    *    double arithmetic);
+    *  - big-denominator rationals whose exact form overflows
+    *    DECIMAL(38): regr slope/intercept/r2, var/covar.
+    * The r14 boundary fuzzer (scripts/fuzz_gen.py + FUZZ sweeps in
+    * SCALE.md) probes exactly these residuals with adversarial
+    * corpora each round.
     */
   def r4(c: Column): Column = round(c, 4)
 
@@ -275,6 +294,34 @@ object Det {
   def r4RatioSql(a: String, b: String, div: String): String =
     s"CAST((20000 * ($a) + ($b)) $div (2 * ($b)) AS DOUBLE) " +
       s"/ CAST(10000 AS DOUBLE)"
+
+  /** Column twin of [[r4RatioSql]] for NONNEGATIVE integer ratios a/b
+    * (b > 0): num = 2·10⁴·a + b and den = 2b stay exact BIGINTs,
+    * num − num%den is an exact multiple of den, and both final IEEE
+    * divisions are exact (the quotient is a small integer), so the
+    * result equals round-half-up(a/b, 4) with no double-repr
+    * boundary trap (r14, VERDICT ask 7 — the class that bit
+    * e_window_analytic at sf1). Requires 2·10⁴·a < 2⁶³: fine for any
+    * count-derived numerator. */
+  def r4Ratio(a: Column, b: Column): Column = {
+    val num = a.cast(LongType) * lit(20000L) + b.cast(LongType)
+    val den = b.cast(LongType) * lit(2L)
+    ((num - num % den) / den).cast(DoubleType) / lit(10000.0)
+  }
+
+  /** WIDE-arithmetic r4 half-up of a NONNEGATIVE integer ratio for
+    * sums whose 2·10⁴× product overflows BIGINT (price-scale micros
+    * sums at sf ≥ 1): operands go through DECIMAL(38,0) on the Spark
+    * side, HUGEINT on the DuckDB side — `div`/`//` both truncate, and
+    * the quotient (≤ 2·10⁴ · ratio) fits a BIGINT exactly. */
+  def r4RatioWideSparkSql(a: String, b: String): String =
+    s"CAST((CAST($a AS DECIMAL(38,0)) * 20000 + CAST($b AS DECIMAL(38,0))) div " +
+      s"(2 * CAST($b AS DECIMAL(38,0))) AS DOUBLE) / CAST(10000 AS DOUBLE)"
+
+  /** DuckDB twin of [[r4RatioWideSparkSql]]. */
+  def r4RatioWideDuckSql(a: String, b: String): String =
+    s"CAST((CAST($a AS HUGEINT) * 20000 + CAST($b AS HUGEINT)) // " +
+      s"(2 * CAST($b AS HUGEINT)) AS DOUBLE) / CAST(10000 AS DOUBLE)"
 
   /** Exact 4-decimal HALF-AWAY-FROM-ZERO rounding of an average
     * (Σ micros)/(n·10⁶), as SQL over BIGINT columns `sm` (the

@@ -3,7 +3,7 @@ package graft.operators
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 import graft.Det._
 
 /** §2.D — aggregations. Each entry returns a totally-ordered DataFrame
@@ -214,8 +214,19 @@ object Aggregations {
           r4(regr_slope(y, x)).as("slope"),
           r4(regr_intercept(y, x)).as("intercept"),
           r4(regr_r2(y, x)).as("r2"),
-          r4(regr_avgx(y, x)).as("avg_qty"),
-          r4(regr_avgy(y, x)).as("avg_price"))
+          // avgx/avgy are AVERAGES of decimal-quantized terms — the
+          // exact small-denominator-rational class the sf1 sweep bit
+          // twice (r14 migration): exact integer-micros sums, half-up
+          // in wide arithmetic (price micros × 2·10⁴ passes BIGINT at
+          // sf1 — DECIMAL(38,0)/HUGEINT keeps every magnitude exact)
+          sum((x.cast(DecimalType(20, 6)) * lit(1000000)).cast(LongType))
+            .as("smx"),
+          sum((y.cast(DecimalType(20, 6)) * lit(1000000)).cast(LongType))
+            .as("smy"))
+        .select(col("l_returnflag"), col("n"), col("slope"),
+          col("intercept"), col("r2"),
+          expr(Det.r4RatioWideSparkSql("smx", "n * 1000000")).as("avg_qty"),
+          expr(Det.r4RatioWideSparkSql("smy", "n * 1000000")).as("avg_price"))
         .orderBy("l_returnflag")
     },
 
@@ -323,13 +334,18 @@ object Aggregations {
       rev.withColumn("i", row_number().over(w))
         .groupBy("seg")
         .agg(count(lit(1)).as("n"),
-          sum((col("i") * col("v")).cast(DecimalType(24, 6)))
-            .cast(DoubleType).as("s1"),
-          sum(col("v").cast(DecimalType(20, 6)))
-            .cast(DoubleType).as("s2"))
+          sum((col("i") * col("v")).cast(DecimalType(24, 6))).as("s1d"),
+          sum(col("v").cast(DecimalType(20, 6))).as("s2d"))
+        // exact-rational rounding (r14, VERDICT ask 7): gini =
+        // (2·S1 − (n+1)·S2)/(n·S2) over integer-micros sums —
+        // nonnegative by the Chebyshev sum inequality (v ascending) —
+        // half-up in DECIMAL(38,0)/HUGEINT so the .00005 boundary
+        // cannot split between the engines' double reprs
+        .withColumn("s1m", (col("s1d") * lit(1000000)).cast(DecimalType(38, 0)))
+        .withColumn("s2m", (col("s2d") * lit(1000000)).cast(DecimalType(38, 0)))
         .select(col("seg"),
-          r4(lit(2.0) * col("s1") / (col("n") * col("s2")) -
-            (col("n") + lit(1.0)) / col("n")).as("gini"),
+          expr(Det.r4RatioWideSparkSql(
+            "2 * s1m - (n + 1) * s2m", "n * s2m")).as("gini"),
           col("n").as("n_customers"))
         .orderBy("seg")
     },
@@ -629,14 +645,22 @@ object Aggregations {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d_agg_regression" ->
-      """SELECT l_returnflag,
-        |  count(*) AS n,
-        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
-        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
-        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      s"""WITH ag AS (
+         |  SELECT l_returnflag,
+         |    count(*) AS n,
+         |    round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+         |    round(regr_intercept(l_extendedprice, l_quantity), 4)
+         |      AS intercept,
+         |    round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+         |    SUM(CAST(CAST(l_quantity AS DECIMAL(20,6)) * 1000000
+         |      AS BIGINT)) AS smx,
+         |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 1000000
+         |      AS BIGINT)) AS smy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n, slope, intercept, r2,
+         |  ${Det.r4RatioWideDuckSql("smx", "n * 1000000")} AS avg_qty,
+         |  ${Det.r4RatioWideDuckSql("smy", "n * 1000000")} AS avg_price
+         |FROM ag ORDER BY l_returnflag""".stripMargin,
 
     "d_agg_mode_median" ->
       """WITH med AS (
@@ -689,23 +713,29 @@ object Aggregations {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "d_agg_gini" ->
-      """WITH rev AS (
-        |  SELECT c_mktsegment AS seg, c_custkey,
-        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS STRING) AS DOUBLE) AS v
-        |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  GROUP BY seg, c_custkey),
-        |rk AS (
-        |  SELECT seg, v,
-        |    row_number() OVER (PARTITION BY seg ORDER BY v, c_custkey)
-        |      AS i,
-        |    count(*) OVER (PARTITION BY seg) AS n
-        |  FROM rev)
-        |SELECT seg,
-        |  round(2.0 * CAST(SUM(CAST(i * v AS DECIMAL(24,6))) AS DOUBLE)
-        |    / (max(n) * CAST(SUM(CAST(v AS DECIMAL(20,6))) AS DOUBLE))
-        |    - (max(n) + 1.0) / max(n), 4) AS gini,
-        |  CAST(max(n) AS BIGINT) AS n_customers
-        |FROM rk GROUP BY seg ORDER BY seg""".stripMargin,
+      s"""WITH rev AS (
+         |  SELECT c_mktsegment AS seg, c_custkey,
+         |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,6))) AS STRING) AS DOUBLE) AS v
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY seg, c_custkey),
+         |rk AS (
+         |  SELECT seg, v,
+         |    row_number() OVER (PARTITION BY seg ORDER BY v, c_custkey)
+         |      AS i,
+         |    count(*) OVER (PARTITION BY seg) AS n
+         |  FROM rev),
+         |ag AS (
+         |  SELECT seg, max(n) AS n,
+         |    CAST(SUM(CAST(i * v AS DECIMAL(24,6))) * 1000000 AS HUGEINT)
+         |      AS s1m,
+         |    CAST(SUM(CAST(v AS DECIMAL(20,6))) * 1000000 AS HUGEINT)
+         |      AS s2m
+         |  FROM rk GROUP BY seg)
+         |SELECT seg,
+         |  ${Det.r4RatioWideDuckSql("2 * s1m - (n + 1) * s2m", "n * s2m")}
+         |    AS gini,
+         |  CAST(n AS BIGINT) AS n_customers
+         |FROM ag ORDER BY seg""".stripMargin,
 
     "d_agg_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 25000.0), 19.0) AS BIGINT)

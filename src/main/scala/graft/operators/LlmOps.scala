@@ -817,7 +817,12 @@ object LlmOps {
       graft.functions.VectorExprs.register(s)
       blockedPairStats(shingleEx(s, d), oracledDfCutoff(s))
         .filter(col("jac") >= 0.2)
-        .select(col("doc_a"), col("doc_b"), col("n_common"), Det.r4(col("jac")).as("jac"))
+        // exact integer-ratio rounding (r14): jac is n_common/union of
+        // COUNTS, the small-denominator rational class the sf1 sweep
+        // proved can land on .00005 round-half boundaries
+        .select(col("doc_a"), col("doc_b"), col("n_common"),
+          Det.r4Ratio(col("n_common"),
+            col("sh_a") + col("sh_b") - col("n_common")).as("jac"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -838,7 +843,9 @@ object LlmOps {
         .filter(col("cont") >= 0.8)
         .select(col("doc_a"), col("doc_b"), col("n_common"),
           least(col("sh_a"), col("sh_b")).as("n_small"),
-          Det.r4(col("cont")).as("containment"))
+          // exact integer-ratio rounding (r14, same class as jac)
+          Det.r4Ratio(col("n_common"), least(col("sh_a"), col("sh_b")))
+            .as("containment"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1558,7 +1565,7 @@ object LlmOps {
          |  JOIN ex b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, n_common,
-         |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jac
+         |  ${Det.r4RatioSql("n_common", "sa.n_sh + sb.n_sh - n_common", "//")} AS jac
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
@@ -1587,7 +1594,7 @@ object LlmOps {
          |  GROUP BY c.doc_a, c.doc_b)
          |SELECT doc_a, doc_b, n_common,
          |  CAST(least(sa.n_sh, sb.n_sh) AS INT) AS n_small,
-         |  round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4)
+         |  ${Det.r4RatioSql("n_common", "least(sa.n_sh, sb.n_sh)", "//")}
          |    AS containment
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = doc_a
