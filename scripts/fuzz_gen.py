@@ -1,0 +1,317 @@
+#!/usr/bin/env python3
+"""Adversarial micro-corpus generator — the BATCH twin of
+WatermarkFuzzSpec (r14, VERDICT ask 2).
+
+All three r13 sf1 divergences were engine boundaries invisible at
+fixture distributions (round-half doubles, INT overflow, blocking
+density). This generator perturbs the sf0.001 fixtures into a corpus
+that CONCENTRATES those boundaries, so the DuckDB differential can
+probe them every round at micro cost:
+
+  - .00005 round-half lattice values (quantities, prices, balances,
+    event values) — the class that bit e_window_analytic and
+    j_text_unigram_lm at sf1;
+  - magnitudes >= 4e9 (INT/accumulator overflow probes);
+  - degenerate groups: a 1-row group, an all-equal group (zero
+    variance -> regr_r2/corr division boundary), customers with no
+    orders (empty-group joins);
+  - unicode text: CJK, combining accents, emoji, RTL, plus shared
+    ASCII prefixes so the fuzzy-names blocker keeps the pairs;
+  - duplicate cliques: one document x10 exact copies, near-dup
+    single-token perturbations, one embedding vector shared by 8 ids
+    (the ANN dupGroups collapse path);
+  - quantize boundaries: embedding components at (k+0.5)/127 so
+    round(x*127) sits exactly on a .5;
+  - timestamp ties: 40 events of one user on one timestamp (window
+    tie-break determinism), a single-event user (cohort of 1);
+  - NULL props on a slice of events.
+
+Schema fidelity: every table is read and re-written through pyarrow
+with its ORIGINAL schema object, so parquet logical types (timestamp
+units, float32 lists) survive byte-for-byte semantics — the footer
+unit sniffing in Tables.events keeps working.
+
+Usage:
+  python3 scripts/fuzz_gen.py OUTDIR [--seed N] [--base SFDIR]
+
+Then the sweep (see SCALE.md "FUZZ" sections for recorded runs):
+  sbt -batch "runMain graft.Verify OUTDIR /tmp/fuzz_dump $(python3 scripts/fuzz_gen.py --entries)"
+  python3 scripts/oracle_check.py OUTDIR /tmp/fuzz_dump
+"""
+import os
+import random
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BASE = "/root/testdata/sf0.001"
+
+# The arithmetic/round/unicode/dup-sensitive entries this corpus is
+# built to probe. Kept in the generator so the sweep command line and
+# the corpus evolve together.
+ENTRIES = [
+    # round-half / decimal / rational class
+    "d_agg_groupby_q1", "d_agg_global", "d_agg_conditional",
+    "d_agg_stats", "d_agg_regression", "d_agg_gini",
+    "d_agg_mode_median", "d_agg_mad_robust", "d_agg_percentile",
+    "d_agg_approx_percentile", "d_agg_quantile_sketch_range",
+    "d_agg_quantile_sketch_union", "d_agg_sketch_range",
+    "d_agg_sketch_union", "d_agg_histogram",
+    "e_window_analytic", "e_anomaly_zscore", "e_window_pareto",
+    "e_retention_cohorts", "h_math_funcs", "l_udaf_aggregator",
+    # text/LM decimal class
+    "j_text_unigram_lm", "j_text_bigram_lm", "j_quality_centroid",
+    "j_quality_lm_filter", "j_corpus_drift", "j_corpus_report",
+    "j_text_zipf", "j_text_quality", "j_text_collocations",
+    # integer-ratio class (r14 exact-migrated — prove it)
+    "j_jaccard_shingle_pairs", "j_dedup_containment",
+    # unicode / tokenizer class
+    "j_dedup_fuzzy_names", "j_text_normalize", "j_langid_chargram",
+    "j_text_bpe_tokenize", "j_dedup_exact_text", "j_text_fingerprint",
+    # dup-clique / similarity class
+    "j_dedup_cascade", "j_dedup_clusters", "j_sim_cosine_topk",
+    "j_sim_tfidf_pairs", "j_embed_quantize", "j_embed_norm_stats",
+    "j_embed_dim_stats", "j_ann_ivf_topk",
+    # window-tie / event class
+    "e_window_rank", "e_funnel_sessions", "e_window_gap_islands",
+]
+
+UNICODE_NAMES = [
+    "Customer#FZ-unicode 北京市朝陽區",
+    "Customer#FZ-unicode 北京市朝阳区",   # trad/simp near-pair
+    "Customer#FZ-unicode café résumé",
+    "Customer#FZ-unicode café résumé",  # combining
+    "Customer#FZ-unicode Ωμέγα παράδειγμα",
+    "Customer#FZ-unicode Ωμεγα παραδειγμα",
+    "Customer#FZ-unicode مرحبا بالعالم",
+    "Customer#FZ-unicode مرحبا بالعالَم",
+    "Customer#FZ-unicode 🚀 emoji pair A",
+    "Customer#FZ-unicode 🚀 emoji pair B",
+]
+
+UNICODE_DOCS = [
+    "數據 管道 的 重複 偵測 測試 數據 管道 的 重複 偵測 測試",
+    "数据 管道 的 重复 检测 测试 数据 管道 的 重复 检测 测试",
+    "le café est très bon et le café est très cher",
+    "le café est trés bon et le café est trés cher",
+    "اختبار خط انابيب البيانات اختبار خط انابيب البيانات",
+    "τεστ αγωγού δεδομένων τεστ αγωγού δεδομένων",
+    "🚀 rocket emoji token test 🚀 rocket emoji token test",
+    "tab\tand  double space token boundary test case here",
+    "word",  # single-token doc
+    "same same same same same same same same same same",  # one repeated token
+]
+
+
+def lattice(rng, lo, hi):
+    """A value exactly on the m/20000 lattice (.00005 multiples)."""
+    m = rng.randint(int(lo * 20000), int(hi * 20000))
+    return m / 20000.0
+
+
+def read(t):
+    return pq.read_table(os.path.join(BASE_DIR, f"{t}.parquet"))
+
+
+def write(outdir, t, tbl):
+    pq.write_table(tbl, os.path.join(outdir, f"{t}.parquet"))
+
+
+def rebuild(tbl, cols):
+    """Rebuild `tbl` with python-level column replacements, keeping the
+    ORIGINAL arrow schema (logical types survive)."""
+    data = tbl.to_pydict()
+    data.update(cols)
+    return pa.Table.from_pydict(data, schema=tbl.schema)
+
+
+def append_rows(tbl, rows):
+    """Append python dict-rows, casting through the original schema."""
+    data = tbl.to_pydict()
+    for r in rows:
+        for name in tbl.column_names:
+            data[name].append(r[name])
+    return pa.Table.from_pydict(data, schema=tbl.schema)
+
+
+def fuzz_lineitem(rng, outdir):
+    tbl = read("lineitem")
+    qty = list(tbl.column("l_quantity").to_pylist())
+    price = list(tbl.column("l_extendedprice").to_pylist())
+    flag = tbl.column("l_returnflag").to_pylist()
+    n = len(qty)
+    for i in range(n):
+        r = rng.random()
+        if r < 0.30:
+            qty[i] = lattice(rng, 1, 50)
+        if r < 0.20:
+            price[i] = lattice(rng, 100, 90000)
+        elif r < 0.22:
+            price[i] = 4.0e9 + lattice(rng, 0, 1000)  # overflow probe
+    # an all-equal slice inside one flag: zero variance against qty
+    eq = [i for i in range(n) if flag[i] == "R"][:40]
+    for i in eq:
+        qty[i] = 25.0
+        price[i] = 31250.0
+    write(outdir, "lineitem", rebuild(tbl, {
+        "l_quantity": qty, "l_extendedprice": price}))
+
+
+def fuzz_orders(rng, outdir):
+    tbl = read("orders")
+    price = list(tbl.column("o_totalprice").to_pylist())
+    cust = tbl.column("o_custkey").to_pylist()
+    n = len(price)
+    for i in range(n):
+        r = rng.random()
+        if r < 0.30:
+            price[i] = lattice(rng, 1000, 400000)
+        elif r < 0.32:
+            price[i] = 4.0e9 + lattice(rng, 0, 1000)
+    tbl = rebuild(tbl, {"o_totalprice": price})
+    # empty groups: drop every order of ~8 customers (keep the
+    # customers in their table — left joins / anti joins see them)
+    victims = set(rng.sample(sorted(set(cust)), k=min(8, len(set(cust)))))
+    keep = [i for i, c in enumerate(cust) if c not in victims]
+    write(outdir, "orders", tbl.take(pa.array(keep)))
+
+
+def fuzz_customer(rng, outdir):
+    tbl = read("customer")
+    names = list(tbl.column("c_name").to_pylist())
+    bal = list(tbl.column("c_acctbal").to_pylist())
+    n = len(names)
+    # unicode names on existing rows (keeps FK integrity with orders);
+    # placed pairwise so the 17-char-prefix blocker finds each pair
+    idxs = rng.sample(range(n), k=min(len(UNICODE_NAMES), n))
+    for j, i in enumerate(idxs):
+        names[i] = UNICODE_NAMES[j]
+    for i in range(n):
+        if rng.random() < 0.4:
+            bal[i] = lattice(rng, -999, 9999)
+    write(outdir, "customer", rebuild(tbl, {
+        "c_name": names, "c_acctbal": bal}))
+
+
+def fuzz_documents(rng, outdir):
+    tbl = read("documents")
+    texts = tbl.column("text").to_pylist()
+    max_id = max(tbl.column("doc_id").to_pylist())
+    rows = []
+    next_id = max_id + 1
+    # exact dup clique: one fixture doc x10
+    clique_src = texts[rng.randrange(len(texts))]
+    for _ in range(10):
+        rows.append({"doc_id": next_id, "text": clique_src,
+                     "lang": "en", "source": "fz_clique",
+                     "n_chars": len(clique_src)})
+        next_id += 1
+    # near-dups: single-token perturbations of another doc
+    base = texts[rng.randrange(len(texts))]
+    toks = base.split(" ")
+    for _ in range(6):
+        t2 = list(toks)
+        if t2:
+            t2[rng.randrange(len(t2))] = "fzperturb%d" % rng.randrange(100)
+        s = " ".join(t2)
+        rows.append({"doc_id": next_id, "text": s, "lang": "en",
+                     "source": "fz_near", "n_chars": len(s)})
+        next_id += 1
+    for s in UNICODE_DOCS:
+        rows.append({"doc_id": next_id, "text": s, "lang": "xx",
+                     "source": "fz_unicode", "n_chars": len(s)})
+        next_id += 1
+    write(outdir, "documents", append_rows(tbl, rows))
+
+
+def fuzz_embeddings(rng, outdir):
+    tbl = read("embeddings")
+    vecs = tbl.column("embedding").to_pylist()
+    dim = len(vecs[0])
+    max_id = max(tbl.column("vec_id").to_pylist())
+    rows = []
+    next_id = max_id + 1
+    # exact-dup vector clique (8 ids, one vector) — dupGroups path
+    shared = vecs[rng.randrange(len(vecs))]
+    for _ in range(8):
+        rows.append({"vec_id": next_id, "embedding": shared, "label": 7})
+        next_id += 1
+    # quantize-boundary vectors: components at (k+0.5)/127 so
+    # round(x*127) sits exactly on .5 (float32 rounding of the
+    # component applies first on BOTH engines — same value)
+    for _ in range(6):
+        v = [((rng.randrange(-126, 126) + 0.5) / 127.0) for _ in range(dim)]
+        rows.append({"vec_id": next_id, "embedding": v, "label": 8})
+        next_id += 1
+    write(outdir, "embeddings", append_rows(tbl, rows))
+
+
+def fuzz_events(rng, outdir):
+    tbl = read("events")
+    vals = list(tbl.column("value").to_pylist())
+    props = list(tbl.column("props").to_pylist())
+    ts = tbl.column("ts").to_pylist()
+    users = tbl.column("user_id").to_pylist()
+    n = len(vals)
+    for i in range(n):
+        if rng.random() < 0.30:
+            vals[i] = lattice(rng, 0, 500)
+        if rng.random() < 0.10:
+            props[i] = None
+    tbl = rebuild(tbl, {"value": vals, "props": props})
+    # timestamp ties: 40 extra events of one user on ONE instant
+    max_id = max(tbl.column("event_id").to_pylist())
+    tie_user = users[rng.randrange(n)]
+    tie_ts = ts[rng.randrange(n)]
+    rows = []
+    for j in range(40):
+        rows.append({"event_id": max_id + 1 + j, "ts": tie_ts,
+                     "user_id": tie_user, "event_type": "fz_tie",
+                     "value": lattice(rng, 0, 100), "props": None})
+    # a brand-new single-event user (cohort of exactly 1)
+    rows.append({"event_id": max_id + 100, "ts": ts[0],
+                 "user_id": max(users) + 1, "event_type": "fz_solo",
+                 "value": 1.0, "props": None})
+    write(outdir, "events", append_rows(tbl, rows))
+
+
+def fuzz_supplier(rng, outdir):
+    tbl = read("supplier")
+    bal = list(tbl.column("s_acctbal").to_pylist())
+    for i in range(len(bal)):
+        if rng.random() < 0.5:
+            bal[i] = lattice(rng, -999, 9999)
+    write(outdir, "supplier", rebuild(tbl, {"s_acctbal": bal}))
+
+
+def main():
+    if "--entries" in sys.argv:
+        print(" ".join(ENTRIES))
+        return
+    outdir = sys.argv[1]
+    seed = 14
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    global BASE_DIR
+    BASE_DIR = BASE
+    if "--base" in sys.argv:
+        BASE_DIR = sys.argv[sys.argv.index("--base") + 1]
+    rng = random.Random(seed)
+    os.makedirs(outdir, exist_ok=True)
+    # untouched tables: straight copies (schema + values)
+    for t in ("region", "nation", "part"):
+        write(outdir, t, read(t))
+    fuzz_supplier(rng, outdir)
+    fuzz_customer(rng, outdir)
+    fuzz_orders(rng, outdir)
+    fuzz_lineitem(rng, outdir)
+    fuzz_documents(rng, outdir)
+    fuzz_embeddings(rng, outdir)
+    fuzz_events(rng, outdir)
+    print(f"fuzz corpus written to {outdir} (seed={seed}, base={BASE_DIR})")
+    print("sweep entries:", len(ENTRIES))
+
+
+if __name__ == "__main__":
+    main()

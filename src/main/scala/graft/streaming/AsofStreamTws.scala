@@ -3,8 +3,12 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
-/** `transformWithState` port of the streaming as-of twin (r13, VERDICT
-  * item 5) — the API path a 100 TB deployment would actually use:
+/** `transformWithState` streaming as-of — the PRIMARY production path
+  * (r14 docs flip; restart-from-checkpoint proven by TwsRestartSpec;
+  * the fMGWS twin remains as the parity reference. Boundary note for
+  * production users: TWS drops rows whose event time EQUALS the
+  * watermark where fMGWS admits them — see [[StepProcessor]].)
+  * The API path a 100 TB deployment would actually use:
   * Spark 4's StatefulProcessor over the RocksDB store supersedes
   * `flatMapGroupsWithState` (typed state variables, explicit timers,
   * state-var evolution). ALL semantics live in [[AsofStream.step]],

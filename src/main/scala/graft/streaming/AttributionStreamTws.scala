@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
-/** `transformWithState` port of the attribution twin (r13, closing out
+/** `transformWithState` attribution — the PRIMARY production path (r14 docs flip: Spark 4's state API, restart-from-checkpoint proven by TwsRestartSpec; the fMGWS twin remains as the parity reference). Boundary note for production users: TWS drops rows whose event time EQUALS the watermark where fMGWS admits them — see [[StepProcessor]]. Ported from the fMGWS twin (r13, closing out
   * VERDICT item 5 across the package): semantics live in
   * [[AttributionStream.step]] (emit-on-arrival last-touch fold with the
   * r11 stale-horizon clamp), shared verbatim with the fMGWS twin; the

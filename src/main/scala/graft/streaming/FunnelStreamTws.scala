@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
-/** `transformWithState` port of the funnel twin (r13, widening VERDICT
+/** `transformWithState` funnel — the PRIMARY production path (r14 docs flip: Spark 4's state API, restart-from-checkpoint proven by TwsRestartSpec; the fMGWS twin remains as the parity reference). Boundary note for production users: TWS drops rows whose event time EQUALS the watermark where fMGWS admits them — see [[StepProcessor]]. Ported from the fMGWS twin (r13, widening VERDICT
   * item 5 beyond the as-of pilot): semantics live in
   * [[FunnelStream.step]] (the r12 buffer-until-watermark + ordered
   * replay through the stage machine), shared verbatim with the fMGWS

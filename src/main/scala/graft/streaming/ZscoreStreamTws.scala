@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
 
-/** `transformWithState` port of the z-score twin (r13, closing out
+/** `transformWithState` z-score — the PRIMARY production path (r14 docs flip: Spark 4's state API, restart-from-checkpoint proven by TwsRestartSpec; the fMGWS twin remains as the parity reference). Boundary note for production users: TWS drops rows whose event time EQUALS the watermark where fMGWS admits them — see [[StepProcessor]]. Ported from the fMGWS twin (r13, closing out
   * VERDICT item 5 across the package): semantics live in
   * [[ZscoreStream.step]] (the exact-decimal ring fold with the r11
   * idle-eviction clamp), shared verbatim with the fMGWS twin; the
