@@ -110,6 +110,18 @@ def lattice(rng, lo, hi):
     return m / 20000.0
 
 
+def big2dp(rng):
+    """Overflow-probe magnitude (>= 4e9) on a 2-DECIMAL lattice — the
+    representable shape (cents at 4e9 = 12 significant digits, well
+    inside a double). The first sweep used the 5e-5 lattice AT 4e9,
+    which exceeds what any engine can carry through a double (ulp ~
+    5e-7 at that magnitude vs a 1e-6 quantization quantum): the
+    resulting Det.dsum divergence was quantization ill-conditioning of
+    the INPUT, not an operator defect — see the Det scaladoc's
+    conditioning-domain note (r14 FUZZ sweep 1, SCALE.md)."""
+    return 4.0e9 + rng.randint(0, 100000) / 100.0
+
+
 def read(t):
     return pq.read_table(os.path.join(BASE_DIR, f"{t}.parquet"))
 
@@ -148,7 +160,7 @@ def fuzz_lineitem(rng, outdir):
         if r < 0.20:
             price[i] = lattice(rng, 100, 90000)
         elif r < 0.22:
-            price[i] = 4.0e9 + lattice(rng, 0, 1000)  # overflow probe
+            price[i] = big2dp(rng)  # overflow probe (2dp — representable)
     # an all-equal slice inside one flag: zero variance against qty
     eq = [i for i in range(n) if flag[i] == "R"][:40]
     for i in eq:
@@ -168,7 +180,7 @@ def fuzz_orders(rng, outdir):
         if r < 0.30:
             price[i] = lattice(rng, 1000, 400000)
         elif r < 0.32:
-            price[i] = 4.0e9 + lattice(rng, 0, 1000)
+            price[i] = big2dp(rng)
     tbl = rebuild(tbl, {"o_totalprice": price})
     # empty groups: drop every order of ~8 customers (keep the
     # customers in their table — left joins / anti joins see them)

@@ -234,25 +234,59 @@ object Par {
 object Det {
   import org.apache.spark.sql.Column
 
-  /** Deterministic sum of a double expression. */
-  def dsum(c: Column): Column = sum(c.cast(DecimalType(20, 6))).cast(DoubleType)
+  /** Binary half-away-from-zero quantization to integer MICROS, in
+    * pure IEEE ops (r14, found by the boundary fuzzer's 4·10⁹-scale
+    * derived products): floor(|x|·10⁶ + 0.5) with sign restored. Both
+    * engines compute the identical double chain, so the micros agree
+    * even where a decimal CAST's repr-vs-binary choice diverges
+    * (Spark casts the shortest decimal repr, DuckDB the binary value
+    * — at |x| ≥ ~10⁹ a derived product's repr gap reaches the 10⁻⁶
+    * quantum and the old casts measurably disagreed; FUZZ sweep 1,
+    * SCALE.md §r14). Exact for |x| < 2⁵³/10⁶ ≈ 9·10⁹ per row —
+    * beyond that a double has no 6-decimal resolution at all. */
+  private def microsD(c: Column): Column =
+    when(c < 0, -floor(-c * lit(1000000.0) + lit(0.5)))
+      .otherwise(floor(c * lit(1000000.0) + lit(0.5)))
 
-  /** Deterministic average: exact decimal sum / count, in double. */
+  private def microsSqlD(e: String): String =
+    s"CASE WHEN ($e) < 0 THEN -floor(-($e) * 1000000 + 0.5) " +
+      s"ELSE floor(($e) * 1000000 + 0.5) END"
+
+  /** Deterministic sum of a double expression: binary-micros
+    * quantization per row (see [[microsD]]), exact DECIMAL(38,0)
+    * accumulation, one correctly-rounded decimal→double hop, one IEEE
+    * division by 10⁶. For raw ≤2-decimal business columns this equals
+    * the pre-r14 DECIMAL(20,6) cast exactly; for DERIVED products at
+    * large magnitude it is the portable form the old cast wasn't. */
+  def dsum(c: Column): Column =
+    sum(microsD(c).cast(DecimalType(38, 0))).cast(DoubleType) /
+      lit(1000000.0)
+
+  /** Deterministic average: deterministic sum / count — the same two
+    * IEEE divisions on both engines. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
 
-  /** SQL fragment for the oracle side of dsum. The decimal→double
-    * hop goes THROUGH A STRING (r12): DuckDB's direct
-    * `CAST(DECIMAL AS DOUBLE)` is not correctly rounded — it can land
-    * one ulp off the nearest double (first observed at the sf1
-    * rehearsal: an exact decimal sum of 27864155010.941590 cast to
-    * …941593 while Spark's BigDecimal.doubleValue gives the correct
-    * …94159… ulp) — whereas its VARCHAR→DOUBLE path is a
-    * correctly-rounded strtod, which always agrees with Spark. */
+  /** SQL fragment for the oracle side of dsum — the mirror of the
+    * Spark chain: binary-micros per row, HUGEINT sum (exact), then
+    * the decimal→double hop THROUGH A STRING (r12): DuckDB's direct
+    * `CAST(... AS DOUBLE)` from wide integers is not correctly
+    * rounded — it can land one ulp off the nearest double — whereas
+    * its VARCHAR→DOUBLE path is a correctly-rounded strtod, which
+    * always agrees with Spark's BigDecimal.doubleValue. */
   def dsumSql(expr: String): String =
-    s"CAST(CAST(SUM(CAST(($expr) AS DECIMAL(20,6))) AS STRING) AS DOUBLE)"
+    s"(CAST(CAST(SUM(CAST(${microsSqlD(expr)} AS HUGEINT)) AS STRING) " +
+      s"AS DOUBLE) / 1000000.0)"
 
   /** SQL fragment for the oracle side of davg. */
   def davgSql(expr: String): String = s"(${dsumSql(expr)} / COUNT(*))"
+
+  /** [[dsum]] as SPARK SQL text — for the entries that are themselves
+    * `spark.sql(...)` programs (grouping sets). Same micros chain;
+    * Spark's decimal→double is BigDecimal.doubleValue (correctly
+    * rounded), so no string hop is needed on this side. */
+  def dsumSparkSql(expr: String): String =
+    s"(CAST(SUM(CAST(${microsSqlD(expr)} AS DECIMAL(38,0))) AS DOUBLE) " +
+      s"/ 1000000.0)"
 
   /** Round a double to 4 decimals — for expressions (stddev, corr,
     * cosine…) that cannot go through exact decimals. Both engines
@@ -269,24 +303,56 @@ object Det {
     * integer-micros sums use the wide pair
     * [[r4RatioWideSparkSql]]/[[r4RatioWideDuckSql]].
     *
-    * r14 migrated every small-denominator-rational site (jaccard,
-    * containment, gini, regr_avgx/avgy — after r13's window-analytic
-    * percentiles and unigram-LM averages). The sites still on raw r4
-    * are, by class, NOT exactly reformulable and carry a boundary
-    * probability of ~measure zero or denominators too composite to
-    * land on m/2·10⁴:
-    *  - sqrt/log/exp-derived: stddev, corr, z-score, PMI, JS
-    *    divergence, geometric mean, sqrt mix weights, cosines;
-    *  - engine-interpolated order statistics: median, percentile,
-    *    quantile interpolation (half-integer or engine-identical
-    *    double arithmetic);
-    *  - big-denominator rationals whose exact form overflows
-    *    DECIMAL(38): regr slope/intercept/r2, var/covar.
-    * The r14 boundary fuzzer (scripts/fuzz_gen.py + FUZZ sweeps in
-    * SCALE.md) probes exactly these residuals with adversarial
-    * corpora each round.
+    * r14 ELIMINATED the repr hazard for the whole class (the first
+    * fuzz sweep caught it live on a quantile interpolation): r4 and
+    * every oracle `round(x, 4)` now compute BINARY half-away-from-zero
+    * — floor(|x|·10⁴ + 0.5)/10⁴, sign restored, −0.0 normalized — the
+    * same IEEE ops in the same order on both engines, so identical
+    * input doubles round identically at ANY value, boundaries
+    * included. (Exact-rational sites — jaccard, containment, gini,
+    * regr_avgx/avgy, window percentiles, LM averages — stay on the
+    * strictly stronger exact integer half-up of the TRUE value.)
+    *
+    * Residual, disclosed: where an engine-INTERNAL aggregate (stddev,
+    * corr, median, regr slope/r2) produces doubles that differ by an
+    * ulp ACROSS engines due to summation order, no rounding scheme can
+    * force agreement on a boundary-straddling pair; probability is
+    * ~measure-zero and the r14 boundary fuzzer (scripts/fuzz_gen.py +
+    * FUZZ sweeps in SCALE.md) probes exactly this residual each round.
+    *
+    * Inputs with |x| ≥ 9·10¹¹ (no 4-decimal resolution left in a
+    * double) pass through unchanged — portable by construction since
+    * both engines take that branch.
     */
-  def r4(c: Column): Column = round(c, 4)
+  def r4(c: Column): Column = {
+    val pos = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    val neg = -(floor(-c * lit(10000.0) + lit(0.5)) / lit(10000.0))
+    when(not(abs(c) < lit(9.0e11)), c) // NaN/±inf/huge: identity
+      .when(c < 0, neg)
+      .otherwise(pos) + lit(0.0)
+  }
+
+  /** SQL twin of [[r4]] — one string, valid in BOTH Spark SQL and
+    * DuckDB (floor/CASE/abs are IEEE-identical), so Spark expr
+    * fragments and oracle SQL share it verbatim. */
+  def r4Sql(e: String): String =
+    s"(CASE WHEN NOT (abs($e) < 9.0e11) THEN ($e) " +
+      s"WHEN ($e) < 0 THEN -(floor(-($e) * 10000 + 0.5) / 10000) " +
+      s"ELSE floor(($e) * 10000 + 0.5) / 10000 END + 0)"
+
+  /** Binary half-away-from-zero to an INTEGER (scale 0) — the
+    * quantization round (int8 PQ, embedding grids). Same portability
+    * argument as [[r4]]. */
+  def r0(c: Column): Column =
+    when(not(abs(c) < lit(9.0e15)), c)
+      .when(c < 0, -(floor(-c + lit(0.5))))
+      .otherwise(floor(c + lit(0.5))) + lit(0.0)
+
+  /** SQL twin of [[r0]], valid in both engines. */
+  def r0Sql(e: String): String =
+    s"(CASE WHEN NOT (abs($e) < 9.0e15) THEN ($e) " +
+      s"WHEN ($e) < 0 THEN -(floor(-($e) + 0.5)) " +
+      s"ELSE floor(($e) + 0.5) END + 0)"
 
   /** Exact 4-decimal half-up rounding of a NONNEGATIVE integer ratio
     * a/b — the direct-rational sibling of [[r4AvgMicrosSql]]:

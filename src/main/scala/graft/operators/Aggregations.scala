@@ -71,9 +71,17 @@ private[graft] object Sketches {
     val n = s"size($vs)"
     val idx = s"(($n - 1) * $p)"
     val lo = s"CAST(floor($idx) AS INT)"
-    s"round(element_at($vs, $lo + 1) + ($idx - floor($idx)) * " +
+    s"(CASE WHEN NOT (abs(element_at($vs, $lo + 1) + ($idx - floor($idx)) * " +
       s"(element_at($vs, least($lo + 2, $n)) - element_at($vs, $lo + 1))" +
-      s", 4)"
+      s") < 9.0e11) THEN (element_at($vs, $lo + 1) + ($idx - floor($idx)) * " +
+      s"(element_at($vs, least($lo + 2, $n)) - element_at($vs, $lo + 1))" +
+      s") WHEN (element_at($vs, $lo + 1) + ($idx - floor($idx)) * " +
+      s"(element_at($vs, least($lo + 2, $n)) - element_at($vs, $lo + 1))" +
+      s") < 0 THEN -(floor(-(element_at($vs, $lo + 1) + ($idx - floor($idx)) * " +
+      s"(element_at($vs, least($lo + 2, $n)) - element_at($vs, $lo + 1))" +
+      s") * 10000 + 0.5) / 10000) ELSE floor((element_at($vs, $lo + 1) + ($idx - floor($idx)) * " +
+      s"(element_at($vs, least($lo + 2, $n)) - element_at($vs, $lo + 1))" +
+      s") * 10000 + 0.5) / 10000 END + 0)"
   }
 
   /** DuckDB twin of [[ksampleQuantile]]: the sample is the window-rank
@@ -84,11 +92,27 @@ private[graft] object Sketches {
   def ksampleQuantileOracle(p: String): String = {
     val idx = s"((n - 1) * $p)"
     val lo = s"CAST(floor($idx) AS BIGINT)"
-    s"""round(
+    s"""(CASE WHEN NOT (abs(
        |  max(CASE WHEN vr = $lo + 1 THEN v END)
        |  + ($idx - floor($idx))
        |    * (max(CASE WHEN vr = least($lo + 2, n) THEN v END)
-       |       - max(CASE WHEN vr = $lo + 1 THEN v END)), 4)""".stripMargin
+       |       - max(CASE WHEN vr = $lo + 1 THEN v END))) < 9.0e11) THEN (
+       |  max(CASE WHEN vr = $lo + 1 THEN v END)
+       |  + ($idx - floor($idx))
+       |    * (max(CASE WHEN vr = least($lo + 2, n) THEN v END)
+       |       - max(CASE WHEN vr = $lo + 1 THEN v END))) WHEN (
+       |  max(CASE WHEN vr = $lo + 1 THEN v END)
+       |  + ($idx - floor($idx))
+       |    * (max(CASE WHEN vr = least($lo + 2, n) THEN v END)
+       |       - max(CASE WHEN vr = $lo + 1 THEN v END))) < 0 THEN -(floor(-(
+       |  max(CASE WHEN vr = $lo + 1 THEN v END)
+       |  + ($idx - floor($idx))
+       |    * (max(CASE WHEN vr = least($lo + 2, n) THEN v END)
+       |       - max(CASE WHEN vr = $lo + 1 THEN v END))) * 10000 + 0.5) / 10000) ELSE floor((
+       |  max(CASE WHEN vr = $lo + 1 THEN v END)
+       |  + ($idx - floor($idx))
+       |    * (max(CASE WHEN vr = least($lo + 2, n) THEN v END)
+       |       - max(CASE WHEN vr = $lo + 1 THEN v END))) * 10000 + 0.5) / 10000 END + 0)""".stripMargin
   }
 
   /** DuckDB twin of [[kmvEstimate]] over the window-rank formulation
@@ -178,7 +202,7 @@ object Aggregations {
       Tables.orders(s, d).createOrReplaceTempView("orders_gs")
       s.sql(s"""
         SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-          ${dsumSql("o_totalprice")} AS sum_price,
+          ${dsumSparkSql("o_totalprice")} AS sum_price,
           CAST(grouping(o_orderstatus) AS INT) AS g_status,
           CAST(grouping(o_orderpriority) AS INT) AS g_prio
         FROM orders_gs
@@ -638,20 +662,20 @@ object Aggregations {
 
     "d_agg_stats" ->
       """SELECT l_returnflag,
-        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-        |  round(var_samp(l_quantity), 4) AS var_qty,
-        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp
+        |  (CASE WHEN NOT (abs(stddev_samp(l_quantity)) < 9.0e11) THEN (stddev_samp(l_quantity)) WHEN (stddev_samp(l_quantity)) < 0 THEN -(floor(-(stddev_samp(l_quantity)) * 10000 + 0.5) / 10000) ELSE floor((stddev_samp(l_quantity)) * 10000 + 0.5) / 10000 END + 0) AS sd_qty,
+        |  (CASE WHEN NOT (abs(var_samp(l_quantity)) < 9.0e11) THEN (var_samp(l_quantity)) WHEN (var_samp(l_quantity)) < 0 THEN -(floor(-(var_samp(l_quantity)) * 10000 + 0.5) / 10000) ELSE floor((var_samp(l_quantity)) * 10000 + 0.5) / 10000 END + 0) AS var_qty,
+        |  (CASE WHEN NOT (abs(corr(l_quantity, l_extendedprice)) < 9.0e11) THEN (corr(l_quantity, l_extendedprice)) WHEN (corr(l_quantity, l_extendedprice)) < 0 THEN -(floor(-(corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000) ELSE floor((corr(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 END + 0) AS corr_qp,
+        |  (CASE WHEN NOT (abs(covar_samp(l_quantity, l_extendedprice)) < 9.0e11) THEN (covar_samp(l_quantity, l_extendedprice)) WHEN (covar_samp(l_quantity, l_extendedprice)) < 0 THEN -(floor(-(covar_samp(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000) ELSE floor((covar_samp(l_quantity, l_extendedprice)) * 10000 + 0.5) / 10000 END + 0) AS cov_qp
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d_agg_regression" ->
       s"""WITH ag AS (
          |  SELECT l_returnflag,
          |    count(*) AS n,
-         |    round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-         |    round(regr_intercept(l_extendedprice, l_quantity), 4)
+         |    (CASE WHEN NOT (abs(regr_slope(l_extendedprice, l_quantity)) < 9.0e11) THEN (regr_slope(l_extendedprice, l_quantity)) WHEN (regr_slope(l_extendedprice, l_quantity)) < 0 THEN -(floor(-(regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000) ELSE floor((regr_slope(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 END + 0) AS slope,
+         |    (CASE WHEN NOT (abs(regr_intercept(l_extendedprice, l_quantity)) < 9.0e11) THEN (regr_intercept(l_extendedprice, l_quantity)) WHEN (regr_intercept(l_extendedprice, l_quantity)) < 0 THEN -(floor(-(regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000) ELSE floor((regr_intercept(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 END + 0)
          |      AS intercept,
-         |    round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+         |    (CASE WHEN NOT (abs(regr_r2(l_extendedprice, l_quantity)) < 9.0e11) THEN (regr_r2(l_extendedprice, l_quantity)) WHEN (regr_r2(l_extendedprice, l_quantity)) < 0 THEN -(floor(-(regr_r2(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000) ELSE floor((regr_r2(l_extendedprice, l_quantity)) * 10000 + 0.5) / 10000 END + 0) AS r2,
          |    SUM(CAST(CAST(l_quantity AS DECIMAL(20,6)) * 1000000
          |      AS BIGINT)) AS smx,
          |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,6)) * 1000000
@@ -664,7 +688,7 @@ object Aggregations {
 
     "d_agg_mode_median" ->
       """WITH med AS (
-        |  SELECT l_returnflag, round(median(l_quantity), 4) AS med_qty
+        |  SELECT l_returnflag, (CASE WHEN NOT (abs(median(l_quantity)) < 9.0e11) THEN (median(l_quantity)) WHEN (median(l_quantity)) < 0 THEN -(floor(-(median(l_quantity)) * 10000 + 0.5) / 10000) ELSE floor((median(l_quantity)) * 10000 + 0.5) / 10000 END + 0) AS med_qty
         |  FROM lineitem GROUP BY l_returnflag),
         |c AS (
         |  SELECT l_returnflag, l_quantity, count(*) AS n
@@ -683,8 +707,8 @@ object Aggregations {
         |  SELECT l_returnflag, median(l_quantity) AS m
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l.l_returnflag,
-        |  round(max(med.m), 4) AS med_qty,
-        |  round(median(abs(l.l_quantity - med.m)), 4) AS mad_qty
+        |  (CASE WHEN NOT (abs(max(med.m)) < 9.0e11) THEN (max(med.m)) WHEN (max(med.m)) < 0 THEN -(floor(-(max(med.m)) * 10000 + 0.5) / 10000) ELSE floor((max(med.m)) * 10000 + 0.5) / 10000 END + 0) AS med_qty,
+        |  (CASE WHEN NOT (abs(median(abs(l.l_quantity - med.m))) < 9.0e11) THEN (median(abs(l.l_quantity - med.m))) WHEN (median(abs(l.l_quantity - med.m))) < 0 THEN -(floor(-(median(abs(l.l_quantity - med.m))) * 10000 + 0.5) / 10000) ELSE floor((median(abs(l.l_quantity - med.m))) * 10000 + 0.5) / 10000 END + 0) AS mad_qty
         |FROM lineitem l JOIN med ON l.l_returnflag = med.l_returnflag
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
 
@@ -748,8 +772,8 @@ object Aggregations {
 
     "d_agg_percentile" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
-        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+        |  (CASE WHEN NOT (abs(quantile_cont(l_quantity, 0.5)) < 9.0e11) THEN (quantile_cont(l_quantity, 0.5)) WHEN (quantile_cont(l_quantity, 0.5)) < 0 THEN -(floor(-(quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / 10000) ELSE floor((quantile_cont(l_quantity, 0.5)) * 10000 + 0.5) / 10000 END + 0) AS p50_qty,
+        |  (CASE WHEN NOT (abs(quantile_cont(l_quantity, 0.9)) < 9.0e11) THEN (quantile_cont(l_quantity, 0.9)) WHEN (quantile_cont(l_quantity, 0.9)) < 0 THEN -(floor(-(quantile_cont(l_quantity, 0.9)) * 10000 + 0.5) / 10000) ELSE floor((quantile_cont(l_quantity, 0.9)) * 10000 + 0.5) / 10000 END + 0) AS p90_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "d_agg_collect_sorted" ->

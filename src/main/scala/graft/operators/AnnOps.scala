@@ -233,7 +233,7 @@ object AnnOps {
     * re-ranked with the exact double vectors. */
   private[operators] def quantized(u: DataFrame): DataFrame =
     u.withColumn("q",
-      transform(col("u"), x => round(x * lit(127.0)).cast(ByteType)))
+      transform(col("u"), x => graft.Det.r0(x * lit(127.0)).cast(ByteType)))
 
   /** Quantized candidate pairing with the same size-driven broadcast/
     * co-partition switch as [[pairAcrossBuckets]] — but the frames
@@ -854,7 +854,7 @@ object AnnOps {
       e.withColumn("ma",
           aggregate(col("v"), lit(0.0), (a, x) => greatest(a, abs(x))))
         .withColumn("q", transform(col("v"),
-          x => round(x * 127.0 / col("ma")).cast("int")))
+          x => graft.Det.r0(x * 127.0 / col("ma")).cast("int")))
         // reconstruction error as an EXACT integer (sum of per-element
         // |err| in 1e-12 units): per-element doubles are bit-identical
         // across engines, but a double mean ran into r4's half-way
@@ -862,7 +862,7 @@ object AnnOps {
         // — integerize BEFORE summing instead
         .withColumn("sae_e12", aggregate(
           zip_with(col("v"), col("q"), (x, qq) =>
-            round(abs(x - qq.cast("double") * col("ma") / 127.0)
+            graft.Det.r0(abs(x - qq.cast("double") * col("ma") / 127.0)
               * 1e12).cast(LongType)),
           lit(0L), (a, x) => a + x))
         .select(
@@ -941,7 +941,7 @@ object AnnOps {
     """SELECT vec_id,
       |  CAST(row_number() OVER (PARTITION BY vec_id
       |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
-      |  nn_id, round(cos, 4) + 0 AS cos
+      |  nn_id, (CASE WHEN NOT (abs(cos) < 9.0e11) THEN (cos) WHEN (cos) < 0 THEN -(floor(-(cos) * 10000 + 0.5) / 10000) ELSE floor((cos) * 10000 + 0.5) / 10000 END + 0) + 0 AS cos
       |FROM pr
       |QUALIFY rk <= 3
       |ORDER BY vec_id, rk""".stripMargin
@@ -951,7 +951,7 @@ object AnnOps {
   private val qtSql =
     """qt AS (
       |  SELECT vec_id,
-      |    list_transform(u, x -> CAST(round(x * 127) AS BIGINT)) AS q
+      |    list_transform(u, x -> CAST((CASE WHEN NOT (abs(x * 127) < 9.0e15) THEN (x * 127) WHEN (x * 127) < 0 THEN -(floor(-(x * 127) + 0.5)) ELSE floor((x * 127) + 0.5) END + 0) AS BIGINT)) AS q
       |  FROM uv)""".stripMargin
 
   /** Matvec fragment of the PCA twin: w = C·v with the inner sums
@@ -1019,9 +1019,9 @@ object AnnOps {
          |pv AS (SELECT lv < 0 AS neg FROM vi
          |       ORDER BY abs(lv) DESC, i ASC LIMIT 1)
          |SELECT CAST(vi.i AS INT) AS dim,
-         |  round(CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END, 4) + 0
+         |  (CASE WHEN NOT (abs(CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) < 9.0e11) THEN (CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) WHEN (CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) < 0 THEN -(floor(-(CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) * 10000 + 0.5) / 10000) ELSE floor((CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) * 10000 + 0.5) / 10000 END + 0) + 0
          |    AS loading,
-         |  round(vi.lambda, 4) + 0 AS eigenvalue, nn.n AS n
+         |  (CASE WHEN NOT (abs(vi.lambda) < 9.0e11) THEN (vi.lambda) WHEN (vi.lambda) < 0 THEN -(floor(-(vi.lambda) * 10000 + 0.5) / 10000) ELSE floor((vi.lambda) * 10000 + 0.5) / 10000 END + 0) + 0 AS eigenvalue, nn.n AS n
          |FROM vi, pv, nn ORDER BY dim""".stripMargin,
     // Same arithmetic as the Spark side, step for step: cast to double,
     // unit-normalize elementwise, then plain dots (list_cosine_similarity
@@ -1055,7 +1055,7 @@ object AnnOps {
          |SELECT vec_id,
          |  CAST(row_number() OVER (PARTITION BY vec_id
          |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
-         |  nn_id, round(cos, 4) + 0 AS cos
+         |  nn_id, (CASE WHEN NOT (abs(cos) < 9.0e11) THEN (cos) WHEN (cos) < 0 THEN -(floor(-(cos) * 10000 + 0.5) / 10000) ELSE floor((cos) * 10000 + 0.5) / 10000 END + 0) + 0 AS cos
          |FROM pr
          |QUALIFY rk <= 3
          |ORDER BY vec_id, rk""".stripMargin,
@@ -1106,7 +1106,7 @@ object AnnOps {
          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          |SELECT least(vec_id, nn_id) AS vec_a,
          |  greatest(vec_id, nn_id) AS vec_b,
-         |  round(max(cos), 4) + 0 AS cos
+         |  (CASE WHEN NOT (abs(max(cos)) < 9.0e11) THEN (max(cos)) WHEN (max(cos)) < 0 THEN -(floor(-(max(cos)) * 10000 + 0.5) / 10000) ELSE floor((max(cos)) * 10000 + 0.5) / 10000 END + 0) + 0 AS cos
          |FROM pr WHERE cos >= 0.4
          |GROUP BY 1, 2 ORDER BY vec_a, vec_b""".stripMargin,
     // semantic decontamination: corpus probes × benchmark home cells
@@ -1125,7 +1125,7 @@ object AnnOps {
          |  FROM corpus a JOIN bench b
          |    ON a.cell = b.cell AND a.vec_id <> b.vec_id)
          |SELECT vec_id AS doc_id, count(*) AS n_bench_hits,
-         |  round(max(cos), 4) + 0 AS max_cos
+         |  (CASE WHEN NOT (abs(max(cos)) < 9.0e11) THEN (max(cos)) WHEN (max(cos)) < 0 THEN -(floor(-(max(cos)) * 10000 + 0.5) / 10000) ELSE floor((max(cos)) * 10000 + 0.5) / 10000 END + 0) + 0 AS max_cos
          |FROM pr WHERE cos >= 0.4
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // incremental index twin: Lloyd runs on the BASE split's sample
@@ -1210,7 +1210,7 @@ object AnnOps {
         |SELECT vec_id,
         |  CAST(row_number() OVER (PARTITION BY vec_id
         |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
-        |  nn_id, round(cos, 4) + 0 AS cos
+        |  nn_id, (CASE WHEN NOT (abs(cos) < 9.0e11) THEN (cos) WHEN (cos) < 0 THEN -(floor(-(cos) * 10000 + 0.5) / 10000) ELSE floor((cos) * 10000 + 0.5) / 10000 END + 0) + 0 AS cos
         |FROM pr
         |QUALIFY rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,
@@ -1239,7 +1239,7 @@ object AnnOps {
         |SELECT vec_id,
         |  CAST(row_number() OVER (PARTITION BY vec_id
         |    ORDER BY cos DESC, nn_id ASC) AS INT) AS rk,
-        |  nn_id, round(cos, 4) + 0 AS cos
+        |  nn_id, (CASE WHEN NOT (abs(cos) < 9.0e11) THEN (cos) WHEN (cos) < 0 THEN -(floor(-(cos) * 10000 + 0.5) / 10000) ELSE floor((cos) * 10000 + 0.5) / 10000 END + 0) + 0 AS cos
         |FROM pr
         |QUALIFY rk <= 3
         |ORDER BY vec_id, rk""".stripMargin,
@@ -1355,16 +1355,19 @@ object AnnOps {
         |  FROM e),
         |q AS (
         |  SELECT vec_id, v, max_abs,
-        |    list_transform(v, x -> CAST(round(x * 127.0 / max_abs) AS INT))
+        |    list_transform(v, x -> CAST((CASE WHEN NOT (abs(x * 127.0 / max_abs) < 9.0e15) THEN (x * 127.0 / max_abs) WHEN (x * 127.0 / max_abs) < 0 THEN -(floor(-(x * 127.0 / max_abs) + 0.5)) ELSE floor((x * 127.0 / max_abs) + 0.5) END + 0) AS INT))
         |      AS qv
         |  FROM m)
         |SELECT vec_id,
-        |  round(max_abs, 4) AS max_abs,
+        |  (CASE WHEN NOT (abs(max_abs) < 9.0e11) THEN (max_abs) WHEN (max_abs) < 0 THEN -(floor(-(max_abs) * 10000 + 0.5) / 10000) ELSE floor((max_abs) * 10000 + 0.5) / 10000 END + 0) AS max_abs,
         |  CAST(to_json(qv) AS VARCHAR) AS q8,
         |  CAST(list_sum(list_transform(
         |    list_zip(v, qv),
-        |    p -> CAST(round(abs(p[1] - CAST(p[2] AS DOUBLE) * max_abs
-        |      / 127.0) * 1e12) AS BIGINT))) AS BIGINT) AS sae_e12
+        |    p -> CAST((CASE WHEN NOT (abs(abs(p[1] - CAST(p[2] AS DOUBLE)
+        |        * max_abs / 127.0) * 1e12) < 9.0e15)
+        |      THEN (abs(p[1] - CAST(p[2] AS DOUBLE) * max_abs / 127.0) * 1e12)
+        |      ELSE floor((abs(p[1] - CAST(p[2] AS DOUBLE) * max_abs / 127.0)
+        |        * 1e12) + 0.5) END + 0) AS BIGINT))) AS BIGINT) AS sae_e12
         |FROM q ORDER BY vec_id""".stripMargin
   )
 }

@@ -1003,13 +1003,25 @@ object LlmOps {
     // block size × blocks, not n²; levenshtein verifies candidates
     // only. Both engines compute the identical integer distance.
     "j_dedup_fuzzy_names" -> { (s, d) =>
+      // Distance semantics (r14, found by the boundary fuzzer's
+      // unicode names): the emitted `dist` is the UTF-8 BYTE edit
+      // distance — DuckDB's levenshtein is byte-based while Spark's
+      // counts codepoints, and the two diverge on any multi-byte
+      // script (a one-codepoint CJK substitution is a 3-byte edit).
+      // The Spark side projects each name onto its byte string
+      // (UTF-8 bytes re-read as ISO-8859-1, a byte↔char bijection) so
+      // both engines score identically; on ASCII names — the fixture
+      // domain — byte and character distance coincide, and on
+      // multibyte scripts the byte distance upper-bounds it.
+      def bytesOf(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
       val c = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"),
           substring(col("c_name"), 1, 17).as("blk"))
       c.as("a").join(c.as("b"),
           col("a.blk") === col("b.blk") &&
             col("a.c_custkey") < col("b.c_custkey"))
-        .withColumn("dist", levenshtein(col("a.c_name"), col("b.c_name")))
+        .withColumn("dist",
+          levenshtein(bytesOf(col("a.c_name")), bytesOf(col("b.c_name"))))
         .filter(col("dist") <= 2)
         .select(col("a.c_custkey").as("key_a"),
           col("b.c_custkey").as("key_b"), col("dist"))
@@ -1509,7 +1521,7 @@ object LlmOps {
          |  JOIN w wb ON wb.doc_id = c.doc_b AND wb.term = wa.term
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
-         |  round(num / (na.nrm * nb.nrm), 4) + 0 AS sim
+         |  (CASE WHEN NOT (abs(num / (na.nrm * nb.nrm)) < 9.0e11) THEN (num / (na.nrm * nb.nrm)) WHEN (num / (na.nrm * nb.nrm)) < 0 THEN -(floor(-(num / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000) ELSE floor((num / (na.nrm * nb.nrm)) * 10000 + 0.5) / 10000 END + 0) + 0 AS sim
          |FROM num
          |JOIN norms na ON na.doc_id = doc_a
          |JOIN norms nb ON nb.doc_id = doc_b
@@ -1812,12 +1824,32 @@ object LlmOps {
     "j_dedup_incremental_stored" -> incrementalDedupSql,
     "j_sim_cosine_topk" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |  (CASE WHEN NOT (abs(list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |                             CAST(b.embedding AS DOUBLE[]))))) < 9.0e11) THEN (list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) WHEN (list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) < 0 THEN -(floor(-(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) * 10000 + 0.5) / 10000) ELSE floor((list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) * 10000 + 0.5) / 10000 END + 0) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
     "j_sample_hard_negative" ->
@@ -1834,7 +1866,7 @@ object LlmOps {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label <> b.label)
         |SELECT a_id AS vec_id, a_label AS label, b_id AS neg_id,
-        |  b_label AS neg_label, round(cos, 4) AS cos
+        |  b_label AS neg_label, (CASE WHEN NOT (abs(cos) < 9.0e11) THEN (cos) WHEN (cos) < 0 THEN -(floor(-(cos) * 10000 + 0.5) / 10000) ELSE floor((cos) * 10000 + 0.5) / 10000 END + 0) AS cos
         |FROM pairs
         |QUALIFY row_number() OVER (PARTITION BY a_id
         |  ORDER BY cos DESC, b_id ASC) = 1
@@ -1902,13 +1934,17 @@ object LlmOps {
         |      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
         |               tf.term ASC) AS rn
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
-        |SELECT doc_id, CAST(rn AS INT) AS rn, term, round(score, 4) AS score
+        |SELECT doc_id, CAST(rn AS INT) AS rn, term, (CASE WHEN NOT (abs(score) < 9.0e11) THEN (score) WHEN (score) < 0 THEN -(floor(-(score) * 10000 + 0.5) / 10000) ELSE floor((score) * 10000 + 0.5) / 10000 END + 0) AS score
         |FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "j_multimodal_join" ->
       """SELECT doc_id, lang,
         |  CAST(len(string_split(text,' ')) AS INT) AS n_tok, label,
-        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-        |                              CAST(embedding AS DOUBLE[]))), 4) AS l2
+        |  (CASE WHEN NOT (abs(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[])))) < 9.0e11) THEN (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[])))) WHEN (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[])))) < 0 THEN -(floor(-(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[])))) * 10000 + 0.5) / 10000) ELSE floor((sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[])))) * 10000 + 0.5) / 10000 END + 0) AS l2
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id""".stripMargin,
     "j_lang_detect_heuristic" ->

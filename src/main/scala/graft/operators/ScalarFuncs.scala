@@ -354,10 +354,10 @@ object ScalarFuncs {
         |  abs(l_discount - 0.05) AS disc_abs,
         |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
         |  CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
-        |  round(pow(l_quantity, 2), 4) AS qty_sq,
-        |  round(sqrt(l_extendedprice), 4) AS price_sqrt,
-        |  round(ln(l_extendedprice), 4) AS price_ln,
-        |  round(log10(l_extendedprice), 4) AS price_log10,
+        |  (CASE WHEN NOT (abs(pow(l_quantity, 2)) < 9.0e11) THEN (pow(l_quantity, 2)) WHEN (pow(l_quantity, 2)) < 0 THEN -(floor(-(pow(l_quantity, 2)) * 10000 + 0.5) / 10000) ELSE floor((pow(l_quantity, 2)) * 10000 + 0.5) / 10000 END + 0) AS qty_sq,
+        |  (CASE WHEN NOT (abs(sqrt(l_extendedprice)) < 9.0e11) THEN (sqrt(l_extendedprice)) WHEN (sqrt(l_extendedprice)) < 0 THEN -(floor(-(sqrt(l_extendedprice)) * 10000 + 0.5) / 10000) ELSE floor((sqrt(l_extendedprice)) * 10000 + 0.5) / 10000 END + 0) AS price_sqrt,
+        |  (CASE WHEN NOT (abs(ln(l_extendedprice)) < 9.0e11) THEN (ln(l_extendedprice)) WHEN (ln(l_extendedprice)) < 0 THEN -(floor(-(ln(l_extendedprice)) * 10000 + 0.5) / 10000) ELSE floor((ln(l_extendedprice)) * 10000 + 0.5) / 10000 END + 0) AS price_ln,
+        |  (CASE WHEN NOT (abs(log10(l_extendedprice)) < 9.0e11) THEN (log10(l_extendedprice)) WHEN (log10(l_extendedprice)) < 0 THEN -(floor(-(log10(l_extendedprice)) * 10000 + 0.5) / 10000) ELSE floor((log10(l_extendedprice)) * 10000 + 0.5) / 10000 END + 0) AS price_log10,
         |  ((l_orderkey % 7) + 7) % 7 AS key_mod7,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, price_sqrt,

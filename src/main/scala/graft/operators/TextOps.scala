@@ -1523,16 +1523,36 @@ object TextOps {
         |         CAST(min(n_docs) AS BIGINT) AS n_min FROM b)
         |SELECT source, n_docs,
         |  (n_min * 10000) // n_docs AS keep_rate_bp,
-        |  round(sqrt(CAST(n_docs AS DOUBLE) / n_total), 4) AS mix_weight
+        |  (CASE WHEN NOT (abs(sqrt(CAST(n_docs AS DOUBLE) / n_total)) < 9.0e11) THEN (sqrt(CAST(n_docs AS DOUBLE) / n_total)) WHEN (sqrt(CAST(n_docs AS DOUBLE) / n_total)) < 0 THEN -(floor(-(sqrt(CAST(n_docs AS DOUBLE) / n_total)) * 10000 + 0.5) / 10000) ELSE floor((sqrt(CAST(n_docs AS DOUBLE) / n_total)) * 10000 + 0.5) / 10000 END + 0) AS mix_weight
         |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
     "j_dedup_embed_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |  (CASE WHEN NOT (abs(list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |                             CAST(b.embedding AS DOUBLE[]))))) < 9.0e11) THEN (list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) WHEN (list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) < 0 THEN -(floor(-(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) * 10000 + 0.5) / 10000) ELSE floor((list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) * 10000 + 0.5) / 10000 END + 0) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |                       CAST(b.embedding AS DOUBLE[]))
@@ -1637,7 +1657,7 @@ object TextOps {
       s"""WITH b AS (
          |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
          |sq AS (
-         |  SELECT source, n_docs, round(sqrt(n_docs), 4) AS sw FROM b),
+         |  SELECT source, n_docs, (CASE WHEN NOT (abs(sqrt(n_docs)) < 9.0e11) THEN (sqrt(n_docs)) WHEN (sqrt(n_docs)) < 0 THEN -(floor(-(sqrt(n_docs)) * 10000 + 0.5) / 10000) ELSE floor((sqrt(n_docs)) * 10000 + 0.5) / 10000 END + 0) AS sw FROM b),
          |t AS (
          |  SELECT ${Det.dsumSql("sw")} AS sw_sum,
          |    SUM(n_docs) // 2 AS n_target FROM sq),
@@ -1664,7 +1684,7 @@ object TextOps {
         |  SELECT doc_id, n_chars, key,
         |    row_number() OVER (ORDER BY key DESC, doc_id ASC) AS rn
         |  FROM r)
-        |SELECT doc_id, n_chars, round(key, 4) AS key, CAST(rn AS INT) AS rn
+        |SELECT doc_id, n_chars, (CASE WHEN NOT (abs(key) < 9.0e11) THEN (key) WHEN (key) < 0 THEN -(floor(-(key) * 10000 + 0.5) / 10000) ELSE floor((key) * 10000 + 0.5) / 10000 END + 0) AS key, CAST(rn AS INT) AS rn
         |FROM ranked WHERE rn <= 100 ORDER BY rn""".stripMargin,
     // the same contiguous-packing algebra as the Spark entry: running
     // token offset per source, sequence = offset // budget
@@ -2015,8 +2035,12 @@ object TextOps {
         |big AS (
         |  SELECT prev, cur, count(*) AS bc FROM pairs GROUP BY prev, cur)
         |SELECT b.prev, b.cur, b.bc,
-        |  round(ln(CAST(b.bc AS DOUBLE) * t.n /
-        |    (CAST(u1.uc AS DOUBLE) * u2.uc)), 4) AS pmi
+        |  (CASE WHEN NOT (abs(ln(CAST(b.bc AS DOUBLE) * t.n /
+        |    (CAST(u1.uc AS DOUBLE) * u2.uc))) < 9.0e11) THEN (ln(CAST(b.bc AS DOUBLE) * t.n /
+        |    (CAST(u1.uc AS DOUBLE) * u2.uc))) WHEN (ln(CAST(b.bc AS DOUBLE) * t.n /
+        |    (CAST(u1.uc AS DOUBLE) * u2.uc))) < 0 THEN -(floor(-(ln(CAST(b.bc AS DOUBLE) * t.n /
+        |    (CAST(u1.uc AS DOUBLE) * u2.uc))) * 10000 + 0.5) / 10000) ELSE floor((ln(CAST(b.bc AS DOUBLE) * t.n /
+        |    (CAST(u1.uc AS DOUBLE) * u2.uc))) * 10000 + 0.5) / 10000 END + 0) AS pmi
         |FROM big b
         |JOIN uni u1 ON b.prev = u1.tok
         |JOIN uni u2 ON b.cur = u2.tok, tot t
@@ -2038,13 +2062,37 @@ object TextOps {
          |    max(CASE WHEN c.half = 'b'
          |      THEN CAST(c AS DOUBLE) / t END) AS pb
          |  FROM c JOIN tot ON c.half = tot.half GROUP BY tok)
-         |SELECT round(CAST(SUM(CAST(
+         |SELECT (CASE WHEN NOT (abs(CAST(SUM(CAST(
          |    0.5 * (CASE WHEN pa IS NULL OR pa = 0 THEN 0
          |      ELSE pa * ln(pa / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
          |      END)
          |  + 0.5 * (CASE WHEN pb IS NULL OR pb = 0 THEN 0
          |      ELSE pb * ln(pb / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
-         |      END) AS DECIMAL(24,12))) AS DOUBLE), 4) AS js_nats,
+         |      END) AS DECIMAL(24,12))) AS DOUBLE)) < 9.0e11) THEN (CAST(SUM(CAST(
+         |    0.5 * (CASE WHEN pa IS NULL OR pa = 0 THEN 0
+         |      ELSE pa * ln(pa / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END)
+         |  + 0.5 * (CASE WHEN pb IS NULL OR pb = 0 THEN 0
+         |      ELSE pb * ln(pb / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END) AS DECIMAL(24,12))) AS DOUBLE)) WHEN (CAST(SUM(CAST(
+         |    0.5 * (CASE WHEN pa IS NULL OR pa = 0 THEN 0
+         |      ELSE pa * ln(pa / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END)
+         |  + 0.5 * (CASE WHEN pb IS NULL OR pb = 0 THEN 0
+         |      ELSE pb * ln(pb / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END) AS DECIMAL(24,12))) AS DOUBLE)) < 0 THEN -(floor(-(CAST(SUM(CAST(
+         |    0.5 * (CASE WHEN pa IS NULL OR pa = 0 THEN 0
+         |      ELSE pa * ln(pa / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END)
+         |  + 0.5 * (CASE WHEN pb IS NULL OR pb = 0 THEN 0
+         |      ELSE pb * ln(pb / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END) AS DECIMAL(24,12))) AS DOUBLE)) * 10000 + 0.5) / 10000) ELSE floor((CAST(SUM(CAST(
+         |    0.5 * (CASE WHEN pa IS NULL OR pa = 0 THEN 0
+         |      ELSE pa * ln(pa / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END)
+         |  + 0.5 * (CASE WHEN pb IS NULL OR pb = 0 THEN 0
+         |      ELSE pb * ln(pb / ((coalesce(pa,0) + coalesce(pb,0)) / 2))
+         |      END) AS DECIMAL(24,12))) AS DOUBLE)) * 10000 + 0.5) / 10000 END + 0) AS js_nats,
          |  count(*) AS vocab
          |FROM p""".stripMargin
   )

@@ -97,16 +97,36 @@ object UdfOps {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "l_udaf_aggregator" ->
       """SELECT l_returnflag,
-        |  round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price
+        |  (CASE WHEN NOT (abs(exp(avg(ln(l_extendedprice)))) < 9.0e11) THEN (exp(avg(ln(l_extendedprice)))) WHEN (exp(avg(ln(l_extendedprice)))) < 0 THEN -(floor(-(exp(avg(ln(l_extendedprice)))) * 10000 + 0.5) / 10000) ELSE floor((exp(avg(ln(l_extendedprice)))) * 10000 + 0.5) / 10000 END + 0) AS geo_mean_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "l_expr_native_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |  (CASE WHEN NOT (abs(list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |                         CAST(b.embedding AS DOUBLE[]))
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(a.embedding AS DOUBLE[])))
         |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |                             CAST(b.embedding AS DOUBLE[]))))) < 9.0e11) THEN (list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) WHEN (list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) < 0 THEN -(floor(-(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) * 10000 + 0.5) / 10000) ELSE floor((list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                         CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(a.embedding AS DOUBLE[])))
+        |     * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[]))))) * 10000 + 0.5) / 10000 END + 0) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 10""".stripMargin,
     "l_udtf_flatmap" ->

@@ -518,7 +518,7 @@ object Windows {
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, value,
-        |  round((value - s/n) / sqrt((sq - s*s/n) / (n-1)), 4) AS z
+        |  (CASE WHEN NOT (abs((value - s/n) / sqrt((sq - s*s/n) / (n-1))) < 9.0e11) THEN ((value - s/n) / sqrt((sq - s*s/n) / (n-1))) WHEN ((value - s/n) / sqrt((sq - s*s/n) / (n-1))) < 0 THEN -(floor(-((value - s/n) / sqrt((sq - s*s/n) / (n-1))) * 10000 + 0.5) / 10000) ELSE floor(((value - s/n) / sqrt((sq - s*s/n) / (n-1))) * 10000 + 0.5) / 10000 END + 0) AS z
         |FROM w
         |WHERE n >= 10 AND (sq - s*s/n) / (n-1) > 0
         |  AND abs((value - s/n) / sqrt((sq - s*s/n) / (n-1))) > 2
