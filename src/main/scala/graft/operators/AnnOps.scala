@@ -58,8 +58,15 @@ object AnnOps {
 
   /** Seed centroids for the oracled IVF entries: the first 16 unit
     * vectors (deterministic, DuckDB-checkable). */
+  /** Seed cells = the 16 LOWEST vec_ids — RANK-based (r14): the old
+    * `vec_id < 16` literal assumed an id space rooted at 0 and
+    * silently yielded ZERO centroids (hence zero output) on any
+    * shifted id space — found by the ZipfGen corpora, whose ids start
+    * at 10⁹. On the fixtures (contiguous ids from 0) the rank form is
+    * value-identical. Plan cost: one 16-row sort-limit on (id, vec) —
+    * broadcast-joined back, no full shuffle. */
   private def seedCentroids(u: DataFrame): DataFrame =
-    u.filter(col("vec_id") < 16)
+    broadcast(u.orderBy("vec_id").limit(16))
       .select(col("vec_id").as("cell_id"), col("u").as("cu"))
 
   /** Deterministic sampled spherical k-means (Lloyd's) for IVF
@@ -624,7 +631,13 @@ object AnnOps {
     "j_decontam_embed" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val u = unit(s, d)
-      decontamPairs(u, col("vec_id") < 32,
+      // bench set = the 32 LOWEST vec_ids via a scalar-subquery cutoff
+      // (r14: rank-based, portable to any id space; identical on the
+      // fixtures' 0-rooted ids)
+      decontamPairs(u,
+          col("vec_id") <= org.apache.spark.sql.GraftPlanBridge
+            .scalarSubquery(u.orderBy("vec_id").limit(32)
+              .agg(max(col("vec_id")))),
           Tables.rowCount(s, d, "embeddings"))
         .groupBy(col("vec_id").as("doc_id"))
         .agg(count(lit(1)).as("n_bench_hits"),
@@ -723,9 +736,17 @@ object AnnOps {
     "j_ann_lsh_topk" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val u = unit(s, d)
-      val planes = u.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("plane_id"), col("u").as("pu"))
-      val sig = u.join(broadcast(planes))
+      // planes = the 8 LOWEST vec_ids with RANK-derived bit positions
+      // (r14: the old `vec_id < 8` literal + pow(2, vec_id) assumed an
+      // id space rooted at 0 — zero planes and overflowing bit
+      // positions on shifted ids; rank form is value-identical on the
+      // fixtures)
+      val planes = broadcast(u.orderBy("vec_id").limit(8)
+        .withColumn("plane_id", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
+          .cast(LongType) - 1)
+        .select(col("plane_id"), col("u").as("pu")))
+      val sig = u.join(planes)
         .withColumn("pdot", expr("graft_dot(u, pu)"))
         .groupBy("vec_id")
         .agg(sum(when(col("pdot") >= 0,
@@ -1115,10 +1136,12 @@ object AnnOps {
       s"""WITH $uvSql,
          |${lloydSql(k = 16, iters = 5, maxSample = 256)},
          |${rankSql("rk_all", "uv", "c5")},
+         |bcut AS (SELECT max(vec_id) AS c FROM
+         |  (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 32) t),
          |corpus AS (SELECT vec_id, cell_id AS cell, u FROM rk_all
-         |           WHERE rn <= 8 AND vec_id >= 32),
+         |           WHERE rn <= 8 AND vec_id > (SELECT c FROM bcut)),
          |bench AS (SELECT vec_id, cell_id AS cell, u FROM rk_all
-         |          WHERE rn = 1 AND vec_id < 32),
+         |          WHERE rn = 1 AND vec_id <= (SELECT c FROM bcut)),
          |pr AS (
          |  SELECT a.vec_id, b.vec_id AS nn_id,
          |         list_dot_product(a.u, b.u) AS cos
@@ -1197,9 +1220,11 @@ object AnnOps {
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ec),
         |uv AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM un),
+        |seeds AS (
+        |  SELECT vec_id, u FROM uv ORDER BY vec_id LIMIT 16),
         |asg AS (
         |  SELECT e.vec_id, c.vec_id AS cell, e.u
-        |  FROM uv e JOIN uv c ON c.vec_id < 16
+        |  FROM uv e JOIN seeds c ON true
         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
         |    ORDER BY list_dot_product(e.u, c.u) DESC, c.vec_id ASC) = 1),
         |pr AS (
@@ -1221,12 +1246,15 @@ object AnnOps {
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ec),
         |uv AS (
         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM un),
+        |planes AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id, u
+        |  FROM (SELECT vec_id, u FROM uv ORDER BY vec_id LIMIT 8) t),
         |sig AS (
         |  SELECT e.vec_id,
         |    SUM(CASE WHEN list_dot_product(e.u, p.u) >= 0
-        |             THEN CAST(power(2, p.vec_id) AS BIGINT)
+        |             THEN CAST(power(2, p.plane_id) AS BIGINT)
         |             ELSE 0 END) AS bucket
-        |  FROM uv e JOIN uv p ON p.vec_id < 8
+        |  FROM uv e JOIN planes p ON true
         |  GROUP BY e.vec_id),
         |asg AS (
         |  SELECT s.vec_id, s.bucket, u.u
@@ -1253,9 +1281,11 @@ object AnnOps {
         |uv AS (
         |  SELECT vec_id, label, list_transform(v, x -> x / nrm) AS u
         |  FROM un),
+        |seeds AS (
+        |  SELECT vec_id, u FROM uv ORDER BY vec_id LIMIT 16),
         |asg AS (
         |  SELECT e.vec_id, e.label, e.u, c.vec_id AS cell
-        |  FROM uv e JOIN uv c ON c.vec_id < 16
+        |  FROM uv e JOIN seeds c ON true
         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
         |    ORDER BY list_dot_product(e.u, c.u) DESC, c.vec_id ASC) = 1),
         |top5 AS (

@@ -474,13 +474,18 @@ object TextOps {
       val ex = Par.spread(Tables.documents(s, d))
         .select(col("doc_id"), explode(expr("graft_shingles(text, 3)"))
           .as("shingle"))
-      val bench = ex.filter(col("doc_id") < 5)
+      // bench set = the 5 LOWEST doc_ids via a scalar-subquery cutoff
+      // (r14: rank-based, portable to any id space)
+      val cut = org.apache.spark.sql.GraftPlanBridge.scalarSubquery(
+        Tables.documents(s, d).orderBy("doc_id").limit(5)
+          .agg(max(col("doc_id"))))
+      val bench = ex.filter(col("doc_id") <= cut)
         .select(col("shingle")).distinct()
       val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val hits = ex.filter(col("doc_id") >= 5)
+      val hits = ex.filter(col("doc_id") > cut)
         .join(broadcast(bench), "shingle")
         .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      sizes.filter(col("doc_id") >= 5)
+      sizes.filter(col("doc_id") > cut)
         .join(hits, Seq("doc_id"), "left")
         .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
         .withColumn("contam_bp", expr("(n_hit * 10000) div n_sh"))
@@ -1505,16 +1510,19 @@ object TextOps {
     "j_text_contamination" ->
       s"""WITH sh AS (SELECT doc_id, ${LlmOps.shSql} AS s FROM documents),
          |ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
-         |bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 5),
+         |bcut AS (SELECT max(doc_id) AS c FROM
+         |  (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5) t),
+         |bench AS (SELECT DISTINCT shingle FROM ex
+         |          WHERE doc_id <= (SELECT c FROM bcut)),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
          |hits AS (
          |  SELECT ex.doc_id, count(*) AS n_hit
          |  FROM ex JOIN bench USING (shingle)
-         |  WHERE ex.doc_id >= 5 GROUP BY ex.doc_id)
+         |  WHERE ex.doc_id > (SELECT c FROM bcut) GROUP BY ex.doc_id)
          |SELECT s.doc_id, s.n_sh, coalesce(h.n_hit, 0) AS n_hit,
          |  (coalesce(h.n_hit, 0) * 10000) // s.n_sh AS contam_bp
          |FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
-         |WHERE s.doc_id >= 5 ORDER BY s.doc_id""".stripMargin,
+         |WHERE s.doc_id > (SELECT c FROM bcut) ORDER BY s.doc_id""".stripMargin,
     "j_sample_mix_weights" ->
       """WITH b AS (
         |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
