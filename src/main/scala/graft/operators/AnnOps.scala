@@ -729,19 +729,34 @@ object AnnOps {
     },
 
     // LSH-bucketed ANN — the second bucketing family next to IVF:
-    // random-hyperplane signatures (normals = the first 8 unit vectors,
-    // deterministic stand-in for sampled Gaussian planes) give a
-    // 256-bucket partition; search runs within a bucket. Same scale
-    // shape as IVF: narrow signature pass, one co-location per bucket.
+    // random-hyperplane signatures (normals = the N lowest unit
+    // vectors, deterministic stand-in for sampled Gaussian planes)
+    // give a 2^N-bucket partition; search runs within a bucket.
+    //
+    // N is the SCALE knob (`spark.graft.ann.lshPlanes`, default 8 —
+    // the value the oracle twin pins): bucket count must grow with
+    // the corpus or per-bucket pairing turns quadratic — the r14
+    // sf10 stress MEASURED it (202 k vectors ÷ 2⁸ fixed buckets →
+    // 489 s, exponent ≈ 2.0; at 14 planes / 2¹⁴ buckets the same
+    // corpus runs in seconds — SCALE.md §r14). Size N ≈
+    // log2(n / target_bucket_size), a per-index write-time choice
+    // exactly like the IVF cell count and the store bucket count.
     "j_ann_lsh_topk" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
+      val nPlanes = s.conf.getOption("spark.graft.ann.lshPlanes")
+        .map(_.toInt).getOrElse(8)
       val u = unit(s, d)
-      // planes = the 8 LOWEST vec_ids with RANK-derived bit positions
-      // (r14: the old `vec_id < 8` literal + pow(2, vec_id) assumed an
-      // id space rooted at 0 — zero planes and overflowing bit
-      // positions on shifted ids; rank form is value-identical on the
-      // fixtures)
-      val planes = broadcast(u.orderBy("vec_id").limit(8)
+      // planes = the N lowest-id DISTINCT vectors with RANK-derived
+      // bit positions (r14, two finds: the old `vec_id < 8` literal +
+      // pow(2, vec_id) assumed an id space rooted at 0 — zero planes
+      // on shifted ids; and on a dup-dense corpus the lowest ids can
+      // be EXACT COPIES of one vector, collapsing every signature bit
+      // to one direction and re-merging the buckets — measured on the
+      // Zipf corpus. Distinct-by-content selection is value-identical
+      // on the fixtures, whose vectors are unique.)
+      val planes = broadcast(u.groupBy("u")
+        .agg(min(col("vec_id")).as("vec_id"))
+        .orderBy("vec_id").limit(nPlanes)
         .withColumn("plane_id", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
           .cast(LongType) - 1)
@@ -1248,7 +1263,8 @@ object AnnOps {
         |  SELECT vec_id, list_transform(v, x -> x / nrm) AS u FROM un),
         |planes AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS plane_id, u
-        |  FROM (SELECT vec_id, u FROM uv ORDER BY vec_id LIMIT 8) t),
+        |  FROM (SELECT min(vec_id) AS vec_id, u FROM uv GROUP BY u
+        |        ORDER BY vec_id LIMIT 8) t),
         |sig AS (
         |  SELECT e.vec_id,
         |    SUM(CASE WHEN list_dot_product(e.u, p.u) >= 0
