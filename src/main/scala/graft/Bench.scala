@@ -67,7 +67,13 @@ object Bench {
     // cache any resident engine keeps; DuckDB gets the same effect from
     // the OS page cache + its buffer pool). Disable with
     // SPARK_GRAFT_CACHE=0.
-    if (cache) {
+    // SPARK_GRAFT_PIN=0 keeps the two-phase protocol but skips the
+    // fixture-table pin — the control for attributing any cached-vs-
+    // uncached total inversion to the pin itself vs session aging
+    // (GC/block-manager growth across 400+ queries). r14's driver run
+    // showed cached 201.5 s > uncached 154.5 s; see SCALE.md §r15.
+    val pin = sys.env.getOrElse("SPARK_GRAFT_PIN", "1") == "1"
+    if (cache && pin) {
       val tables: Seq[org.apache.spark.sql.DataFrame] = Seq(
         Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
         Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
@@ -98,7 +104,17 @@ object Bench {
       "f_topk_limit", "g_union_distinct", "h_string_funcs",
       "i_upsert_latest_wins", "j_sim_cosine_topk", "j_dedup_near_minhash",
       "j_knn_per_vector", "k_window_session", "l_expr_native_cosine")
-    val results = suiteResults ++ headline.flatMap { k =>
+    // r15 (VERDICT r14 item 3): the quiet re-measure now also covers
+    // the TOP-10 SLOWEST suite entries, not just the headline keys —
+    // the r14 driver run charged 13.2 s to j_text_langid (isolated:
+    // 1.3-2.1 s) because a heavy neighbor's GC/unpersist tail landed in
+    // BOTH min-of-2 passes; the slowest map is exactly where that
+    // noise is most misleading, so it gets the same
+    // not-preceded-by-arbitrary-neighbors re-run.
+    val requiet =
+      (headline ++ suiteResults.toSeq.sortBy(-_._2).take(10).map(_._1))
+        .distinct
+    val results = suiteResults ++ requiet.flatMap { k =>
       SparkEntry.queries.get(k).map { fn =>
         k -> math.min(suiteResults(k), timeQ(fn))
       }

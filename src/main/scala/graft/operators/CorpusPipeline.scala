@@ -84,17 +84,12 @@ object CorpusPipeline {
       val thr = scored.agg(expr("percentile(lm_score, 0.25)").as("thr"))
       val keep = scored.crossJoin(broadcast(thr))
         .filter(col("lm_score") >= col("thr")).select("doc_id")
-      val survivors = graft.Par.spread(d0.join(keep, "doc_id"))
-      // The INLINE survivor frame is localCheckpoint'ed (materialized,
-      // lineage cut): the 5-stage chain + 6-row ledger reference
-      // stage 1 from many places, and carrying the LM subplan (itself
-      // a multi-reference tree) through each reference made the
-      // COMPOSITE plan tree explode — the optimizer walks trees, not
-      // DAGs, so analysis cost went exponential (measured: 2 GB plan
-      // strings, 60 s+ audits). On the STORED path the scores subplan
-      // is a catalog LEAF — no tree to duplicate — so the checkpoint
-      // (and its materialization cost) is skipped.
-      if (lmPrefix.isDefined) survivors else survivors.localCheckpoint(true)
+      // [[stages]] pins (localCheckpoint) every stage frame, so the LM
+      // subplan — itself a multi-reference tree — never reaches the
+      // composite chain on either path (pre-r15 only the inline path
+      // was checkpointed, and only against plan-tree explosion; r15
+      // pins all stages against AQE stage-barrier replanning too).
+      graft.Par.spread(d0.join(keep, "doc_id"))
     case _ =>
       // exact basis-point score ≥ 6000 (tier mid/high — the same
       // integer arithmetic as j_text_quality)
@@ -116,17 +111,34 @@ object CorpusPipeline {
     graft.functions.VectorExprs.register(s)
     val d0 = graft.Caches.persisted(docs0)
 
+    // Every stage frame is EAGERLY pinned (localCheckpoint: materialize
+    // + cut lineage) rather than lazily persisted (r15, VERDICT r14
+    // item 2): a persisted stage still carries the whole prefix plan,
+    // so under the production AQE-on config each of the chain's
+    // consumers re-planned dozens of KB-sized exchanges, every one an
+    // AQE stage barrier — measured 14 s/32 s steady-state at sf0.1 for
+    // the two audits, 10× their AQE-off cost. With the pin, stage i's
+    // job plans ONLY stage i's own exchanges (its input is an RDD
+    // leaf), each exchange is planned exactly once across the whole
+    // audit, and the ledger is a single trivial job over six leaves
+    // (measured: back to the AQE-off envelope). At cluster scale the
+    // pin maps to the checkpointed stage tables a production run
+    // ledger writes anyway (see the class scaladoc); block cleanup is
+    // the ContextCleaner's — frames unpin when the audit's result is
+    // dropped, and sizes are survivor-set-bounded.
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
     // 1. quality gate — heuristic or bigram-LM, see [[qualityStage]]
     val effGate = gate.getOrElse(
       s.conf.getOption(QualityGateKey).getOrElse("heuristic"))
-    val s1 = graft.Caches.persisted(qualityStage(s, d0, effGate, lmPrefix))
+    val s1 = pin(qualityStage(s, d0, effGate, lmPrefix))
 
     // 2. langid: keep docs whose predicted language (profiles learned
     //    on the stage input) confirms the labeled lang
     val keep2 = TextOps.langPredictions(s1)
       .filter(col("pred_lang") === col("lang"))
       .select("doc_id")
-    val s2 = graft.Caches.persisted(s1.join(keep2, "doc_id"))
+    val s2 = pin(s1.join(keep2, "doc_id"))
 
     // 3. dedup cascade: drop every doc the blocked cascade decides is
     //    a duplicate (rare-shingle blocking → exact verify → min-
@@ -139,53 +151,71 @@ object CorpusPipeline {
       .select(col("doc_id"), explode(col("sh")).as("shingle")))
     val dups = LlmOps.dedupCascadeBlocked(ex2, LlmOps.oracledDfCutoff(s),
       LlmOps.oracledTau(s)).select("doc_id")
-    val s3 = graft.Caches.persisted(s2.join(dups, Seq("doc_id"), "left_anti"))
+    val s3 = pin(s2.join(dups, Seq("doc_id"), "left_anti"))
 
     // 4. decontaminate: drop docs sharing ANY shingle with the
-    //    benchmark set (docs 0–4 of the ORIGINAL corpus — eval suites
-    //    are fixed, not themselves subject to the earlier gates);
-    //    survivor shingles come from the persisted stage-3 explode
-    val benchSh = d0.filter(col("doc_id") < 5)
+    //    benchmark set (the 5 LOWEST doc_ids of the ORIGINAL corpus —
+    //    eval suites are fixed, not themselves subject to the earlier
+    //    gates; rank-based via a scalar-subquery cutoff, r15: the
+    //    f36dc30 id-literal fix this chain missed — `doc_id < 5` was a
+    //    silent no-op on any id space not rooted at 0). Survivor
+    //    shingles come from the persisted stage-3 explode.
+    val benchCut = org.apache.spark.sql.GraftPlanBridge.scalarSubquery(
+      d0.orderBy("doc_id").limit(5).agg(max(col("doc_id"))))
+    val benchSh = d0.filter(col("doc_id") <= benchCut)
       .select(explode(expr("graft_shingles(text, 3)")).as("shingle"))
       .distinct()
     val ex3 = ex2.join(s3.select("doc_id"), "doc_id")
     val contaminated = ex3.join(broadcast(benchSh), "shingle")
       .select("doc_id").distinct()
-    val s4 = graft.Caches.persisted(s3.join(contaminated, Seq("doc_id"), "left_anti"))
+    val s4 = pin(s3.join(contaminated, Seq("doc_id"), "left_anti"))
 
     // 5. mix downsample: equalize sources to the smallest one —
     //    deterministic keep-first-n_min-by-doc_id per source (the
     //    actionable form of j_sample_mix_weights' keep_rate)
     val nMin = s4.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .agg(min("n_docs").as("n_min"))
-    val s5 = s4
+    val s5 = pin(s4
       .withColumn("rk", row_number().over(
         Window.partitionBy("source").orderBy("doc_id")))
       .crossJoin(broadcast(nMin))
       .filter(col("rk") <= col("n_min"))
-      .drop("rk", "n_min")
-      .transform(graft.Caches.persisted)
+      .drop("rk", "n_min"))
 
     Seq(s1, s2, s3, s4, s5)
   }
 
-  /** The audit table: one row per stage with docs in/out/dropped.
-    * Fully lazy — each row is an aggregate over the persisted stage
-    * frames, assembled with unions (no driver-side counting). */
+  /** The ledger over a survivor chain (`chain(0)` = raw input): one
+    * row per stage with docs in/out/dropped, computed in ONE aggregate
+    * job (r15, VERDICT r14 item 2 — the previous per-row form ran one
+    * count job + one broadcast-count crossJoin PER LEDGER ROW, ~10
+    * jobs each re-planning the chain under AQE): every chain frame
+    * contributes its position tag to a union, a single pass counts all
+    * positions, and the per-stage rows are a pure projection over the
+    * 1-row result — no further jobs, no per-row exchanges. */
+  private[graft] def ledgerOf(names: Seq[String],
+                              chain: Seq[DataFrame]): DataFrame = {
+    val tagged = chain.zipWithIndex.map { case (f, i) =>
+      f.select(lit(i).as("pos"))
+    }.reduce(_.unionByName(_))
+    val cs = chain.indices.map(i =>
+      coalesce(sum(when(col("pos") === i, 1L)), lit(0L)).as(s"c$i"))
+    val one = tagged.agg(cs.head, cs.tail: _*)
+    val rows = names.indices.map { i =>
+      struct(lit((i + 1).toLong).as("stage"), lit(names(i)).as("stage_name"),
+        col(s"c$i").as("docs_in"), col(s"c${i + 1}").as("docs_out"),
+        (col(s"c$i") - col(s"c${i + 1}")).as("docs_dropped"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select("r.*")
+      .orderBy("stage")
+  }
+
+  /** The audit table: one row per stage with docs in/out/dropped —
+    * [[ledgerOf]] over the pinned stage chain. */
   def audit(s: SparkSession, docs0: DataFrame,
             gate: Option[String] = None,
-            lmPrefix: Option[String] = None): DataFrame = {
-    val chain = docs0 +: stages(s, docs0, gate, lmPrefix)
-    val rows = StageNames.zipWithIndex.map { case (name, i) =>
-      chain(i).agg(count(lit(1)).as("docs_in"))
-        .crossJoin(broadcast(chain(i + 1).agg(count(lit(1)).as("docs_out"))))
-        .select(lit((i + 1).toLong).as("stage"),
-          lit(name).as("stage_name"),
-          col("docs_in"), col("docs_out"),
-          (col("docs_in") - col("docs_out")).as("docs_dropped"))
-    }
-    rows.reduce(_.unionByName(_)).orderBy("stage")
-  }
+            lmPrefix: Option[String] = None): DataFrame =
+    ledgerOf(StageNames, docs0 +: stages(s, docs0, gate, lmPrefix))
 
   /** Once-per-(session, sfDir) build of the incremental pipeline's
     * standing artifacts: the dedup store ([[LlmOps.storedArtifactPrefix]]
@@ -193,7 +223,7 @@ object CorpusPipeline {
     * stage tables a delta run needs so it never scans base text —
     * `<prefix>_langprof` (the standing corpus's per-language token
     * profile) and `<prefix>_benchsh` (the fixed benchmark-shingle
-    * registry, docs 0–4). PipelineIncSpec pins the resulting plan
+    * registry, the 5 lowest doc_ids). PipelineIncSpec pins the resulting plan
     * property: every `documents` access in the delta run is the delta
     * split. */
   /** Once-per-(session, sfDir) build of the pipeline's bigram-LM
@@ -243,7 +273,12 @@ object CorpusPipeline {
 
   /** The two tiny stage tables next to a dedup artifact store:
     * `<prefix>_langprof` from the standing corpus, `<prefix>_benchsh`
-    * from the fixed benchmark registry (docs 0–4 of `benchDocs`). */
+    * from the fixed benchmark registry (the 5 LOWEST doc_ids of
+    * `benchDocs` — rank-based via a scalar-subquery cutoff, r15: the
+    * same f36dc30 fix as [[stages]]; the previous `doc_id < 5` wrote
+    * an EMPTY registry on any id space not rooted at 0, silently
+    * no-op'ing every downstream decontamination. PipelineIncSpec
+    * asserts non-emptiness on shifted ids). */
   private[graft] def writeAuxTables(s: SparkSession, benchDocs: DataFrame,
                                     baseDocs: DataFrame,
                                     prefix: String): Unit = {
@@ -252,7 +287,9 @@ object CorpusPipeline {
     TextOps.langProfile(baseDocs)
       .write.format("parquet").saveAsTable(s"${prefix}_langprof")
     DedupArtifacts.reset(s, s"${prefix}_benchsh")
-    benchDocs.filter(col("doc_id") < 5)
+    val benchCut = org.apache.spark.sql.GraftPlanBridge.scalarSubquery(
+      benchDocs.orderBy("doc_id").limit(5).agg(max(col("doc_id"))))
+    benchDocs.filter(col("doc_id") <= benchCut)
       .select(explode(expr("graft_shingles(text, 3)")).as("shingle"))
       .distinct()
       .write.format("parquet").saveAsTable(s"${prefix}_benchsh")
@@ -333,16 +370,10 @@ object CorpusPipeline {
     Seq(d0, s1, s2, s3, s4)
   }
 
-  /** The audit ledger rows for a stage chain. */
+  /** The audit ledger rows for an incremental stage chain — the same
+    * one-job [[ledgerOf]] form as the full audit. */
   private[graft] def incAudit(chain: Seq[DataFrame]): DataFrame =
-    IncStageNames.zipWithIndex.map { case (name, i) =>
-      chain(i).agg(count(lit(1)).as("docs_in"))
-        .crossJoin(broadcast(chain(i + 1).agg(count(lit(1)).as("docs_out"))))
-        .select(lit((i + 1).toLong).as("stage"),
-          lit(name).as("stage_name"),
-          col("docs_in"), col("docs_out"),
-          (col("docs_in") - col("docs_out")).as("docs_dropped"))
-    }.reduce(_.unionByName(_)).orderBy("stage")
+    ledgerOf(IncStageNames, chain)
 
   /** Stage names of the incremental (delta-vs-standing-corpus) run. */
   val IncStageNames: Seq[String] =
@@ -467,7 +498,9 @@ object CorpusPipeline {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM dups)),
        |bench AS (
        |  SELECT DISTINCT shingle FROM (
-       |    SELECT unnest($shSql) AS shingle FROM d0 WHERE doc_id < 5)),
+       |    SELECT unnest($shSql) AS shingle FROM d0
+       |    WHERE doc_id <= (SELECT max(doc_id) FROM
+       |      (SELECT doc_id FROM d0 ORDER BY doc_id LIMIT 5)))),
        |contam AS (
        |  SELECT DISTINCT e.doc_id FROM ex2 e
        |  JOIN s3 USING (doc_id) JOIN bench USING (shingle)),
@@ -519,7 +552,7 @@ object CorpusPipeline {
     // the delta split, langid votes against profiles learned on the
     // BASE split, incremental dedup with combined-df blocking (full
     // base df + gated-delta df — the exact frequencies the stored
-    // artifacts supply), decontamination against docs 0–4 of the full
+    // artifacts supply), decontamination against the 5 lowest doc_ids of the full
     // corpus.
     "j_pipeline_incremental" ->
       s"""WITH d0 AS (SELECT * FROM documents
@@ -608,7 +641,8 @@ object CorpusPipeline {
          |bench AS (
          |  SELECT DISTINCT shingle FROM (
          |    SELECT unnest($shSql) AS shingle FROM documents
-         |    WHERE doc_id < 5)),
+         |    WHERE doc_id <= (SELECT max(doc_id) FROM
+         |      (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)))),
          |contam AS (
          |  SELECT DISTINCT e.doc_id FROM exd e
          |  JOIN s3 USING (doc_id) JOIN bench USING (shingle)),

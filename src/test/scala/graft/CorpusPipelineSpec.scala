@@ -63,6 +63,24 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(perSource.values.head == s4min)
   }
 
+  test("audit ledger is invariant to a +1e9 doc_id shift (r15: the " +
+    "benchmark set is rank-based, not id-literal)") {
+    // every stage decision is order- or content-based (quality: text
+    // only; langid: token counts; dedup: min-partner over id ORDER;
+    // decontaminate: the 5 LOWEST ids; mix: row_number by id), so
+    // shifting the id space must not move a single ledger cell. The
+    // pre-r15 `doc_id < 5` benchmark literal silently matched NOTHING
+    // here — this test has teeth only while the unshifted stage 4
+    // drops docs, asserted below.
+    assert(audit(3)._5 > 0,
+      "fixture regression: decontaminate drops nothing, shift test is vacuous")
+    val shifted = docs0.withColumn("doc_id", col("doc_id") + 1000000000L)
+    val shiftedAudit = CorpusPipeline.audit(spark, shifted, Some("heuristic"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(shiftedAudit.toSeq == audit.toSeq)
+    graft.Caches.release(spark)
+  }
+
   test("the quality-gate conf flips stage 1: conf-driven audit equals " +
     "the explicit lm entry, and the lm stage equals the standalone " +
     "LM-filter arithmetic") {

@@ -96,4 +96,32 @@ class PipelineIncSpec extends SparkSpec {
       .asInstanceOf[Long] > 0L)
     Caches.release(spark)
   }
+
+  test("_benchsh registry is NON-EMPTY on an id space not rooted at 0 " +
+    "(r15: rank-based benchmark set in writeAuxTables)") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorExprs.register(spark)
+    // pre-r15 the registry build filtered `doc_id < 5`, so a corpus
+    // whose ids start at 1e9 (the Zipf corpora) wrote ZERO benchmark
+    // shingles and every downstream decontamination silently no-op'd
+    val shifted = LlmOps.dedupDocs(spark, sfDir)
+      .withColumn("doc_id", col("doc_id") + 1000000000L)
+    val base = shifted
+      .filter(graft.operators.TextOps.splitBucket(col("doc_id")) < 80L)
+    val prefix = "graft_t_shiftreg"
+    CorpusPipeline.writeAuxTables(spark, shifted, base, prefix)
+    try {
+      assert(spark.table(s"${prefix}_benchsh").count() > 0L,
+        "benchmark-shingle registry empty on shifted ids")
+      // and it is exactly the 5 lowest-id docs' shingle set
+      val expect = shifted.orderBy("doc_id").limit(5)
+        .select(org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.expr("graft_shingles(text, 3)"))
+          .as("shingle"))
+        .distinct().count()
+      assert(spark.table(s"${prefix}_benchsh").count() == expect)
+    } finally Seq("_benchsh", "_langprof").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $prefix$t"))
+    Caches.release(spark)
+  }
 }
