@@ -24,4 +24,16 @@ object GraftPlanBridge {
   def scalarSubquery(df: DataFrame): Column =
     classic.ExpressionUtils.column(
       catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
+
+  /** Free the block-manager storage behind a `df.localCheckpoint(true)`
+    * result (the checkpoint pins an RDD, which `Dataset.unpersist`
+    * does NOT release — that walks the SQL CacheManager only). After
+    * unpinning, the frame is unreadable (its lineage was cut), so this
+    * is strictly an end-of-scope release. No-op on non-checkpointed
+    * frames. */
+  def unpin(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.sources.{JdbcExec, PgDialect}
+
+/** The PostgreSQL dialect executed as a statement SEQUENCE (r15,
+  * VERDICT r14 ask 6): the same syncOnce orchestration DerbySinkSpec /
+  * V2LifecycleSpec exercise against embedded Derby runs here with the
+  * PG dialect generating every statement, executed against
+  * [[RecordingJdbc]]'s fake connection — real PostgreSQL is impossible
+  * offline (zero egress, no server binary), so order, bound
+  * parameters, and transaction boundaries are asserted from the
+  * recorded event log instead of target-table state.
+  */
+class PgDialectSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("cur", LongType),
+    StructField("is_deleted", BooleanType)))
+
+  test("url dispatch picks the PG dialect for jdbc:postgresql urls") {
+    assert(JdbcExec.dialectFor("jdbc:postgresql://h/db") eq PgDialect)
+    assert(JdbcExec.dialectFor("jdbc:derby:memory:x") ne PgDialect)
+  }
+
+  test("syncOnce drives create -> ON CONFLICT upsert -> tombstone " +
+    "DELETE -> cursor, in order, each load in its own transaction, " +
+    "with latest-wins parameters; replay converges") {
+    RecordingJdbc.register()
+    val url = s"jdbc:postgresql://fake/pgd${System.nanoTime}"
+    val db = RecordingJdbc.db(url)
+    import spark.implicits._
+
+    JdbcExec.withConnection(url) { conn =>
+      JdbcExec.ensureTable(conn, "acct_tgt", schema, Seq("id"),
+        JdbcExec.dialectFor(url))
+    }
+    // the DDL leg used the PG type map, not Derby's
+    val ddl = db.seq.filter(_.contains("CREATE TABLE"))
+    assert(ddl.exists(_.contains("\"acct_tgt\"")), ddl)
+    assert(ddl.exists(e => e.contains("text") && e.contains("bigint") &&
+      e.contains("PRIMARY KEY (\"id\")")), ddl)
+    assert(!ddl.exists(_.contains("VARCHAR(32672)")), s"Derby type leaked: $ddl")
+
+    val batch = Seq(
+      (1L, "a", 100L, false),
+      (2L, "b", 110L, false),
+      (2L, "b2", 120L, false),  // in-window update: latest wins
+      (3L, "c", 130L, true))    // tombstone: DELETE route
+      .toDF("id", "name", "cur", "is_deleted").coalesce(1)
+    val c = JdbcExec.syncOnce(spark, url, "acct_tgt", Seq("id"),
+      "pg_state", "acct", _ => batch, "cur", "is_deleted", batchSize = 10)
+    assert(c == 130L)
+
+    val ev = db.seq
+    def firstIdx(p: String => Boolean): Int = {
+      val i = ev.indexWhere(p); assert(i >= 0, s"missing event: $ev"); i
+    }
+    // --- statement shapes: the reference's actual PG sink ---
+    val upsertSql = ev.find(e => e.startsWith("c") &&
+      e.contains("prepare: INSERT INTO \"acct_tgt\"")).getOrElse(
+      fail(s"no upsert prepared: $ev"))
+    assert(upsertSql.contains("ON CONFLICT (\"id\") DO UPDATE SET"),
+      upsertSql)
+    // --- order: upsert batch executes BEFORE the tombstone delete,
+    // which executes BEFORE the cursor advance ---
+    val iUp = firstIdx(e => e.contains("executeBatch: INSERT INTO \"acct_tgt\""))
+    val iDel = firstIdx(e => e.contains("executeBatch: DELETE FROM \"acct_tgt\""))
+    val iCur = firstIdx(e => e.contains("executeUpdate[INSERT INTO \"pg_state\""))
+    assert(iUp < iDel && iDel < iCur, s"sequence broken:\n${ev.mkString("\n")}")
+    // --- parameters: latest-wins kept (2 -> b2/120), earlier version
+    // never bound; the tombstoned pk 3 is bound only to the DELETE ---
+    val upBinds = ev.filter(_.contains("bind[INSERT INTO \"acct_tgt\""))
+    assert(upBinds.exists(_.endsWith("(1,a,100,false)")), upBinds)
+    assert(upBinds.exists(_.endsWith("(2,b2,120,false)")), upBinds)
+    assert(!upBinds.exists(_.contains("(2,b,110")), s"latest-wins lost: $upBinds")
+    assert(!upBinds.exists(_.contains("(3,")), s"tombstone upserted: $upBinds")
+    val delBinds = ev.filter(_.contains("bind[DELETE FROM \"acct_tgt\""))
+    assert(delBinds.map(_.takeRight(3)) == Seq("(3)"), delBinds)
+    // --- transaction boundaries: the upsert's connection runs
+    // setAutoCommit(false) ... executeBatch ... commit ... close, with
+    // no foreign statements interleaved on that connection ---
+    val upConn = ev(iUp).split(" ")(0)
+    val onConn = ev.filter(_.startsWith(s"$upConn "))
+    assert(onConn.exists(_.endsWith("setAutoCommit(false)")), onConn)
+    val commitIdx = onConn.indexWhere(_.endsWith("commit"))
+    val batchIdx = onConn.indexWhere(_.contains("executeBatch"))
+    assert(batchIdx >= 0 && commitIdx > batchIdx,
+      s"upsert not committed after its batch: $onConn")
+    assert(!onConn.exists(_.contains("pg_state")),
+      s"cursor statements leaked into the load transaction: $onConn")
+    // the cursor advance is its own transaction (cursor-LAST protocol)
+    val curConn = ev(iCur).split(" ")(0)
+    assert(curConn != upConn, "cursor shared the upsert connection")
+    val curEvents = ev.filter(_.startsWith(s"$curConn "))
+    assert(curEvents.exists(_.endsWith("setAutoCommit(false)")) &&
+      curEvents.exists(_.endsWith("commit")), curEvents)
+
+    // --- crash-replay: cursor reset to pre-round, re-run converges
+    // through the same idempotent keyed statements ---
+    db.cursors.put("acct", Long.MinValue)
+    val before = db.seq.size
+    val c2 = JdbcExec.syncOnce(spark, url, "acct_tgt", Seq("id"),
+      "pg_state", "acct", _ => batch, "cur", "is_deleted", batchSize = 10)
+    assert(c2 == 130L && db.cursors.get("acct") == 130L)
+    val replay = db.seq.drop(before)
+    assert(replay.exists(_.contains("executeBatch: INSERT INTO \"acct_tgt\"")))
+    assert(replay.exists(_.contains("executeBatch: DELETE FROM \"acct_tgt\"")))
+    // replay UPDATEs the existing cursor row instead of re-inserting
+    assert(replay.exists(_.contains("executeUpdate[UPDATE \"pg_state\"")))
+    assert(!replay.exists(_.contains("executeUpdate[INSERT INTO \"pg_state\"")))
+  }
+}

@@ -1,0 +1,178 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, DatabaseMetaData, Driver, DriverManager,
+  PreparedStatement, ResultSet, Statement}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Recording fake of the PostgreSQL JDBC surface (r15, VERDICT r14 ask
+  * 6): no PostgreSQL server exists offline, so the PG-dialect
+  * statement SEQUENCE (create → upsert → tombstone-delete → cursor) is
+  * executed against this reflective fake, which records every
+  * statement text, bound parameter row, and transaction call with a
+  * per-connection id — PgDialectSpec asserts order, parameters, and
+  * transaction boundaries from the event log.
+  *
+  * The fake answers exactly the calls [[graft.sources.JdbcExec]] and
+  * [[graft.sources.JdbcCursorStore]] make (metadata table-existence
+  * probes, the cursor SELECT/UPDATE/INSERT, batched prepared
+  * statements); any OTHER JDBC call throws, so the spec cannot
+  * silently pass around an unmodeled interaction.
+  */
+object RecordingJdbc {
+
+  final class Db {
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val tables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val cursors = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    private val connIds = new AtomicInteger(0)
+    private[RecordingJdbc] def nextConnId(): Int = connIds.incrementAndGet()
+    def log(e: String): Unit = events.add(e)
+    def seq: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      events.asScala.toSeq
+    }
+  }
+
+  private val dbs =
+    new java.util.concurrent.ConcurrentHashMap[String, Db]()
+  def db(url: String): Db = dbs.computeIfAbsent(url, _ => new Db)
+
+  // ---- driver registration (idempotent) ----
+  @volatile private var registered = false
+  def register(): Unit = synchronized {
+    if (!registered) {
+      DriverManager.registerDriver(new RecordingDriver)
+      registered = true
+    }
+  }
+
+  final class RecordingDriver extends Driver {
+    override def acceptsURL(url: String): Boolean =
+      url != null && url.startsWith("jdbc:postgresql:")
+    override def connect(url: String,
+                         info: java.util.Properties): Connection =
+      if (acceptsURL(url)) connection(db(url)) else null
+    override def getMajorVersion: Int = 0
+    override def getMinorVersion: Int = 1
+    override def getPropertyInfo(url: String, info: java.util.Properties) =
+      Array.empty
+    override def jdbcCompliant(): Boolean = false
+    override def getParentLogger = throw new java.sql.SQLFeatureNotSupportedException
+  }
+
+  // ---- reflective proxies ----
+  private def proxy[T](cls: Class[T])(
+      h: PartialFunction[(String, Array[AnyRef]), AnyRef]): T =
+    Proxy.newProxyInstance(cls.getClassLoader, Array[Class[_]](cls),
+      new InvocationHandler {
+        def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+          val a = if (args == null) Array.empty[AnyRef] else args
+          h.applyOrElse((m.getName, a), { _: (String, Array[AnyRef]) =>
+            throw new UnsupportedOperationException(
+              s"RecordingJdbc fake: unmodeled ${cls.getSimpleName}." +
+                s"${m.getName} — model it before asserting on it")
+          })
+        }
+      }).asInstanceOf[T]
+
+  private def resultSet(rows: Seq[Seq[AnyRef]]): ResultSet = {
+    var i = -1
+    proxy(classOf[ResultSet]) {
+      case ("next", _) =>
+        i += 1; java.lang.Boolean.valueOf(i < rows.length)
+      case ("getLong", a) => rows(i)(a(0).asInstanceOf[Integer] - 1)
+      case ("getString", a) => a(0) match {
+        case idx: Integer => rows(i)(idx - 1)
+        case _ => rows(i).head // by-name: single-column fakes only
+      }
+      case ("wasNull", _) => java.lang.Boolean.FALSE
+      case ("close", _) => null
+    }
+  }
+
+  private val quoted = "\"([^\"]+)\"".r
+
+  private def statement(d: Db, cid: Int): Statement =
+    proxy(classOf[Statement]) {
+      case ("execute", a) =>
+        val sql = a(0).asInstanceOf[String]
+        d.log(s"c$cid execute: $sql")
+        if (sql.startsWith("CREATE TABLE"))
+          quoted.findFirstMatchIn(sql).foreach(m => d.tables.add(m.group(1)))
+        java.lang.Boolean.FALSE
+      case ("close", _) => null
+    }
+
+  private def prepared(d: Db, cid: Int, sql: String): PreparedStatement = {
+    val params = new java.util.TreeMap[Int, AnyRef]()
+    def row: String = {
+      import scala.jdk.CollectionConverters._
+      params.values.asScala.map(String.valueOf).mkString(",")
+    }
+    d.log(s"c$cid prepare: $sql")
+    proxy(classOf[PreparedStatement]) {
+      case ("setString" | "setLong" | "setObject" | "setBoolean" |
+            "setInt" | "setDouble", a) =>
+        params.put(a(0).asInstanceOf[Integer], a(1)); null
+      case ("setNull", a) =>
+        params.put(a(0).asInstanceOf[Integer], null); null
+      case ("addBatch", _) =>
+        d.log(s"c$cid bind[$sql] ($row)"); params.clear(); null
+      case ("executeBatch", _) =>
+        d.log(s"c$cid executeBatch: $sql")
+        Array.emptyIntArray // JDBC allows SUCCESS_NO_INFO-free empties
+      case ("executeUpdate", _) =>
+        d.log(s"c$cid executeUpdate[$sql] ($row)")
+        val vals = params.values.toArray
+        val n: Int =
+          if (sql.startsWith("UPDATE")) {
+            // cursor UPDATE: (v, obj)
+            val obj = String.valueOf(vals(1))
+            if (d.cursors.containsKey(obj)) {
+              d.cursors.put(obj, vals(0).toString.toLong); 1
+            } else 0
+          } else { // cursor INSERT: (obj, v)
+            d.cursors.put(String.valueOf(vals(0)),
+              vals(1).toString.toLong); 1
+          }
+        params.clear()
+        java.lang.Integer.valueOf(n)
+      case ("executeQuery", _) =>
+        d.log(s"c$cid executeQuery[$sql] ($row)")
+        // the only modeled query is the cursor SELECT: (obj)
+        val obj = String.valueOf(params.values.toArray.apply(0))
+        params.clear()
+        Option(d.cursors.get(obj)) match {
+          case Some(v) => resultSet(Seq(Seq(java.lang.Long.valueOf(v))))
+          case None => resultSet(Nil)
+        }
+      case ("close", _) => null
+    }
+  }
+
+  private def metadata(d: Db): DatabaseMetaData =
+    proxy(classOf[DatabaseMetaData]) {
+      case ("getTables", a) =>
+        val name = a(2).asInstanceOf[String]
+        if (d.tables.contains(name))
+          resultSet(Seq(Seq(name)))
+        else resultSet(Nil)
+    }
+
+  private def connection(d: Db): Connection = {
+    val cid = d.nextConnId()
+    proxy(classOf[Connection]) {
+      case ("setAutoCommit", a) =>
+        d.log(s"c$cid setAutoCommit(${a(0)})"); null
+      case ("commit", _) => d.log(s"c$cid commit"); null
+      case ("rollback", _) => d.log(s"c$cid rollback"); null
+      case ("close", _) => d.log(s"c$cid close"); null
+      case ("createStatement", _) => statement(d, cid)
+      case ("prepareStatement", a) =>
+        prepared(d, cid, a(0).asInstanceOf[String])
+      case ("getMetaData", _) => metadata(d)
+      case ("isClosed", _) => java.lang.Boolean.FALSE
+    }
+  }
+}
