@@ -166,6 +166,37 @@ def fuzz_lineitem(rng, outdir):
     for i in eq:
         qty[i] = 25.0
         price[i] = 31250.0
+    # --- r15 widening (VERDICT ask 9): engine-INTERNAL double
+    # aggregates (stddev/corr/median/regr) on boundary-straddling
+    # shapes — the disclosed residual of the binary-r4 migration ---
+    # (a) summation-cancellation probes live on EVENTS (per-user
+    # zscore windows), not on lineitem qty: a qty offset inflates
+    # sd_qty and with it |covar(qty, price)| — and once an
+    # engine-internal double aggregate's MAGNITUDE grows, the display
+    # contract degrades measurably (r15, both draws quantified it:
+    # offset 2e6 → var ≈ 6.25e12, past the 9e11 identity cutoff, raw
+    # engine ulps compared directly, 6250234910235.045 vs .043; offset
+    # 2e4 → cov ≈ 6.2e10, straddle probability ≈ |x|·2.2e-12 ≈ 1e-2
+    # per value per draw, hit on seed 37: 62117973785.9501 vs .9502).
+    # The 4-decimal display of a ≥1e10 engine-internal statistic asks
+    # for more agreement than doubles carry — the documented domain
+    # boundary (SCALE.md §r15), not an operator defect. (Draw 1 DID
+    # catch a real in-domain defect here: pow(x,2) vs x*x — fixed in
+    # h_math_funcs.)
+    # (b) near-collinear pair probe: price ~ affine(qty) + tiny lattice
+    # noise pushes corr/r2 against the 1.0 boundary, where the two
+    # engines' merge orders differ at the last ulp
+    lin = [i for i in range(n) if flag[i] == "N"][:60]
+    for i in lin:
+        q = lattice(rng, 1, 50)
+        qty[i] = q
+        price[i] = round(7.5 * q + rng.randint(0, 3) / 20000.0, 5)
+    # (c) median/percentile half-boundary: a run of rows pinned to an
+    # ODD multiple of 5e-5 (an exact r4 half) — the binary-r4 rule must
+    # round the identical double identically on both engines
+    half = [i for i in range(n) if flag[i] == "R"][40:60]
+    for i in half:
+        qty[i] = 12.34565
     write(outdir, "lineitem", rebuild(tbl, {
         "l_quantity": qty, "l_extendedprice": price}))
 
@@ -285,6 +316,16 @@ def fuzz_events(rng, outdir):
     rows.append({"event_id": max_id + 100, "ts": ts[0],
                  "user_id": max(users) + 1, "event_type": "fz_solo",
                  "value": 1.0, "props": None})
+    # r15 widening (VERDICT ask 9): a zscore-window cancellation probe —
+    # one user, 30 events, large common offset + small lattice
+    # deviations, so the window stddev exercises the engines' internal
+    # variance accumulation exactly like the lineitem probe
+    zuser = max(users) + 2
+    for j in range(30):
+        rows.append({"event_id": max_id + 200 + j,
+                     "ts": ts[j % len(ts)],
+                     "user_id": zuser, "event_type": "fz_cancel",
+                     "value": 2.0e4 + lattice(rng, 0, 10), "props": None})
     write(outdir, "events", append_rows(tbl, rows))
 
 

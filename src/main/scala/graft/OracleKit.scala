@@ -74,4 +74,11 @@ package graft
   * every computed column is aliased to the SAME name on both sides,
   * and why every entry ends in a total ORDER BY.
   */
-object OracleKit
+object OracleKit {
+  /** Session-conf flag [[graft.Verify]] raises before running the
+    * registry under the differential harness (r15, ADVICE r14):
+    * entries whose oracle twin PINS a tunable (e.g. j_ann_lsh_topk's
+    * 8 hyperplanes) check this flag and refuse a non-default knob
+    * instead of silently diverging from the static twin SQL. */
+  val HarnessKey = "spark.graft.oracle.harness"
+}

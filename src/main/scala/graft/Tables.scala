@@ -252,6 +252,17 @@ object Det {
     s"CASE WHEN ($e) < 0 THEN -floor(-($e) * 1000000 + 0.5) " +
       s"ELSE floor(($e) * 1000000 + 0.5) END"
 
+  /** The per-row binary-micros quantizer of [[dsum]], public for
+    * consumers that stay in EXACT integer arithmetic after quantizing
+    * (r15, ADVICE r14: gini's rational rounding multiplies the rank
+    * into the quantized value instead of quantizing the rank·value
+    * product, whose repr-vs-binary cast gap reaches the 10⁻⁶ quantum
+    * at |i·v| ≥ ~10⁹). Both engines floor the identical double chain. */
+  def micros(c: Column): Column = microsD(c)
+
+  /** SQL twin of [[micros]]. */
+  def microsSql(e: String): String = microsSqlD(e)
+
   /** Deterministic sum of a double expression: binary-micros
     * quantization per row (see [[microsD]]), exact DECIMAL(38,0)
     * accumulation, one correctly-rounded decimal→double hop, one IEEE

@@ -18,6 +18,8 @@ object Verify {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle-pinned-tunable guard flag — see OracleKit.HarnessKey
+    spark.conf.set(OracleKit.HarnessKey, "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

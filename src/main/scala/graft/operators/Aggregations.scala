@@ -357,16 +357,22 @@ object Aggregations {
       val w = Window.partitionBy("seg").orderBy(asc("v"), asc("c_custkey"))
       rev.withColumn("i", row_number().over(w))
         .groupBy("seg")
+        // integer-exact moment sums (r15, ADVICE r14): quantize v to
+        // binary micros FIRST (v is micro-exact — it came from dsum),
+        // then multiply by the integer rank — Σ i·vμ stays in exact
+        // integer arithmetic on both engines, where the old
+        // quantize-the-product form cast i·v (≥10⁹ at sf1) through a
+        // decimal whose repr-vs-binary rounding splits at the 10⁻⁶
+        // quantum
         .agg(count(lit(1)).as("n"),
-          sum((col("i") * col("v")).cast(DecimalType(24, 6))).as("s1d"),
-          sum(col("v").cast(DecimalType(20, 6))).as("s2d"))
+          sum(col("i").cast(DecimalType(10, 0)) *
+            Det.micros(col("v")).cast(DecimalType(20, 0))).as("s1m"),
+          sum(Det.micros(col("v")).cast(DecimalType(20, 0))).as("s2m"))
         // exact-rational rounding (r14, VERDICT ask 7): gini =
         // (2·S1 − (n+1)·S2)/(n·S2) over integer-micros sums —
         // nonnegative by the Chebyshev sum inequality (v ascending) —
         // half-up in DECIMAL(38,0)/HUGEINT so the .00005 boundary
         // cannot split between the engines' double reprs
-        .withColumn("s1m", (col("s1d") * lit(1000000)).cast(DecimalType(38, 0)))
-        .withColumn("s2m", (col("s2d") * lit(1000000)).cast(DecimalType(38, 0)))
         .select(col("seg"),
           expr(Det.r4RatioWideSparkSql(
             "2 * s1m - (n + 1) * s2m", "n * s2m")).as("gini"),
@@ -750,10 +756,9 @@ object Aggregations {
          |  FROM rev),
          |ag AS (
          |  SELECT seg, max(n) AS n,
-         |    CAST(SUM(CAST(i * v AS DECIMAL(24,6))) * 1000000 AS HUGEINT)
+         |    SUM(CAST(i AS HUGEINT) * CAST(${Det.microsSql("v")} AS HUGEINT))
          |      AS s1m,
-         |    CAST(SUM(CAST(v AS DECIMAL(20,6))) * 1000000 AS HUGEINT)
-         |      AS s2m
+         |    SUM(CAST(${Det.microsSql("v")} AS HUGEINT)) AS s2m
          |  FROM rk GROUP BY seg)
          |SELECT seg,
          |  ${Det.r4RatioWideDuckSql("2 * s1m - (n + 1) * s2m", "n * s2m")}

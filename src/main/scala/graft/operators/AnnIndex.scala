@@ -39,6 +39,35 @@ object AnnIndex {
   def centTable(prefix: String): String = s"${prefix}_cent"
   def cellsTable(prefix: String): String = s"${prefix}_cells"
 
+  /** Production cell-count rule (r15, VERDICT r14 ask 7, code-enforced
+    * instead of documented): nlist ≈ √n, clamped to [16, 65536]. √n
+    * balances the two IVF scan terms — per-probe candidate work
+    * (≈ nprobe·n/nlist, grows as lists lengthen) against centroid
+    * ranking (≈ nlist) — the standard IVF sizing. The floor is the
+    * fixture constant the ORACLED entries pin (their unrolled-Lloyd
+    * CTE twins encode exactly 16 cells, so those entries pass k=16
+    * explicitly and are deliberately outside this rule); the cap
+    * bounds the broadcast centroid table at ~32 MB of dim-64 doubles. */
+  def sizedK(n: Long): Int =
+    // clamp in Long space BEFORE narrowing: round(sqrt(Long.MaxValue))
+    // exceeds Int.MaxValue and a bare .toInt would wrap negative
+    math.max(16L, math.min(65536L,
+      math.round(math.sqrt(math.max(0L, n).toDouble)))).toInt
+
+  /** [[write]] with k derived from the corpus size by [[sizedK]] — the
+    * row count comes from the parquet FOOTERS of `path` (driver-side
+    * block metadata, no Spark job — the BruteGuard convention). The
+    * Lloyd sample budget scales with k (8 sample points per centroid,
+    * floor 256) so kmeansCentroids' sample ≥ k requirement holds at
+    * any size; the driver-side Lloyd stays microscopic (k·8k·dim·iters
+    * flops ≈ 10⁹ even at the 65536-cell cap). Returns the chosen k. */
+  def writeSized(u: DataFrame, path: String, prefix: String,
+                 nBuckets: Int, iters: Int = 5): Int = {
+    val k = sizedK(BruteGuard.footerRows(u.sparkSession, path))
+    write(u, prefix, k, iters, maxSample = math.max(256, 8 * k), nBuckets)
+    k
+  }
+
   /** Create the index from the standing corpus (the one-time sample +
     * Lloyd's pass). `u` must expose (vec_id, u) with `u` a unit
     * `array<double>`. Replaces any existing index under `prefix`.

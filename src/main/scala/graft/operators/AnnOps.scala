@@ -328,6 +328,10 @@ object AnnOps {
         .stripPrefix("_").stripSuffix("_")
       val base = unit(s, d).drop("label")
         .filter(TextOps.splitBucket(col("vec_id")) < 80)
+      // k=16 EXPLICIT, not AnnIndex.writeSized's √n rule: this store
+      // feeds the oracled incremental entries, whose unrolled-Lloyd
+      // CTE twins encode exactly 16 cells. Un-oracled production
+      // indexes size by data — AnnIndexSpec pins the rule.
       AnnIndex.write(base, prefix, k = 16, iters = 5, maxSample = 256,
         nBuckets = LlmOps.storeBuckets(s))
       prefix
@@ -745,30 +749,58 @@ object AnnOps {
       graft.functions.VectorExprs.register(s)
       val nPlanes = s.conf.getOption("spark.graft.ann.lshPlanes")
         .map(_.toInt).getOrElse(8)
+      // the DuckDB twin hard-pins 8 planes; under the oracle harness a
+      // non-default knob would silently diverge the differential check
+      // (ADVICE r14) — refuse instead of disclosing in a comment
+      if (s.conf.getOption(graft.OracleKit.HarnessKey).contains("true"))
+        require(nPlanes == 8,
+          s"the j_ann_lsh_topk oracle twin pins 8 hyperplanes; unset " +
+            s"spark.graft.ann.lshPlanes under the oracle harness " +
+            s"(got $nPlanes)")
       val u = unit(s, d)
+      // exact-dup collapse (r15, VERDICT r14 ask 4 — the follow-up the
+      // IVF family already runs): signature + bucket pairing once per
+      // DISTINCT vector, members expanded afterwards via the +1 rule
+      // (dupGroups scaladoc), so dup cliques stop paying n_dup² dots
+      // for equal scores. Bit-identical results — the oracle twin is
+      // untouched.
+      val (repU, mem) = dupGroups(u.select(col("vec_id"), col("u")))
       // planes = the N lowest-id DISTINCT vectors with RANK-derived
       // bit positions (r14, two finds: the old `vec_id < 8` literal +
       // pow(2, vec_id) assumed an id space rooted at 0 — zero planes
       // on shifted ids; and on a dup-dense corpus the lowest ids can
       // be EXACT COPIES of one vector, collapsing every signature bit
       // to one direction and re-merging the buckets — measured on the
-      // Zipf corpus. Distinct-by-content selection is value-identical
-      // on the fixtures, whose vectors are unique.)
-      val planes = broadcast(u.groupBy("u")
-        .agg(min(col("vec_id")).as("vec_id"))
+      // Zipf corpus. repU IS that distinct-by-content min-id frame.)
+      val planes = broadcast(repU
         .orderBy("vec_id").limit(nPlanes)
         .withColumn("plane_id", row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy("vec_id"))
           .cast(LongType) - 1)
         .select(col("plane_id"), col("u").as("pu")))
-      val sig = u.join(planes)
+      val sig = repU.join(planes)
         .withColumn("pdot", expr("graft_dot(u, pu)"))
         .groupBy("vec_id")
         .agg(sum(when(col("pdot") >= 0,
           pow(lit(2.0), col("plane_id")).cast(LongType))
           .otherwise(0L)).as("bucket"))
-      val asg = u.join(sig, "vec_id")
-      top3(pairWithinBucket(asg, "bucket", Tables.rowCount(s, d, "embeddings")))
+      val asg = repU.join(sig, "vec_id")
+      val repPairs = pairAcrossBuckets(asg, asg, "bucket",
+        Tables.rowCount(s, d, "embeddings"), keepSelf = true)
+      val candInd = repPairs
+        .join(mem.select(col("rep").as("nn_id"), col("ind")), "nn_id")
+        .select(col("vec_id"), col("ind").as("nn_ind"), col("cos"))
+      val w4 = Window.partitionBy("vec_id")
+        .orderBy(desc("cos"), asc("nn_ind"))
+      val top4 = candInd.withColumn("r4", row_number().over(w4))
+        .filter(col("r4") <= 4)
+      val expanded = top4
+        .join(mem.select(col("rep").as("vec_id"), col("ind").as("p_ind")),
+          "vec_id")
+        .filter(col("p_ind") =!= col("nn_ind"))
+        .select(col("p_ind").as("vec_id"), col("nn_ind").as("nn_id"),
+          col("cos"))
+      top3(expanded)
     },
 
     // Deterministic stratified sample: ~10% per language via the

@@ -33,11 +33,11 @@ object BruteGuard {
   private def maxRows(s: SparkSession): Long =
     s.conf.getOption(MaxRowsKey).map(_.toLong).getOrElse(DefaultMaxRows)
 
-  private def refuse(entry: String, sibling: String, n: Long,
+  private def refuse(entry: String, sibling: String, sizeDesc: String,
                      max: Long): Nothing =
     throw new IllegalStateException(
       s"$entry is a declared O(n²) brute-force baseline and its input " +
-        s"has $n rows (> $MaxRowsKey=$max). Use the sub-quadratic " +
+        s"has $sizeDesc (> $MaxRowsKey=$max). Use the sub-quadratic " +
         s"sibling $sibling, or raise the conf for a deliberate run.")
 
   /** Total row count of `path` (a parquet file or a directory of
@@ -64,7 +64,7 @@ object BruteGuard {
                sibling: String): Unit = {
     val max = maxRows(s)
     val n = footerRows(s, path)
-    if (n > max) refuse(entry, sibling, n, max)
+    if (n > max) refuse(entry, sibling, s"$n rows", max)
   }
 
   /** Gate `df` (the baseline's input side) and return it unchanged —
@@ -75,9 +75,22 @@ object BruteGuard {
     * instead of one full pass over the input it was about to square. */
   def gate(df: DataFrame, entry: String, sibling: String): DataFrame = {
     val max = maxRows(df.sparkSession)
-    val bound = math.min(max, Int.MaxValue - 1L).toInt
+    // a cap at or beyond Int.MaxValue can't be enforced through
+    // limit() (the bounded count would saturate and the guard would
+    // silently disable — ADVICE r14): reject the configuration loudly
+    require(max < Int.MaxValue,
+      s"$MaxRowsKey=$max is not an enforceable brute-force cap " +
+        s"(>= Int.MaxValue would disable the guard); lower the cap " +
+        s"or gate a parquet leaf via gatePath")
+    val bound = max.toInt
     val n = df.limit(bound + 1).count()
-    if (n > max) refuse(entry, sibling, n, max)
+    if (n > max) {
+      // the bounded count stops at cap+1, so n is a floor, not the
+      // actual input size — phrase it that way (ADVICE r14)
+      val sizeDesc =
+        if (n == bound + 1L) s"more than $max rows" else s"$n rows"
+      refuse(entry, sibling, sizeDesc, max)
+    }
     df
   }
 }

@@ -65,7 +65,11 @@ object ScalarFuncs {
           abs(col("l_discount") - 0.05).as("disc_abs"),
           ceil(col("l_quantity")).as("qty_ceil"),
           floor(col("l_quantity") / 7).as("qty_div7"),
-          Det.r4(pow(col("l_quantity"), 2)).as("qty_sq"),
+          // squared via IEEE MULTIPLY, not pow() (r15 FUZZ find: JVM
+          // Math.pow(x,2) and libm pow disagree by 1 ulp at |x²|≥4e12,
+          // past r4's identity cutoff — x*x is correctly rounded and
+          // identical on both engines at any magnitude)
+          Det.r4(col("l_quantity") * col("l_quantity")).as("qty_sq"),
           Det.r4(sqrt(col("l_extendedprice"))).as("price_sqrt"),
           Det.r4(log(col("l_extendedprice"))).as("price_ln"),
           Det.r4(log10(col("l_extendedprice"))).as("price_log10"),
@@ -354,7 +358,7 @@ object ScalarFuncs {
         |  abs(l_discount - 0.05) AS disc_abs,
         |  CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
         |  CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
-        |  (CASE WHEN NOT (abs(pow(l_quantity, 2)) < 9.0e11) THEN (pow(l_quantity, 2)) WHEN (pow(l_quantity, 2)) < 0 THEN -(floor(-(pow(l_quantity, 2)) * 10000 + 0.5) / 10000) ELSE floor((pow(l_quantity, 2)) * 10000 + 0.5) / 10000 END + 0) AS qty_sq,
+        |  (CASE WHEN NOT (abs((l_quantity * l_quantity)) < 9.0e11) THEN ((l_quantity * l_quantity)) WHEN ((l_quantity * l_quantity)) < 0 THEN -(floor(-((l_quantity * l_quantity)) * 10000 + 0.5) / 10000) ELSE floor(((l_quantity * l_quantity)) * 10000 + 0.5) / 10000 END + 0) AS qty_sq,
         |  (CASE WHEN NOT (abs(sqrt(l_extendedprice)) < 9.0e11) THEN (sqrt(l_extendedprice)) WHEN (sqrt(l_extendedprice)) < 0 THEN -(floor(-(sqrt(l_extendedprice)) * 10000 + 0.5) / 10000) ELSE floor((sqrt(l_extendedprice)) * 10000 + 0.5) / 10000 END + 0) AS price_sqrt,
         |  (CASE WHEN NOT (abs(ln(l_extendedprice)) < 9.0e11) THEN (ln(l_extendedprice)) WHEN (ln(l_extendedprice)) < 0 THEN -(floor(-(ln(l_extendedprice)) * 10000 + 0.5) / 10000) ELSE floor((ln(l_extendedprice)) * 10000 + 0.5) / 10000 END + 0) AS price_ln,
         |  (CASE WHEN NOT (abs(log10(l_extendedprice)) < 9.0e11) THEN (log10(l_extendedprice)) WHEN (log10(l_extendedprice)) < 0 THEN -(floor(-(log10(l_extendedprice)) * 10000 + 0.5) / 10000) ELSE floor((log10(l_extendedprice)) * 10000 + 0.5) / 10000 END + 0) AS price_log10,

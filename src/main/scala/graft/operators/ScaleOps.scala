@@ -83,14 +83,18 @@ object ScaleOps {
     * key reuses it (the DedupArtifacts / AnnIndex store discipline
     * applied to the plain TPC-H fact join).
     *
-    * Memo mechanics (ADVICE r13): keyed by (session identity hash,
-    * sfDir) — a string pair, so no SparkSession instance is pinned for
-    * the JVM lifetime — and the table build runs under the memo
-    * instance's own lazy-init lock, never the map's bin lock. The
-    * builder closure is dropped after the build so the captured
-    * session is released. (The table NAMES depend only on sfDir, so an
-    * identity-hash reuse across sessions at worst skips a rebuild of
-    * tables that already exist in the shared warehouse.) */
+    * Memo mechanics (ADVICE r13): keyed by (session id, sfDir) — a
+    * string pair, so no SparkSession instance is pinned for the JVM
+    * lifetime — and the table build runs under the memo instance's own
+    * lazy-init lock, never the map's bin lock. The builder closure is
+    * dropped after the build so the captured session is released. The
+    * session id is a UUID issued per live session object through a
+    * WeakHashMap (r15, ADVICE r14: `System.identityHashCode` can
+    * collide between two live sessions, or be REUSED after GC by a
+    * session with a different `spark.graft.store.buckets` — a
+    * colliding session silently skipped its build and read
+    * mis-bucketed tables); weak keys keep the no-JVM-lifetime-pin
+    * property. */
   private final class StoreMemo(b: () => (String, String)) {
     @volatile private var builder: () => (String, String) = b
     lazy val names: (String, String) = {
@@ -98,13 +102,22 @@ object ScaleOps {
     }
   }
 
+  private val sessionIds =
+    new java.util.WeakHashMap[SparkSession, String]()
+
+  private[graft] def sessionId(s: SparkSession): String =
+    sessionIds.synchronized {
+      sessionIds.computeIfAbsent(
+        s, _ => java.util.UUID.randomUUID().toString)
+    }
+
   private val bucketedJoinStores =
     new java.util.concurrent.ConcurrentHashMap[(String, String), StoreMemo]()
 
   private[graft] def bucketedJoinStore(s: SparkSession,
                                        d: String): (String, String) =
     bucketedJoinStores.computeIfAbsent(
-      (Integer.toHexString(System.identityHashCode(s)), d), { _ =>
+      (sessionId(s), d), { _ =>
       new StoreMemo(() => {
         val slug = d.replaceAll("[^a-zA-Z0-9]+", "_")
           .stripPrefix("_").stripSuffix("_")
