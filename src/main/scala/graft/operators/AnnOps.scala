@@ -784,10 +784,33 @@ object AnnOps {
         .agg(sum(when(col("pdot") >= 0,
           pow(lit(2.0), col("plane_id")).cast(LongType))
           .otherwise(0L)).as("bucket"))
-      val asg = repU.join(sig, "vec_id")
+      // persisted: the self-join reads asg twice (probe + candidate)
+      val asg = graft.Caches.persisted(repU.join(sig, "vec_id"))
       val repPairs = pairAcrossBuckets(asg, asg, "bucket",
         Tables.rowCount(s, d, "embeddings"), keepSelf = true)
-      val candInd = repPairs
+      // Rep-level cut BEFORE member expansion (r15, measured on sf10z:
+      // near-dup FAMILIES share every signature bit at any plane
+      // count, so buckets carry whole families and the expanded
+      // candidate-individual set hit 186M rows — 3.6× the 51.6M rep
+      // pairs — making the top-4 window shuffle the dominant cost).
+      // Exact superset argument: order a probe's candidate reps by cos
+      // desc; let c* be the cos of the first rep where the CUMULATIVE
+      // clique size reaches 4 — at least 4 individuals then have
+      // cos ≥ c*, so no individual with cos < c* can be in the top 4;
+      // keeping every rep with cos ≥ c* (ALL ties included) is a
+      // superset of the exact top-4 individuals, which the unchanged
+      // individual-level window below then cuts exactly.
+      val cliqueSz = mem.groupBy("rep").agg(count(lit(1)).as("csz"))
+      val wOrd = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nn_id"))
+      val kept = repPairs
+        .join(broadcast(cliqueSz.withColumnRenamed("rep", "nn_id")), "nn_id")
+        .withColumn("cum", sum("csz").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cstar", max(when(col("cum") >= 4, col("cos")))
+          .over(Window.partitionBy("vec_id")))
+        .filter(col("cstar").isNull || col("cos") >= col("cstar"))
+        .select("vec_id", "nn_id", "cos")
+      val candInd = kept
         .join(mem.select(col("rep").as("nn_id"), col("ind")), "nn_id")
         .select(col("vec_id"), col("ind").as("nn_ind"), col("cos"))
       val w4 = Window.partitionBy("vec_id")
