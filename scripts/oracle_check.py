@@ -85,6 +85,14 @@ def main():
     fixtures_ok = check_fingerprint(sfdir, outdir)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # bound DuckDB's footprint and let heavy oracles SPILL instead of
+    # tripping the OOM killer (r15: the sf1z pipeline-audit twins
+    # materialize corpus-sized CTE chains; unbounded, the process
+    # ballooned past free RAM and died with no diagnostic)
+    con.execute("SET memory_limit='%s'"
+                % os.environ.get("DUCK_MEM", "48GB"))
+    os.makedirs("/tmp/duck_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_spill'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark directory table (e.g. a ScaleGen corpus)
