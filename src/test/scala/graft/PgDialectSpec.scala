@@ -112,4 +112,45 @@ class PgDialectSpec extends SparkSpec {
     assert(replay.exists(_.contains("executeUpdate[UPDATE \"pg_state\"")))
     assert(!replay.exists(_.contains("executeUpdate[INSERT INTO \"pg_state\"")))
   }
+
+  test("multi-object FK-ordered sync composes with the PG dialect: " +
+    "parent upsert commits before any child statement") {
+    RecordingJdbc.register()
+    val url = s"jdbc:postgresql://fake/pgm${System.nanoTime}"
+    val db = RecordingJdbc.db(url)
+    import graft.sources.v2.{InMemoryEndpoint, SoqlEndpoints}
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val parentSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cur", LongType),
+      StructField("is_deleted", BooleanType)))
+    val childSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("parent_id", LongType),
+      StructField("cur", LongType),
+      StructField("is_deleted", BooleanType)))
+    SoqlEndpoints.register("pg_parent", new InMemoryEndpoint(parentSchema,
+      Seq(Seq(1L, 100L, false))))
+    SoqlEndpoints.register("pg_child", new InMemoryEndpoint(childSchema,
+      Seq(Seq(10L, 1L, 110L, false))))
+    val cursors = Pipeline.syncAllOnceV2(spark, url,
+      Seq(Pipeline.V2Object("pg_child", Seq("id"), "cur", "is_deleted"),
+          Pipeline.V2Object("pg_parent", Seq("id"), "cur", "is_deleted")),
+      Seq("pg_child" -> "pg_parent"), stateTable = "pgm_state")
+    assert(cursors == Seq(("pg_parent", 100L), ("pg_child", 110L)))
+    val ev = db.seq
+    // the parent's upsert batch commits before ANY child statement
+    val iParentUp = ev.indexWhere(
+      _.contains("executeBatch: INSERT INTO \"pg_parent_tgt\""))
+    val parentConn = ev(iParentUp).split(" ")(0)
+    val iParentCommit = ev.zipWithIndex.collectFirst {
+      case (e, i) if i > iParentUp && e == s"$parentConn commit" => i
+    }.getOrElse(fail(s"parent upsert never committed: $ev"))
+    val iChildFirst = ev.indexWhere(_.contains("\"pg_child_tgt\""))
+    assert(iParentUp >= 0 && iChildFirst > iParentCommit,
+      s"child statements before the parent commit:\n${ev.mkString("\n")}")
+    // and both targets were created with the PG dialect
+    assert(ev.exists(e => e.contains("CREATE TABLE") &&
+      e.contains("\"pg_parent_tgt\"") && e.contains("bigint")))
+  }
 }

@@ -24,6 +24,10 @@ object RecordingJdbc {
   final class Db {
     val events = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val tables = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // table -> its column names, recorded from the CREATE DDL's quoted
+    // identifiers (answers ensureColumns' metadata probe)
+    val columns =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     val cursors = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     private val connIds = new AtomicInteger(0)
     private[RecordingJdbc] def nextConnId(): Int = connIds.incrementAndGet()
@@ -98,8 +102,14 @@ object RecordingJdbc {
       case ("execute", a) =>
         val sql = a(0).asInstanceOf[String]
         d.log(s"c$cid execute: $sql")
-        if (sql.startsWith("CREATE TABLE"))
-          quoted.findFirstMatchIn(sql).foreach(m => d.tables.add(m.group(1)))
+        if (sql.startsWith("CREATE TABLE")) {
+          val idents = quoted.findAllMatchIn(sql).map(_.group(1)).toSeq
+          idents.headOption.foreach { t =>
+            d.tables.add(t)
+            // the PK clause repeats column names — distinct keeps the set
+            d.columns.put(t, idents.tail.distinct)
+          }
+        }
         java.lang.Boolean.FALSE
       case ("close", _) => null
     }
@@ -158,6 +168,11 @@ object RecordingJdbc {
         if (d.tables.contains(name))
           resultSet(Seq(Seq(name)))
         else resultSet(Nil)
+      case ("getColumns", a) =>
+        // ensureColumns reads getString("COLUMN_NAME") row-by-row
+        val name = a(2).asInstanceOf[String]
+        resultSet(Option(d.columns.get(name)).getOrElse(Nil)
+          .map(c => Seq[AnyRef](c)))
     }
 
   private def connection(d: Db): Connection = {
