@@ -187,6 +187,11 @@ def fuzz_lineitem(rng, outdir):
     # noise pushes corr/r2 against the 1.0 boundary, where the two
     # engines' merge orders differ at the last ulp
     lin = [i for i in range(n) if flag[i] == "N"][:60]
+    # an under-populated draw must fail loudly, not silently skip the
+    # probe (ADVICE r15): both slices assume the base corpus carries
+    # enough matching flag rows
+    assert len(lin) >= 20, (
+        f"collinear probe under-populated: {len(lin)} N-flag rows < 20")
     for i in lin:
         q = lattice(rng, 1, 50)
         qty[i] = q
@@ -195,6 +200,9 @@ def fuzz_lineitem(rng, outdir):
     # ODD multiple of 5e-5 (an exact r4 half) — the binary-r4 rule must
     # round the identical double identically on both engines
     half = [i for i in range(n) if flag[i] == "R"][40:60]
+    assert len(half) >= 10, (
+        f"median half-boundary probe under-populated: {len(half)} rows "
+        f"in the [40:60] R-flag slice < 10")
     for i in half:
         qty[i] = 12.34565
     write(outdir, "lineitem", rebuild(tbl, {

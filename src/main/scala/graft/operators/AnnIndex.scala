@@ -62,8 +62,21 @@ object AnnIndex {
     * any size; the driver-side Lloyd stays microscopic (k·8k·dim·iters
     * flops ≈ 10⁹ even at the 65536-cell cap). Returns the chosen k. */
   def writeSized(u: DataFrame, path: String, prefix: String,
-                 nBuckets: Int, iters: Int = 5): Int = {
-    val k = sizedK(BruteGuard.footerRows(u.sparkSession, path))
+                 nBuckets: Int, iters: Int = 5): Int =
+    writeSized(u, BruteGuard.footerRows(u.sparkSession, path), prefix,
+      nBuckets, iters)
+
+  /** [[writeSized]] with the row count passed explicitly — for callers
+    * indexing a frame that is NOT a plain parquet leaf (a split, a
+    * filtered view), where a footer count of the backing file would
+    * silently size for the wrong n (ADVICE r15: the AnnScale A/B arm
+    * indexed the 80% base split but sized k from the full corpus
+    * footers, measuring sizedK(n) instead of sizedK(0.8n)). The (u, n)
+    * pair is the caller's contract; n must be the row count of `u`
+    * itself. */
+  def writeSized(u: DataFrame, n: Long, prefix: String,
+                 nBuckets: Int, iters: Int): Int = {
+    val k = sizedK(n)
     write(u, prefix, k, iters, maxSample = math.max(256, 8 * k), nBuckets)
     k
   }

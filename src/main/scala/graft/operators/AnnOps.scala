@@ -800,10 +800,17 @@ object AnnOps {
       // keeping every rep with cos ≥ c* (ALL ties included) is a
       // superset of the exact top-4 individuals, which the unchanged
       // individual-level window below then cuts exactly.
+      // cliqueSz has one row per DISTINCT vector — it scales with the
+      // corpus, not a constant, so it must NOT be force-broadcast
+      // (ADVICE r15: O(n) rows to every executor on a mostly-unique
+      // corpus). No hint: the size-driven join choice broadcasts it
+      // while it fits (sf scales) and falls back to a shuffle join
+      // keyed on nn_id beyond that — the same discipline as
+      // pairAcrossBuckets' size-driven shapes.
       val cliqueSz = mem.groupBy("rep").agg(count(lit(1)).as("csz"))
       val wOrd = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("nn_id"))
       val kept = repPairs
-        .join(broadcast(cliqueSz.withColumnRenamed("rep", "nn_id")), "nn_id")
+        .join(cliqueSz.withColumnRenamed("rep", "nn_id"), "nn_id")
         .withColumn("cum", sum("csz").over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("cstar", max(when(col("cum") >= 4, col("cos")))

@@ -71,8 +71,12 @@ object AnnScale {
           AnnIndex.write(base, prefix, kk, iters = 5, maxSample = 256,
             nBuckets = nBuckets); kk
         case None =>
-          AnnIndex.writeSized(base, s"$dir/embeddings.parquet", prefix,
-            nBuckets = nBuckets)
+          // size from the 80% base split actually being indexed, not
+          // the full-corpus footers (ADVICE r15: the footer path
+          // measured sizedK(n) while indexing 0.8n rows). One count
+          // job — fine in a measurement harness.
+          AnnIndex.writeSized(base, base.count(), prefix,
+            nBuckets = nBuckets, iters = 5)
       }
       val tBuild = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()

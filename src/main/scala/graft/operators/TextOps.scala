@@ -337,6 +337,11 @@ object TextOps {
     // Embedding-cosine near-dup pairs (threshold 0.4 on these fixtures).
     "j_dedup_embed_cosine" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
+      // fail-fast size gate (r16, VERDICT r15 item 1): declared O(n²)
+      // brute baseline — the last unguarded one; refuse a 100× accident
+      // with the LSH-bucketed sibling named. Footer row count, no job.
+      BruteGuard.gatePath(s, s"$d/embeddings.parquet",
+        "j_dedup_embed_cosine", "j_dedup_embed_ann")
       // spread the raw scan FIRST (single-row-group input = one task),
       // then normalize: norm hoisted out of the lambda so graft_dot runs
       // once per row, not once per element inside the interpreted HOF

@@ -56,4 +56,34 @@ class BruteGuardSpec extends SparkSpec {
       assert(SparkEntry.queries(entry)(spark, sfDir).count() == 10, entry)
     }
   }
+
+  test("j_dedup_embed_cosine is gated, naming the LSH sibling (r16 — " +
+    "the last unguarded brute baseline)") {
+    val ex = withCap(10) {
+      intercept[IllegalStateException] {
+        SparkEntry.queries("j_dedup_embed_cosine")(spark, sfDir).collect()
+      }
+    }
+    assert(ex.getMessage.contains("j_dedup_embed_ann"))
+    assert(ex.getMessage.contains("j_dedup_embed_cosine"))
+    // under the default cap the entry still runs (oracle pins the hash)
+    assert(SparkEntry.queries("j_dedup_embed_cosine")(spark, sfDir)
+      .count() > 0)
+  }
+
+  test("conf at/above Int.MaxValue disables the DataFrame gate by " +
+    "explicit choice (ADVICE r15)") {
+    val df = Tables.embeddings(spark, sfDir)
+    withCap(Int.MaxValue.toLong) {
+      assert(BruteGuard.gate(df, "e", "s") eq df)
+    }
+    withCap(Long.MaxValue) {
+      assert(BruteGuard.gate(df, "e", "s") eq df)
+    }
+    // the refusal message documents the disable ceiling
+    val ex = withCap(10) {
+      intercept[IllegalStateException] { BruteGuard.gate(df, "e", "s") }
+    }
+    assert(ex.getMessage.contains(Int.MaxValue.toString))
+  }
 }
