@@ -75,6 +75,14 @@ ENTRIES = [
     "j_embed_dim_stats", "j_ann_ivf_topk",
     # window-tie / event class
     "e_window_rank", "e_funnel_sessions", "e_window_gap_islands",
+    # r16 widening (VERDICT r15 ask 8): timestamp/timezone boundary
+    # consumers — as-of tolerance edges, session-gap == threshold,
+    # calendar truncation at month/year/leap/DST/pre-epoch instants
+    "c_join_asof", "c_join_asof_forward", "c_join_asof_nearest",
+    "h_date_funcs", "e_window_gap_fill", "e_window_lag_lead",
+    "e_attribution_last_touch", "k_window_tumbling", "k_window_session",
+    # r16 widening: non-ASCII multi-byte string consumers
+    "h_string_funcs", "h_regex_funcs",
 ]
 
 UNICODE_NAMES = [
@@ -88,6 +96,13 @@ UNICODE_NAMES = [
     "Customer#FZ-unicode مرحبا بالعالَم",
     "Customer#FZ-unicode 🚀 emoji pair A",
     "Customer#FZ-unicode 🚀 emoji pair B",
+    # r16 widening: multi-byte beyond the BMP + invisible code points
+    "Customer#FZ-unicode 👨‍👩‍👧 zwj family",
+    "Customer#FZ-unicode 👨👩👧 zwj family",       # ZWJ-stripped twin
+    "Customer#FZ-unicode non breaking pair",
+    "Customer#FZ-unicode non breaking pair",       # NBSP vs space twin
+    "Customer#FZ-unicode 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 fraktur",
+    "Customer#FZ-unicode Unicode fraktur",         # ASCII-fold twin
 ]
 
 UNICODE_DOCS = [
@@ -101,6 +116,15 @@ UNICODE_DOCS = [
     "tab\tand  double space token boundary test case here",
     "word",  # single-token doc
     "same same same same same same same same same same",  # one repeated token
+    # r16 widening (VERDICT r15 ask 8): multi-byte beyond the BMP and
+    # invisible/width-variant code points through the tokenize /
+    # normalize / fingerprint / BPE consumers
+    "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝔣𝔯𝔞𝔨𝔱𝔲𝔯 astral tokens 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝔣𝔯𝔞𝔨𝔱𝔲𝔯 astral tokens",
+    "👨‍👩‍👧‍👦 zwj family grapheme cluster test 👍🏽 skin tone modifier",
+    "﻿bom prefixed token stream test ﻿bom prefixed token",
+    "non breaking space inside tokens non breaking space",
+    "全角　スペース　区切り 全角　スペース　区切り",
+    "á̂̃ stacked combining marks over one base letter",
 ]
 
 
@@ -334,6 +358,64 @@ def fuzz_events(rng, outdir):
                      "ts": ts[j % len(ts)],
                      "user_id": zuser, "event_type": "fz_cancel",
                      "value": 2.0e4 + lattice(rng, 0, 10), "props": None})
+    # --- r16 widening (VERDICT r15 ask 8): timestamp/timezone
+    # boundary domains. The corpus ts is timestamp[us]; pyarrow rows
+    # carry datetime objects through the original schema. ---
+    import datetime as dt
+    # (a) calendar-truncation instants: month end last-µs / month
+    # start, leap day (2024), year boundary ± 1 µs, the two US DST
+    # transition instants expressed in UTC (both engines run UTC — the
+    # probe proves date_trunc/cohort arithmetic is TZ-rule-free), and
+    # the epoch itself ± 1 µs (negative-µs pre-epoch value)
+    boundary_instants = [
+        dt.datetime(2024, 1, 31, 23, 59, 59, 999999),
+        dt.datetime(2024, 2, 1, 0, 0, 0, 0),
+        dt.datetime(2024, 2, 29, 0, 0, 0, 0),
+        dt.datetime(2024, 2, 29, 23, 59, 59, 999999),
+        dt.datetime(2024, 3, 1, 0, 0, 0, 0),
+        dt.datetime(2024, 3, 10, 7, 0, 0, 0),   # US spring-forward (UTC)
+        dt.datetime(2024, 11, 3, 6, 0, 0, 0),   # US fall-back (UTC)
+        dt.datetime(2023, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(2024, 1, 1, 0, 0, 0, 0),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),  # pre-epoch
+        dt.datetime(1970, 1, 1, 0, 0, 0, 0),            # epoch zero
+    ]
+    assert len(boundary_instants) >= 10, (
+        f"boundary-instant probe under-populated: {len(boundary_instants)}")
+    buser = max(users) + 3
+    for j, b in enumerate(boundary_instants):
+        rows.append({"event_id": max_id + 300 + j, "ts": b,
+                     "user_id": buser,
+                     "event_type": "view" if j % 2 == 0 else "click",
+                     "value": lattice(rng, 0, 100), "props": None})
+    # (b) session-gap == threshold: consecutive deltas of exactly
+    # 30 min (the >= 1_800_000_000 µs cut fires), 30 min − 1 µs (same
+    # session), 30 min + 1 µs — the off-by-one domain of every
+    # sessionizer/gap-island/gap-fill consumer
+    guser = max(users) + 4
+    gap_deltas = [0, 1800000000, 1799999999, 1800000001]
+    gap_types = ["view", "click", "purchase", "view"]
+    assert len(gap_deltas) == len(gap_types) >= 4
+    cur = dt.datetime(2024, 1, 10, 12, 0, 0, 0)
+    for j, (dus, et) in enumerate(zip(gap_deltas, gap_types)):
+        cur = cur + dt.timedelta(microseconds=dus)
+        rows.append({"event_id": max_id + 400 + j, "ts": cur,
+                     "user_id": guser, "event_type": et,
+                     "value": lattice(rng, 0, 100), "props": None})
+    # (c) as-of tolerance edges: one purchase, clicks at Δ = 0 (equal
+    # ts — the backward <= edge), −1 µs, +2 h exactly (the forward <=
+    # band edge), +2 h + 1 µs (just outside), −2 h exactly
+    auser = max(users) + 5
+    p0 = dt.datetime(2024, 1, 15, 12, 0, 0, 0)
+    rows.append({"event_id": max_id + 500, "ts": p0, "user_id": auser,
+                 "event_type": "purchase", "value": 1.0, "props": None})
+    asof_deltas = [0, -1, 7200000000, 7200000001, -7200000000]
+    assert len(asof_deltas) >= 5
+    for j, dus in enumerate(asof_deltas):
+        rows.append({"event_id": max_id + 501 + j,
+                     "ts": p0 + dt.timedelta(microseconds=dus),
+                     "user_id": auser, "event_type": "click",
+                     "value": lattice(rng, 0, 100), "props": None})
     write(outdir, "events", append_rows(tbl, rows))
 
 

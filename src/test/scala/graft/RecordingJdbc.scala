@@ -29,6 +29,23 @@ object RecordingJdbc {
     val columns =
       new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
     val cursors = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    // failure injection (r16, VERDICT r15 ask 5): ONE-SHOT — the first
+    // executeBatch/executeUpdate whose SQL contains the substring logs
+    // a FAIL-INJECTED event, clears the trigger, and throws
+    // SQLException, so a spec can crash the sync mid-sequence at an
+    // exact statement and then replay with the fault gone. Volatile is
+    // enough: executor tasks share this JVM under local[*], and the
+    // specs arm it before the job starts.
+    @volatile var failOnce: Option[String] = None
+    private[RecordingJdbc] def maybeFail(cid: Int, op: String,
+                                         sql: String): Unit =
+      failOnce.foreach { sub =>
+        if (sql.contains(sub)) {
+          failOnce = None
+          log(s"c$cid FAIL-INJECTED $op: $sql")
+          throw new java.sql.SQLException(s"injected failure on [$sub]")
+        }
+      }
     private val connIds = new AtomicInteger(0)
     private[RecordingJdbc] def nextConnId(): Int = connIds.incrementAndGet()
     def log(e: String): Unit = events.add(e)
@@ -130,9 +147,11 @@ object RecordingJdbc {
       case ("addBatch", _) =>
         d.log(s"c$cid bind[$sql] ($row)"); params.clear(); null
       case ("executeBatch", _) =>
+        d.maybeFail(cid, "executeBatch", sql)
         d.log(s"c$cid executeBatch: $sql")
         Array.emptyIntArray // JDBC allows SUCCESS_NO_INFO-free empties
       case ("executeUpdate", _) =>
+        d.maybeFail(cid, "executeUpdate", sql)
         d.log(s"c$cid executeUpdate[$sql] ($row)")
         val vals = params.values.toArray
         val n: Int =
