@@ -41,6 +41,12 @@ object StreamingOps {
 
     // Per-user sessions with 30-minute inactivity gap. Emits min/max
     // event ts (engine-neutral) rather than the half-open window end.
+    // Boundary convention (r16 — found by the fuzz gap-==-threshold
+    // probe): native session_window MERGES touching sessions — an
+    // event at exactly prev+gap extends the session; the cut fires
+    // only at gap > 30 min. The SQL twin mirrors that (strict >).
+    // The manual sessionizer in e_funnel_sessions cuts at >= gap —
+    // each pair is internally consistent and pinned by its own twin.
     "k_window_session" -> { (s, d) =>
       Tables.eventsWithNanos(s, d)
         .withColumn("ts_us", expr("ts_ns div 1000"))
@@ -105,7 +111,7 @@ object StreamingOps {
         |  SELECT user_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |        (PARTITION BY user_id ORDER BY epoch_us(ts))
-        |      >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      > 1800000000 THEN 1 ELSE 0 END AS new_s
         |  FROM events),
         |sess AS (
         |  SELECT user_id, ts_us,

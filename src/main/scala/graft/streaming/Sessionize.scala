@@ -39,7 +39,12 @@ object Sessionize {
     val out = Seq.newBuilder[Session]
     events.toSeq.sortBy(_.ts_us).foreach { e =>
       cur match {
-        case Some(s) if e.ts_us - s.last_us < GapUs =>
+        // merge-on-touch (r16): an event at exactly last+gap still
+        // extends the session — native session_window's convention
+        // (two touching [ts, ts+gap] intervals merge), found diverging
+        // by the fuzz gap-==-threshold probe. The cut fires only at
+        // gap > GapUs, here and in the shared streaming fold below.
+        case Some(s) if e.ts_us - s.last_us <= GapUs =>
           cur = Some(SessionState(s.first_us, e.ts_us, s.n + 1))
         case Some(s) =>
           out += Session(uid, s.first_us, s.last_us, s.n)
@@ -115,7 +120,7 @@ object Sessionize {
     val out = Seq.newBuilder[Session]
     freeze.foreach { ts =>
       cur match {
-        case Some(s) if ts - s.last_us < GapUs =>
+        case Some(s) if ts - s.last_us <= GapUs => // merge-on-touch
           cur = Some(SessionState(s.first_us, ts, s.n + 1))
         case Some(s) =>
           out += Session(uid, s.first_us, s.last_us, s.n)
@@ -125,11 +130,12 @@ object Sessionize {
       }
     }
     // the frozen open session is closed once the watermark clears its
-    // gap: every event that could still join is < last+gap ≤ wm, i.e.
-    // already frozen — including the in-data-path stale-horizon case
-    // (the r11 clamp), which needs no timeout round trip
+    // gap: under merge-on-touch an event that could still join has
+    // ts ≤ last+gap < wm, i.e. already frozen (strict > keeps the
+    // exactly-at-gap joiner admissible) — including the in-data-path
+    // stale-horizon case (the r11 clamp), no timeout round trip
     cur.foreach { s =>
-      if (wmUs >= s.last_us + GapUs) {
+      if (wmUs > s.last_us + GapUs) {
         out += Session(uid, s.first_us, s.last_us, s.n)
         cur = None
       }
@@ -140,9 +146,9 @@ object Sessionize {
         cur.map(_.first_us).getOrElse(-1L),
         cur.map(_.last_us).getOrElse(0L),
         cur.map(_.n).getOrElse(0L), rest)
-      // earliest instant anything can close; both candidates are
-      // provably ahead of the watermark (open session: wm < last+gap;
-      // raw: ts ≥ wm), so the timeout is never in the past
+      // earliest instant anything can close; both candidates are at
+      // or ahead of the watermark (open session: wm ≤ last+gap; raw:
+      // ts ≥ wm) and the +1 ms below keeps the wake strictly ahead
       val horizonUs = (cur.map(_.last_us + GapUs).toSeq ++
         rest.headOption.map(_ + GapUs)).min
       (out.result(), Some(next), Some(horizonUs / 1000 + 1))
