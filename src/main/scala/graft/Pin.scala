@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Eager materialize-and-pin strategy knob (r16, VERDICT r15 ask 4).
+  *
+  * Two call sites need a frame pinned as ONE immutable snapshot before
+  * several consumers read it: [[graft.operators.CorpusPipeline.stages]]
+  * (each stage frame feeds the next stage AND the audit ledger — an
+  * unpinned stage re-plans its whole prefix under AQE on every
+  * consumer) and [[graft.sources.JdbcExec.syncOnce]] (the pulled batch
+  * feeds four separate actions — isEmpty, max-cursor, upsert, delete —
+  * that must all see the same rows even if the source mutates).
+  *
+  * `spark.graft.pin.mode` selects the mechanism:
+  *
+  *  - `local` (default): eager `localCheckpoint` — materialize NOW
+  *    into executor-local block storage and cut lineage. Cheapest
+  *    (no DFS write) and a true snapshot (no recompute path exists).
+  *    Failure domain at cluster scale: blocks live on the executors
+  *    that computed them, so losing an executor AFTER the pin kills
+  *    every job still reading the frame — acceptable inside one sync
+  *    pass / audit (a driver-level retry replays the idempotent pass),
+  *    wrong for state that must outlive the pass.
+  *  - `reliable`: `checkpoint` into `spark.graft.pin.dir` (the
+  *    SparkContext checkpoint dir; defaults to a /tmp path — point it
+  *    at DFS in production). Survives executor loss; costs a full
+  *    write + read of the frame through the checkpoint store. The
+  *    100 TB posture for pins that later stages resume from.
+  *  - `persist`: `persist(MEMORY_AND_DISK)` + a materializing count.
+  *    NOT a true snapshot — blocks are evictable and the recompute
+  *    path re-reads the (possibly mutated) source, exactly the
+  *    r14→r15 syncOnce hazard — offered for the A/B harness
+  *    ([[PinScale]]) and for sources known immutable (parquet
+  *    fixtures), where it skips the block copy localCheckpoint pays.
+  *
+  * Measured A/B + the 100 TB recommendation: SCALE.md §r16.2.
+  */
+object Pin {
+  val ModeKey = "spark.graft.pin.mode"
+  val DirKey = "spark.graft.pin.dir"
+
+  def mode(s: SparkSession): String = s.conf.get(ModeKey, "local")
+
+  /** Materialize `df` now and return the pinned frame (see modes
+    * above). Release with [[unpin]] once every consumer is done. */
+  def pin(df: DataFrame): DataFrame = mode(df.sparkSession) match {
+    case "local" => df.localCheckpoint(eager = true)
+    case "reliable" =>
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(df.sparkSession.conf.get(DirKey,
+          s"/tmp/graft_pin_${sc.applicationId}"))
+      df.checkpoint(eager = true)
+    case "persist" =>
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count() // materialize now; evictable — see the mode caveat
+      p
+    case other =>
+      sys.error(s"$ModeKey: unknown mode '$other' " +
+        "(expected local | reliable | persist)")
+  }
+
+  /** End-of-scope release of a [[pin]] result. After unpinning a
+    * checkpointed frame is unreadable (lineage was cut); a persisted
+    * frame merely drops back to lazy recompute. */
+  def unpin(df: DataFrame): Unit = mode(df.sparkSession) match {
+    case "persist" => df.unpersist(blocking = false)
+    case _ => org.apache.spark.sql.GraftPlanBridge.unpin(df)
+  }
+}

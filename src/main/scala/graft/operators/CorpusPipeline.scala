@@ -125,8 +125,11 @@ object CorpusPipeline {
     // pin maps to the checkpointed stage tables a production run
     // ledger writes anyway (see the class scaladoc); block cleanup is
     // the ContextCleaner's — frames unpin when the audit's result is
-    // dropped, and sizes are survivor-set-bounded.
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // dropped, and sizes are survivor-set-bounded. The pin MECHANISM
+    // is the spark.graft.pin.mode knob (r16, VERDICT r15 ask 4):
+    // executor-local by default, reliable-dir checkpoint for pins
+    // that must survive executor loss — A/B numbers in SCALE.md §r16.2.
+    def pin(df: DataFrame): DataFrame = graft.Pin.pin(df)
 
     // 1. quality gate — heuristic or bigram-LM, see [[qualityStage]]
     val effGate = gate.getOrElse(

@@ -391,9 +391,12 @@ object JdbcExec {
     // Pin ONE snapshot of the pull: isEmpty, the max-cursor agg, the
     // upsert and the delete below are four separate Spark actions, and
     // an unpinned live source could serve each a different view. The
-    // pin is an EAGER localCheckpoint, not persist() — see the method
-    // scaladoc for why lazy/evictable caching was not a snapshot.
-    val batch = pull(last).localCheckpoint(true)
+    // pin is EAGER (default: localCheckpoint, not persist() — see the
+    // method scaladoc for why lazy/evictable caching was not a
+    // snapshot); the mechanism is the spark.graft.pin.mode knob (r16):
+    // `reliable` checkpoints to a DFS dir so the snapshot survives
+    // executor loss mid-sync — A/B numbers in SCALE.md §r16.2.
+    val batch = graft.Pin.pin(pull(last))
     try {
       if (batch.isEmpty) return last
       // latest-wins per key on the cursor field (MERGE needs PK-unique)
@@ -420,7 +423,7 @@ object JdbcExec {
         }
         newCursor
       } finally latest.unpersist()
-    } finally org.apache.spark.sql.GraftPlanBridge.unpin(batch)
+    } finally graft.Pin.unpin(batch)
   }
 }
 

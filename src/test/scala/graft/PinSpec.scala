@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{JdbcCursorStore, JdbcExec}
+
+/** The pin-mode knob (r16, VERDICT r15 ask 4): every
+  * `spark.graft.pin.mode` must (a) materialize eagerly, (b) produce a
+  * frame whose reads are value-identical to the input, and (c) drive
+  * the two real call sites — a syncOnce pass and the pipeline audit —
+  * to the same results the default mode produces.
+  */
+class PinSpec extends SparkSpec {
+
+  private def withMode[A](m: String)(f: => A): A = {
+    spark.conf.set(Pin.ModeKey, m)
+    try f finally spark.conf.unset(Pin.ModeKey)
+  }
+
+  test("pin returns a value-identical frame under every mode; unknown " +
+    "modes are rejected loudly") {
+    import spark.implicits._
+    val src = (1L to 1000L).toDF("id")
+      .withColumn("v", col("id") * 3 % 17)
+    val expect = src.orderBy("id").collect().toSeq
+    for (m <- Seq("local", "reliable", "persist")) withMode(m) {
+      val pinned = Pin.pin(src)
+      assert(pinned.orderBy("id").collect().toSeq == expect, s"mode=$m")
+      Pin.unpin(pinned)
+    }
+    withMode("bogus") {
+      val e = intercept[RuntimeException](Pin.pin(src))
+      assert(e.getMessage.contains("bogus"))
+    }
+  }
+
+  test("syncOnce converges to the same target state and cursor under " +
+    "every pin mode") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "a", 100L, false),
+      (2L, "b", 110L, false),
+      (2L, "b2", 120L, false),
+      (3L, "c", 130L, true))
+      .toDF("id", "name", "cur", "is_deleted")
+    val schema = batch.schema
+    def run(m: String): (Long, Seq[(Long, String, Long)]) = withMode(m) {
+      val url = s"jdbc:derby:memory:pins$m${System.nanoTime};create=true"
+      JdbcExec.withConnection(url) { conn =>
+        JdbcExec.ensureTable(conn, "p_tgt", schema, Seq("id"),
+          JdbcExec.dialectFor(url))
+      }
+      val c = JdbcExec.syncOnce(spark, url, "p_tgt", Seq("id"), "p_state",
+        "p", _ => batch, "cur", "is_deleted", batchSize = 10)
+      assert(new JdbcCursorStore(url, "p_state").get("p").contains(c))
+      (c, JdbcExec.readTable(spark, url, "p_tgt").collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1))
+    }
+    val ref = run("local")
+    assert(ref._1 == 130L &&
+      ref._2 == Seq((1L, "a", 100L), (2L, "b2", 120L)))
+    assert(run("reliable") == ref)
+    assert(run("persist") == ref)
+  }
+
+  test("the pipeline audit is mode-invariant (reliable == default)") {
+    val base = SparkEntry.queries("j_pipeline_audit")(spark, sfDir)
+      .collect().toSeq
+    Caches.release(spark)
+    val rel = withMode("reliable") {
+      SparkEntry.queries("j_pipeline_audit")(spark, sfDir).collect().toSeq
+    }
+    Caches.release(spark)
+    assert(rel == base && base.nonEmpty)
+  }
+}
