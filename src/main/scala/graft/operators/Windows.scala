@@ -109,13 +109,46 @@ object Windows {
         .orderBy("user_id", "ts_s", "event_id")
     },
 
-    // Global analytic functions — empty partitionBy: one task; only for
-    // small final results (annotated; at 100 TB this is a deliberate
-    // driver-sized operation, e.g. scoring a pre-aggregated table).
+    // Global analytic functions (rank/ntile/percent_rank/cume_dist
+    // over a TOTAL order) WITHOUT the single-task global window (r16:
+    // the sf1z→sf10z exponent sweep measured the empty-partitionBy
+    // original at exponent 1.13, the suite's only superlinear entry —
+    // one core sorts the corpus while 31 idle). The scalable shape is
+    // the z-order/quantile discipline: bucket rows by price quantiles
+    // (driver receives 31 doubles from ONE approxQuantile pass), rank
+    // locally per bucket (one hash exchange, bucket-parallel local
+    // sorts), add broadcast cumulative bucket offsets. The bucket is
+    // a FUNCTION OF THE VALUE, so ties share a bucket and buckets are
+    // contiguous price ranges: (bucket, local order) IS the total
+    // (price, key) order and every rank is value-identical to the
+    // global window's — the unchanged oracle hash proves it. A single
+    // hot price collapses its whole tie-class into one bucket (the
+    // disclosed skew caveat, same as any range partitioning).
     "e_window_analytic" -> { (s, d) =>
-      val w = Window.orderBy(asc("o_totalprice"), asc("o_orderkey"))
-      val wFull = w.rowsBetween(Window.unboundedPreceding,
-        Window.unboundedFollowing)
+      val o = Tables.orders(s, d)
+      val nB = 32
+      val bounds = o.stat.approxQuantile("o_totalprice",
+        (1 until nB).map(_.toDouble / nB).toArray, 0.001)
+      val bucketCol = size(filter(lit(bounds),
+        b => b <= col("o_totalprice").cast(DoubleType)))
+      val wLoc = Window.partitionBy("b")
+        .orderBy(asc("o_totalprice"), asc("o_orderkey"))
+      val loc = o.withColumn("b", bucketCol)
+        .select(col("o_orderkey"), col("o_totalprice"), col("b"),
+          // BIGINT from the start: row_number is INT and r*20000
+          // overflows INT at 10⁵ rows (ANSI mode fails loudly)
+          row_number().over(wLoc).cast("bigint").as("lr"))
+      // per-bucket offsets + global n: ≤ nB rows — driver-sized
+      // windows over the count frame, broadcast back
+      val wOff = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val off = o.withColumn("b", bucketCol).groupBy("b")
+        .agg(count(lit(1)).as("c"))
+        .select(col("b"),
+          coalesce(sum("c").over(wOff), lit(0L)).as("off"),
+          sum("c").over(wAll).as("n"))
       // pr/cd rounded to 4 decimals IN EXACT INTEGER ARITHMETIC (r13,
       // found by the sf1 full-suite oracle): round(double, 4) is a
       // half-way trap — Spark rounds the double's SHORTEST DECIMAL
@@ -125,15 +158,18 @@ object Windows {
       // is (20000a + b) div (2b), exact BIGINT on both engines; the
       // final /10000.0 is one correctly-rounded IEEE division. The
       // total (price, key) order makes rank ≡ row_number (no ties),
-      // so pr = (r-1)/(n-1) and cd = r/n.
-      Tables.orders(s, d)
+      // so pr = (r-1)/(n-1) and cd = r/n. ntile(4) from (r, n) by the
+      // standard SQL rule (the first n%4 tiles carry one extra row) —
+      // the same integer arithmetic both engines' ntile implements.
+      loc.join(broadcast(off), "b")
+        .withColumn("r", col("off") + col("lr"))
         .select(col("o_orderkey"), col("o_totalprice"),
-          ntile(4).over(w).as("quartile"),
-          // BIGINT from the start: row_number is INT and r*20000
-          // overflows INT at 10⁵ rows (ANSI mode fails loudly)
-          row_number().over(w).cast("bigint").as("r"),
-          count(lit(1)).over(wFull).as("n"))
-        .select(col("o_orderkey"), col("o_totalprice"), col("quartile"),
+          when(expr("n % 4") === 0, expr("(r - 1) div (n div 4) + 1"))
+            .otherwise(when(col("r") <= expr("(n % 4) * (n div 4 + 1)"),
+              expr("(r - 1) div (n div 4 + 1) + 1"))
+              .otherwise(expr(
+                "n % 4 + (r - (n % 4) * (n div 4 + 1) - 1) div (n div 4) + 1")))
+            .cast("int").as("quartile"),
           when(col("n") === 1, lit(0.0)).otherwise(
             expr("((r - 1) * 20000 + (n - 1)) div (2 * (n - 1))") / 10000.0)
             .as("pr"),
