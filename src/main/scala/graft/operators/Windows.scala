@@ -10,9 +10,16 @@ import org.apache.spark.sql.types._
   *
   * Scale notes: each window here partitions by a high-cardinality key
   * (custkey / user_id), so state per partition is tiny and the single
-  * hash exchange on the partition key is the whole cost; windows over
-  * an empty partitionBy (e_window_analytic) serialize to one task and
-  * are annotated as small-result-only.
+  * hash exchange on the partition key is the whole cost. The two
+  * entries whose natural window key is NOT high-cardinality — the
+  * global-order analytic (empty partitionBy = one task) and the
+  * 5-value priority banding — are computed via the r16 distributed
+  * global rank instead: quantile-bucket the order column (bucket is a
+  * function of the value, so ties stay together and buckets are
+  * contiguous ranges), rank locally per bucket, add broadcast
+  * cumulative bucket offsets; ntile/percent_rank/cume_dist recompute
+  * from (rank, n) in exact integer arithmetic, value-identical to the
+  * native window functions (oracle-hash-proven at 1.5 M rows).
   *
   * Determinism: window ORDER BY always carries a unique tiebreak key,
   * and windowed double sums go through DECIMAL(20,6) — DuckDB evaluates
@@ -23,6 +30,32 @@ object Windows {
 
   private def dwsum(c: Column): Column = // decimal window sum → double
     c.cast(DecimalType(20, 6))
+
+  /** SQL-standard ntile over a frame whose 1-based BIGINT rank and
+    * group size are in columns `r` and `n`: the first n%k tiles carry
+    * one extra row — the same integer rule both engines' native ntile
+    * implements, so recomputing the tile from (r, n) is value-
+    * identical. Used by the r16 distributed global-rank rewrites. */
+  private def ntileFromRN(k: Int): Column =
+    when(expr(s"n % $k") === 0, expr(s"(r - 1) div (n div $k) + 1"))
+      .otherwise(when(col("r") <= expr(s"(n % $k) * (n div $k + 1)"),
+        expr(s"(r - 1) div (n div $k + 1) + 1"))
+        .otherwise(expr(s"n % $k + " +
+          s"(r - (n % $k) * (n div $k + 1) - 1) div (n div $k) + 1")))
+      .cast("int")
+
+  /** Quantile-bucket column for the distributed-rank rewrites: the
+    * bucket index is a FUNCTION OF THE VALUE (ties share a bucket,
+    * buckets are contiguous value ranges), ascending or descending
+    * with the target order. One approxQuantile pass → nB-1 driver
+    * doubles. */
+  private def rankBucket(df: DataFrame, c: String, nB: Int,
+                         descending: Boolean): Column = {
+    val bounds = df.stat.approxQuantile(c,
+      (1 until nB).map(_.toDouble / nB).toArray, 0.001)
+    val asc = size(filter(lit(bounds), b => b <= col(c).cast(DoubleType)))
+    if (descending) lit(nB - 1) - asc else asc
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_window_rank" -> { (s, d) =>
@@ -126,11 +159,7 @@ object Windows {
     // disclosed skew caveat, same as any range partitioning).
     "e_window_analytic" -> { (s, d) =>
       val o = Tables.orders(s, d)
-      val nB = 32
-      val bounds = o.stat.approxQuantile("o_totalprice",
-        (1 until nB).map(_.toDouble / nB).toArray, 0.001)
-      val bucketCol = size(filter(lit(bounds),
-        b => b <= col("o_totalprice").cast(DoubleType)))
+      val bucketCol = rankBucket(o, "o_totalprice", 32, descending = false)
       val wLoc = Window.partitionBy("b")
         .orderBy(asc("o_totalprice"), asc("o_orderkey"))
       val loc = o.withColumn("b", bucketCol)
@@ -164,12 +193,7 @@ object Windows {
       loc.join(broadcast(off), "b")
         .withColumn("r", col("off") + col("lr"))
         .select(col("o_orderkey"), col("o_totalprice"),
-          when(expr("n % 4") === 0, expr("(r - 1) div (n div 4) + 1"))
-            .otherwise(when(col("r") <= expr("(n % 4) * (n div 4 + 1)"),
-              expr("(r - 1) div (n div 4 + 1) + 1"))
-              .otherwise(expr(
-                "n % 4 + (r - (n % 4) * (n div 4 + 1) - 1) div (n div 4) + 1")))
-            .cast("int").as("quartile"),
+          ntileFromRN(4).as("quartile"),
           when(col("n") === 1, lit(0.0)).otherwise(
             expr("((r - 1) * 20000 + (n - 1)) div (2 * (n - 1))") / 10000.0)
             .as("pr"),
@@ -190,22 +214,50 @@ object Windows {
     },
 
     // Quartile banding (r10): ntile(4) per order priority over the
-    // price ordering, plus each order's band bounds via min/max over
-    // the (priority, quartile) partition — the price-tier segmentation
-    // shape. Ordering is fully tie-broken (price desc, key asc) so the
-    // band assignment is deterministic on both engines. One shuffle on
-    // o_orderpriority; the second window refines the same partitioning
-    // (subset rule — no extra exchange).
+    // price ordering, plus each order's band bounds per (priority,
+    // quartile) — the price-tier segmentation shape. Ordering is fully
+    // tie-broken (price desc, key asc) so band assignment is
+    // deterministic on both engines. r16 rewrite: o_orderpriority has
+    // FIVE values, so the straightforward per-priority window caps
+    // parallelism at 5 and its per-key sort grows linearly (measured
+    // exponent 0.90 sf1z→sf10z; at 100 TB each priority is one
+    // multi-TB task). Same cure as e_window_analytic: quantile-bucket
+    // the price (bucket index DESCENDS with price to match the DESC
+    // order), rank locally per (priority, bucket) — parallelism 5×32 —
+    // and add per-priority broadcast bucket offsets; ntile recomputed
+    // from (r, n), bands from a 20-row aggregate joined back. Value-
+    // identical (unchanged oracle), one hash exchange on the composite
+    // key plus two broadcast joins.
     "e_window_ntile" -> { (s, d) =>
-      val w = Window.partitionBy("o_orderpriority")
+      val o = Tables.orders(s, d)
+      val bucketCol = rankBucket(o, "o_totalprice", 32, descending = true)
+      val wLoc = Window.partitionBy("o_orderpriority", "b")
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      val wq = Window.partitionBy("o_orderpriority", "quartile")
-      Tables.orders(s, d)
+      // persisted: the offset frame (max(lr) per group IS the group
+      // count — no second corpus scan), the band aggregate, and the
+      // final join all read it
+      val loc = graft.Caches.persisted(o.withColumn("b", bucketCol)
         .select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_totalprice"),
-          ntile(4).over(w).as("quartile"))
-        .withColumn("band_hi", max("o_totalprice").over(wq))
-        .withColumn("band_lo", min("o_totalprice").over(wq))
+          col("o_totalprice"), col("b"),
+          row_number().over(wLoc).cast("bigint").as("lr")))
+      val wOff = Window.partitionBy("o_orderpriority").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("o_orderpriority").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val off = loc.groupBy("o_orderpriority", "b")
+        .agg(max("lr").as("c"))
+        .select(col("o_orderpriority"), col("b"),
+          coalesce(sum("c").over(wOff), lit(0L)).as("off"),
+          sum("c").over(wAll).as("n"))
+      val ranked = loc.join(broadcast(off), Seq("o_orderpriority", "b"))
+        .withColumn("r", col("off") + col("lr"))
+        .withColumn("quartile", ntileFromRN(4))
+      val bands = ranked.groupBy("o_orderpriority", "quartile")
+        .agg(max("o_totalprice").as("band_hi"),
+          min("o_totalprice").as("band_lo"))
+      ranked.join(broadcast(bands), Seq("o_orderpriority", "quartile"))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "quartile", "band_hi", "band_lo")
         .orderBy("o_orderkey")
     },
 
