@@ -68,6 +68,26 @@ object BruteGuard {
     if (n > max) refuse(entry, sibling, s"$n rows", max)
   }
 
+  val RouteKey = "spark.graft.brute.route"
+
+  /** Size-routed dispatch (r16, VERDICT r15 suggestion): run `brute`
+    * when the parquet-backed input is under the cap; above it, either
+    * refuse (default — an approximate answer must be OPTED INTO, never
+    * substituted silently) or, with `spark.graft.brute.route=true`,
+    * return the schema-compatible sub-quadratic `sibling` result. The
+    * caller guarantees the sibling's schema matches the baseline's
+    * (the registry pair contract; PropertySpec-style parity is the
+    * sibling's own gate). */
+  def routePath(s: SparkSession, path: String, entry: String,
+                sibling: String)(brute: => DataFrame)
+               (alt: => DataFrame): DataFrame = {
+    val max = maxRows(s)
+    val n = footerRows(s, path)
+    if (n <= max) brute
+    else if (s.conf.getOption(RouteKey).contains("true")) alt
+    else refuse(entry, sibling, s"$n rows", max)
+  }
+
   /** Gate `df` (the baseline's input side) and return it unchanged —
     * for inputs that are not a plain parquet leaf. The check is
     * BOUNDED, not a full count (VERDICT r13 nit): `limit(max+1)` lets

@@ -338,26 +338,33 @@ object TextOps {
     "j_dedup_embed_cosine" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       // fail-fast size gate (r16, VERDICT r15 item 1): declared O(n²)
-      // brute baseline — the last unguarded one; refuse a 100× accident
-      // with the LSH-bucketed sibling named. Footer row count, no job.
-      BruteGuard.gatePath(s, s"$d/embeddings.parquet",
-        "j_dedup_embed_cosine", "j_dedup_embed_ann")
-      // spread the raw scan FIRST (single-row-group input = one task),
-      // then normalize: norm hoisted out of the lambda so graft_dot runs
-      // once per row, not once per element inside the interpreted HOF
-      val u = graft.Par.spread(Tables.embeddings(s, d))
-        .select(col("vec_id"),
-          col("embedding").cast(ArrayType(DoubleType)).as("v"))
-        .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
-        .select(col("vec_id"),
-          expr("graft_vdiv(v, nrm)").as("u"))
-      val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
-      val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
-        .withColumn("cos", expr("graft_dot(ua, ub)"))
-        .filter(col("cos") >= 0.4)
-        .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
-        .orderBy("vec_a", "vec_b")
+      // brute baseline — the last unguarded one. Above the cap the
+      // default is refusal naming the sub-quadratic sibling; with
+      // spark.graft.brute.route=true the SIBLING's result is returned
+      // instead (same (vec_a, vec_b, cos) schema, exact soundness,
+      // recall-gated — the opt-in degraded mode, never a silent
+      // substitution). Footer row count, no job.
+      BruteGuard.routePath(s, s"$d/embeddings.parquet",
+        "j_dedup_embed_cosine", "j_dedup_embed_ann") {
+        // spread the raw scan FIRST (single-row-group input = one
+        // task), then normalize: norm hoisted out of the lambda so
+        // graft_dot runs once per row, not once per element inside
+        // the interpreted HOF
+        val u = graft.Par.spread(Tables.embeddings(s, d))
+          .select(col("vec_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("v"))
+          .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
+          .select(col("vec_id"),
+            expr("graft_vdiv(v, nrm)").as("u"))
+        val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+        val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
+        a.join(broadcast(b), col("vec_a") < col("vec_b"))
+          .withColumn("cos", expr("graft_dot(ua, ub)"))
+          .filter(col("cos") >= 0.4)
+          .select(col("vec_a"), col("vec_b"),
+            Det.r4(col("cos")).as("cos"))
+          .orderBy("vec_a", "vec_b")
+      }(AnnOps.queries("j_dedup_embed_ann")(s, d))
     },
 
     // Quality scoring: 0.4·min(len/500,1) + 0.3·(1-stopword ratio) +

@@ -71,6 +71,40 @@ class BruteGuardSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("size-routed dispatch (r16): over the cap, route=true returns " +
+    "the sub-quadratic sibling's result; default still refuses") {
+    import org.apache.spark.sql.functions.col
+    val entry = "j_dedup_embed_cosine"
+    // over the cap, route unset → refusal (approximation is opt-in)
+    val ex = withCap(10) {
+      intercept[IllegalStateException] {
+        SparkEntry.queries(entry)(spark, sfDir).collect()
+      }
+    }
+    assert(ex.getMessage.contains("j_dedup_embed_ann"))
+    // over the cap, route=true → the ANN sibling's rows, same schema
+    spark.conf.set(BruteGuard.RouteKey, "true")
+    try {
+      val routed = withCap(10) {
+        SparkEntry.queries(entry)(spark, sfDir)
+      }
+      val sibling = SparkEntry.queries("j_dedup_embed_ann")(spark, sfDir)
+      assert(routed.columns.toSeq == Seq("vec_a", "vec_b", "cos"))
+      val r = routed.orderBy("vec_a", "vec_b").collect().toSeq
+      Caches.release(spark)
+      val sb = sibling.orderBy("vec_a", "vec_b").collect().toSeq
+      assert(r == sb && r.nonEmpty)
+      Caches.release(spark)
+      // routed result is SOUND vs the brute truth: every routed pair
+      // appears in the under-cap brute pair set
+      val brute = SparkEntry.queries(entry)(spark, sfDir)
+        .select(col("vec_a"), col("vec_b")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(r.map(x => (x.getLong(0), x.getLong(1)))
+        .forall(brute.contains))
+    } finally spark.conf.unset(BruteGuard.RouteKey)
+  }
+
   test("conf at/above Int.MaxValue disables the DataFrame gate by " +
     "explicit choice (ADVICE r15)") {
     val df = Tables.embeddings(spark, sfDir)
