@@ -5,13 +5,19 @@ import org.apache.spark.storage.StorageLevel
 
 /** Eager materialize-and-pin strategy knob (r16, VERDICT r15 ask 4).
   *
-  * Two call sites need a frame pinned as ONE immutable snapshot before
-  * several consumers read it: [[graft.operators.CorpusPipeline.stages]]
-  * (each stage frame feeds the next stage AND the audit ledger — an
-  * unpinned stage re-plans its whole prefix under AQE on every
-  * consumer) and [[graft.sources.JdbcExec.syncOnce]] (the pulled batch
-  * feeds four separate actions — isEmpty, max-cursor, upsert, delete —
-  * that must all see the same rows even if the source mutates).
+  * Call sites that need a frame pinned as ONE immutable snapshot
+  * before several consumers read it (or before a standing table they
+  * derive from mutates):
+  * [[graft.operators.CorpusPipeline.stages]] / incStages (stage frames
+  * feed the next stage AND the audit ledger — an unpinned stage
+  * re-plans its whole prefix under AQE on every consumer),
+  * [[graft.sources.JdbcExec.syncOnce]] (the pulled batch feeds four
+  * separate actions that must see the same rows even if the source
+  * mutates), the iterative min-label CC in LlmOps (per-round label
+  * frames — exactly the superstep state a cluster job reliable-
+  * checkpoints every N rounds), DedupArtifacts.append and the
+  * streaming maintenance loops (lineage must be TRUNCATED before the
+  * standing tables the plan reads are themselves mutated).
   *
   * `spark.graft.pin.mode` selects the mechanism:
   *

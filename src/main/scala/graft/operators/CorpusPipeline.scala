@@ -326,7 +326,7 @@ object CorpusPipeline {
         val thr = scored.agg(expr("percentile(lm_score, 0.25)").as("thr"))
         val keep = scored.crossJoin(broadcast(thr))
           .filter(col("lm_score") >= col("thr")).select("doc_id")
-        Par.spread(d0.join(keep, "doc_id")).localCheckpoint(true)
+        Par.spread(d0.join(keep, "doc_id")).transform(graft.Pin.pin)
       case None =>
         d0.withColumn("num", TextOps.qualityNum)
           .withColumn("q4",

@@ -116,7 +116,7 @@ object DedupArtifacts {
     val post = keepers
       .select(col("doc_id"), expr("graft_shingles(text, 3)").as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .localCheckpoint(true)
+      .transform(graft.Pin.pin)
     val sizes = post.groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_sh"))
     val dfreq = post.groupBy("shingle").agg(count(lit(1)).as("df"))

@@ -353,10 +353,10 @@ object LlmOps {
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(true) // reused every iteration
+      .transform(graft.Pin.pin) // reused every iteration
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .transform(graft.Pin.pin)
     def lblSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("lbl").cast(DecimalType(38, 0)))).first()
       if (v.isNullAt(0)) java.math.BigDecimal.ZERO else v.getDecimal(0)
@@ -375,7 +375,7 @@ object LlmOps {
         .join(combined.select(col("node").as("lbl"), col("lbl").as("jlbl")),
           Seq("lbl"))
         .select(col("node"), least(col("lbl"), col("jlbl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(graft.Pin.pin)
       val s = lblSum(jumped)
       done = s.compareTo(prevSum) == 0
       prevSum = s
@@ -651,7 +651,7 @@ object LlmOps {
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val labels = connectedComponents(basePairs)
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
-      .localCheckpoint(true)
+      .transform(graft.Pin.pin)
     DedupArtifacts.reset(s, t)
     labels.write.format("parquet").saveAsTable(t)
     graft.Caches.release(s) // the one-time build's persisted pair stats

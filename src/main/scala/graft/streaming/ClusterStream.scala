@@ -63,9 +63,9 @@ object ClusterStream {
     val (deltaLabels, newBaseLabels, remap) =
       LlmOps.incrementalClustersFull(labels, pairs)
     // all three read the table about to be mutated — cut lineage first
-    val dl = deltaLabels.localCheckpoint(true)
-    val nb = newBaseLabels.localCheckpoint(true)
-    val rm = remap.localCheckpoint(true).collect()
+    val dl = deltaLabels.transform(graft.Pin.pin)
+    val nb = newBaseLabels.transform(graft.Pin.pin)
+    val rm = remap.transform(graft.Pin.pin).collect()
     if (rm.nonEmpty) {
       // merge event: rewrite absorbed cluster ids in place
       val rmap = rm.map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -73,7 +73,7 @@ object ClusterStream {
         .withColumn("cluster_id",
           coalesce(element_at(typedLit(rmap), col("cluster_id")),
             col("cluster_id")))
-        .localCheckpoint(true)
+        .transform(graft.Pin.pin)
       DedupArtifacts.reset(s, labelTable)
       remapped.write.format("parquet").saveAsTable(labelTable)
     }

@@ -63,7 +63,7 @@ object DedupStream {
     val docs = batch.select("doc_id", "text")
     val (bp, bs, bd) = DedupArtifacts.read(s, prefix)
     val dups = LlmOps.incrementalDedup(bp, bs, bd, docs, cutoff, tau)
-      .localCheckpoint(eager = true)
+      .transform(graft.Pin.pin)
     dups.write.mode("append").format("parquet").saveAsTable(resultTable)
     DedupArtifacts.append(s, prefix, docs, dups)
     // micro-batch intermediates (the batch's postings/candidates) are

@@ -43,10 +43,10 @@ object PipelineStream {
     val chain = CorpusPipeline.incStages(s, prefix, batch)
     // survivors pinned BEFORE any append mutates the tables their
     // lineage reads (same discipline as DedupArtifacts.append)
-    val s4 = chain.last.localCheckpoint(true)
+    val s4 = chain.last.transform(graft.Pin.pin)
     val audit = CorpusPipeline.incAudit(chain)
       .withColumn("batch_id", lit(batchId))
-      .localCheckpoint(true)
+      .transform(graft.Pin.pin)
     s4.write.mode("append").format("parquet").saveAsTable(survivorsTable)
     audit.write.mode("append").format("parquet").saveAsTable(auditTable)
     // only final survivors enter the standing corpus (dups AND

@@ -63,6 +63,18 @@ class PinSpec extends SparkSpec {
     assert(run("persist") == ref)
   }
 
+  test("the iterative min-label CC (per-round pinned labels) is " +
+    "mode-invariant (reliable == default)") {
+    val base = SparkEntry.queries("j_dedup_clusters")(spark, sfDir)
+      .collect().toSeq
+    Caches.release(spark)
+    val rel = withMode("reliable") {
+      SparkEntry.queries("j_dedup_clusters")(spark, sfDir).collect().toSeq
+    }
+    Caches.release(spark)
+    assert(rel == base && base.nonEmpty)
+  }
+
   test("the pipeline audit is mode-invariant (reliable == default)") {
     val base = SparkEntry.queries("j_pipeline_audit")(spark, sfDir)
       .collect().toSeq
