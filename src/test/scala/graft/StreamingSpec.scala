@@ -231,6 +231,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionize boundary parity (r16 — the fuzz find): an event at " +
+    "EXACTLY prev+gap merges on both the stateful machine and native " +
+    "session_window; gap+1µs splits") {
+    import org.apache.spark.sql.functions.{window => _, _}
+    val g = Sessionize.GapUs
+    val t0 = 1704888000000000L // 2024-01-10T12:00:00Z in µs
+    // chain: t0, t0+g (touching → merges), then +g−1µs (merges),
+    // then +g+1µs (splits); second user is a lone event
+    val ts = Seq(t0, t0 + g, t0 + g + (g - 1), t0 + g + (g - 1) + g + 1)
+    val evs = (ts.map(t => (7L, t)) :+ (8L, t0)).toDF("user_id", "ts_us")
+    val stateful = Sessionize.sessionsBatch(evs.as[SessionEvent])
+      .select("user_id", "first_us", "last_us", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Set(
+      (7L, t0, t0 + g + (g - 1), 3L),                  // merged-on-touch
+      (7L, ts.last, ts.last, 1L),
+      (8L, t0, t0, 1L))
+    assert(stateful == expected, stateful)
+    // native session_window over the same instants agrees
+    val native = evs
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"),
+        org.apache.spark.sql.functions.session_window(col("ts"),
+          "30 minutes"))
+      .agg(min("ts_us").as("first_us"), max("ts_us").as("last_us"),
+        count(lit(1)).as("n"))
+      .select("user_id", "first_us", "last_us", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(native == expected, native)
+  }
+
   test("flatMapGroupsWithState sessionize equals session_window batch") {
     val evs = Tables.eventsWithNanos(spark, sfDir)
       .withColumn("ts_us", expr("ts_ns div 1000"))
