@@ -166,6 +166,40 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.unset(operators.AnnOps.BroadcastRowLimitKey)
   }
 
+  test("the distributed global-rank rewrites never move corpus-sized " +
+    "data through a single-partition exchange (r16 scale pin)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (name <- Seq("e_window_analytic", "e_window_ntile")) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect() // populate runtime metrics
+        val singles = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec
+            if e.outputPartitioning == SinglePartition => e
+        }
+        // the only single-partition traffic allowed is the ≤ nB-row
+        // bucket-count frame feeding the offset windows — a corpus-
+        // sized regression (the old empty-partitionBy window) would
+        // ship every row through one partition here
+        singles.foreach { e =>
+          val written = e.metrics.collectFirst {
+            case (k, m) if k.toLowerCase.contains("records") => m.value
+          }
+          assert(written.exists(_ <= 64L),
+            s"$name: single-partition exchange carried $written rows")
+        }
+        // the analytic's offset frame IS single-partition by design —
+        // prove the pin observes it rather than passing vacuously
+        if (name == "e_window_analytic")
+          assert(singles.nonEmpty, s"$name: offset-frame exchange missing")
+        Caches.release(spark)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no accidental cartesian products outside the explicit cross join") {
     SparkEntry.queries.keys.filterNot(_ == "c_join_cross").foreach { name =>
       val p = plan(name)
