@@ -1145,24 +1145,34 @@ object LlmOps {
     // (aggregate∘zip_with) ran 45 s at sf0.1; this runs in ~2 s.
     "j_sim_cosine_topk" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      // fail-fast size gate (r13): declared O(n²) baseline — refuse a
-      // 100× accident with the ANN sibling named; footer row count,
-      // no Spark job (BruteGuard)
-      BruteGuard.gatePath(s, s"$d/embeddings.parquet", "j_sim_cosine_topk",
-        "j_ann_ivf_topk / j_dedup_embed_ann")
-      // pre-normalize once per row (n × dim work) so the n² inner loop
-      // is a bare dot product; broadcast one side (n × dim doubles)
-      // spread the raw scan first (single-row-group input = one task for
-      // the O(n²·dim) loop otherwise), then normalize with the norm
-      // hoisted out of the lambda (once per row, not per element)
-      val u = unitVectors(s, d)
-      val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
-      val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
-        .withColumn("cos", expr("graft_dot(ua, ub)"))
-        .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
+      // fail-fast size gate (r13): declared O(n²) baseline — above the
+      // cap refuse by default, or with spark.graft.brute.route=true
+      // (r16) return the global top-10 taken from the sub-quadratic
+      // IVF pair set instead. Disclosed routing caveat: the sibling
+      // only surfaces pairs with cos ≥ its τ=0.4 floor and recall is
+      // probe-bounded — a top-10 whose tail sits below τ (or whose
+      // members never share a probed cell) comes back short. Opt-in
+      // degraded mode, never a silent substitution.
+      BruteGuard.routePath(s, s"$d/embeddings.parquet", "j_sim_cosine_topk",
+        "j_ann_ivf_topk / j_dedup_embed_ann") {
+        // pre-normalize once per row (n × dim work) so the n² inner
+        // loop is a bare dot product; broadcast one side (n × dim
+        // doubles); spread the raw scan first (single-row-group input
+        // = one task for the O(n²·dim) loop otherwise), then normalize
+        // with the norm hoisted out of the lambda (once per row, not
+        // per element)
+        val u = unitVectors(s, d)
+        val a = u.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+        val b = u.select(col("vec_id").as("vec_b"), col("u").as("ub"))
+        a.join(broadcast(b), col("vec_a") < col("vec_b"))
+          .withColumn("cos", expr("graft_dot(ua, ub)"))
+          .select(col("vec_a"), col("vec_b"),
+            Det.r4(col("cos")).as("cos"))
+          .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+          .limit(10)
+      }(AnnOps.queries("j_dedup_embed_ann")(s, d)
         .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
-        .limit(10)
+        .limit(10))
     },
 
     // kNN-join: 5 nearest neighbors per vector + majority label, via

@@ -105,6 +105,30 @@ class BruteGuardSpec extends SparkSpec {
     } finally spark.conf.unset(BruteGuard.RouteKey)
   }
 
+  test("size-routed dispatch covers the global top-10 baseline too: " +
+    "routed rows are sound (scores from the exact verify) and ordered") {
+    spark.conf.set(BruteGuard.RouteKey, "true")
+    try {
+      val routed = withCap(10) {
+        SparkEntry.queries("j_sim_cosine_topk")(spark, sfDir)
+          .collect().toSeq
+      }
+      Caches.release(spark)
+      assert(routed.nonEmpty && routed.size <= 10)
+      val scores = routed.map(_.getDouble(2))
+      assert(scores == scores.sorted.reverse, scores)
+      // soundness: every routed pair is in the brute pair universe
+      // with the identical exact score
+      val brute = withCap(Long.MaxValue) {
+        SparkEntry.queries("j_dedup_embed_cosine")(spark, sfDir)
+          .collect().map(x => (x.getLong(0), x.getLong(1),
+            x.getDouble(2))).toSet
+      }
+      assert(routed.map(x => (x.getLong(0), x.getLong(1),
+        x.getDouble(2))).forall(brute.contains))
+    } finally spark.conf.unset(BruteGuard.RouteKey)
+  }
+
   test("conf at/above Int.MaxValue disables the DataFrame gate by " +
     "explicit choice (ADVICE r15)") {
     val df = Tables.embeddings(spark, sfDir)
