@@ -70,9 +70,18 @@ object Pin {
 
   /** End-of-scope release of a [[pin]] result. After unpinning a
     * checkpointed frame is unreadable (lineage was cut); a persisted
-    * frame merely drops back to lazy recompute. */
-  def unpin(df: DataFrame): Unit = mode(df.sparkSession) match {
-    case "persist" => df.unpersist(blocking = false)
-    case _ => org.apache.spark.sql.GraftPlanBridge.unpin(df)
-  }
+    * frame merely drops back to lazy recompute; a reliable-checkpoint
+    * frame also has its checkpoint files deleted (a standing job pins
+    * per pass — leaving each pass's full frame copy in the pin dir
+    * until application exit would grow it without bound).
+    *
+    * Dispatch is on the frame's own state, NOT the current value of
+    * [[ModeKey]]: a persist-pinned frame is registered in the SQL
+    * CacheManager (storageLevel != NONE), checkpoint-pinned frames are
+    * not — so flipping the knob between pin and unpin (across a
+    * micro-batch, or by A/B harness code like [[PinScale]]) cannot
+    * route a frame to the wrong release path and leak its storage. */
+  def unpin(df: DataFrame): Unit =
+    if (df.storageLevel != StorageLevel.NONE) df.unpersist(blocking = false)
+    else org.apache.spark.sql.GraftPlanBridge.unpin(df)
 }

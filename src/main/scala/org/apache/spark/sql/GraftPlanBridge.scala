@@ -25,15 +25,28 @@ object GraftPlanBridge {
     classic.ExpressionUtils.column(
       catalyst.expressions.ScalarSubquery(df.queryExecution.analyzed))
 
-  /** Free the block-manager storage behind a `df.localCheckpoint(true)`
-    * result (the checkpoint pins an RDD, which `Dataset.unpersist`
-    * does NOT release — that walks the SQL CacheManager only). After
-    * unpinning, the frame is unreadable (its lineage was cut), so this
-    * is strictly an end-of-scope release. No-op on non-checkpointed
-    * frames. */
+  /** Free the storage behind a `df.localCheckpoint(true)` or
+    * `df.checkpoint(true)` result (the checkpoint pins an RDD, which
+    * `Dataset.unpersist` does NOT release — that walks the SQL
+    * CacheManager only). Local checkpoints hold block-manager storage
+    * (unpersisted here); reliable checkpoints additionally hold a full
+    * copy of the frame in the checkpoint dir, which Spark only deletes
+    * at application exit — for a standing job that pins per pass
+    * (syncOnce batches, per-round CC labels, streaming maintenance)
+    * that dir would otherwise grow without bound, so the RDD's
+    * checkpoint files are deleted here too. After unpinning, the frame
+    * is unreadable (its lineage was cut), so this is strictly an
+    * end-of-scope release. No-op on non-checkpointed frames. */
   def unpin(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          val fs = p.getFileSystem(
+            df.sparkSession.sparkContext.hadoopConfiguration)
+          fs.delete(p, true)
+        }
       case _ => ()
     }
 }

@@ -33,6 +33,53 @@ class PinSpec extends SparkSpec {
     }
   }
 
+  test("reliable unpin deletes the pin's checkpoint files (the pin " +
+    "dir must not grow per pass in a standing job)") {
+    import spark.implicits._
+    val src = (1L to 500L).toDF("id").withColumn("v", col("id") % 7)
+    withMode("reliable") {
+      // Warm the checkpoint dir so `before` captures any pre-existing
+      // debris from other suites sharing the session.
+      Pin.unpin(Pin.pin(src.limit(1)))
+      val dir = spark.sparkContext.getCheckpointDir.get
+      val root = new java.io.File(new java.net.URI(dir).getPath)
+      def rddDirs() = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+        .map(_.getName).toSet
+      val before = rddDirs()
+      val pinned = Pin.pin(src)
+      assert(pinned.count() == 500L)
+      val added = rddDirs() -- before
+      assert(added.nonEmpty, s"expected new checkpoint data under $dir")
+      Pin.unpin(pinned)
+      val leaked = rddDirs().intersect(added)
+      assert(leaked.isEmpty,
+        s"unpin left checkpoint files under $dir: ${leaked.mkString(",")}")
+    }
+  }
+
+  test("unpin dispatches on the frame's own state, not the current " +
+    "knob value (flip between pin and unpin must not leak)") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val src = (1L to 200L).toDF("id")
+    // persist-pinned, knob flipped to local before release
+    val p = withMode("persist")(Pin.pin(src))
+    assert(p.storageLevel != StorageLevel.NONE)
+    withMode("local")(Pin.unpin(p))
+    assert(p.storageLevel == StorageLevel.NONE,
+      "persist-pinned frame left in the cache after a flipped unpin")
+    // local-checkpoint-pinned, knob flipped to persist before release
+    val l = withMode("local")(Pin.pin(src))
+    val rdd = l.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.head
+    assert(rdd.getStorageLevel != StorageLevel.NONE)
+    withMode("persist")(Pin.unpin(l))
+    assert(rdd.getStorageLevel == StorageLevel.NONE,
+      "localCheckpoint blocks leaked after a flipped unpin")
+  }
+
   test("syncOnce converges to the same target state and cursor under " +
     "every pin mode") {
     import spark.implicits._
