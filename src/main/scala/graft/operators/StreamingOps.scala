@@ -106,12 +106,16 @@ object StreamingOps {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS ws, event_type,
         |  count(*) AS n
         |FROM slid GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    // merge-on-touch twin (strict = false): an event at exactly
+    // last+gap extends — matching native session_window above, NOT
+    // e_funnel_sessions' >= cut (see graft.SessionBounds).
     "k_window_session" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |        (PARTITION BY user_id ORDER BY epoch_us(ts))
-        |      > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      ${graft.SessionBounds.sqlCut(strict = false)} THEN 1
+        |      ELSE 0 END AS new_s
         |  FROM events),
         |sess AS (
         |  SELECT user_id, ts_us,

@@ -43,7 +43,9 @@ case class FunnelBufState(start: Long, last: Long, n: Long,
   * store shards by user_id — no corpus-sized state at any scale.
   */
 object FunnelStream {
-  val GapUs: Long = Sessionize.GapUs
+  /** Alias of [[graft.SessionBounds.GapUs]]; this family cuts STRICT
+    * (at >= gap) — see SessionBounds for the two-family table. */
+  val GapUs: Long = graft.SessionBounds.GapUs
 
   private def stageOf(s: FunnelState): Int =
     if (s.pTs >= 0) 3 else if (s.cTs >= 0) 2 else if (s.vTs >= 0) 1 else 0
@@ -72,7 +74,8 @@ object FunnelStream {
     val out = Seq.newBuilder[FunnelSession]
     events.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       cur match {
-        case Some(s) if e.ts_us - s.last < GapUs =>
+        case Some(s) if !graft.SessionBounds.cuts(s.last, e.ts_us,
+            strict = true) =>
           cur = Some(fold(s, e))
         case Some(s) =>
           out += emit(uid, s)
@@ -143,7 +146,8 @@ object FunnelStream {
     val out = Seq.newBuilder[FunnelSession]
     freeze.foreach { e =>
       cur match {
-        case Some(s) if e.ts_us - s.last < GapUs => cur = Some(fold(s, e))
+        case Some(s) if !graft.SessionBounds.cuts(s.last, e.ts_us,
+            strict = true) => cur = Some(fold(s, e))
         case Some(s) =>
           out += emit(uid, s)
           cur = Some(fold(fresh(e.ts_us), e))
@@ -151,7 +155,9 @@ object FunnelStream {
       }
     }
     cur.foreach { s =>
-      if (wmUs >= s.last + GapUs) { out += emit(uid, s); cur = None }
+      if (graft.SessionBounds.cuts(s.last, wmUs, strict = true)) {
+        out += emit(uid, s); cur = None
+      }
     }
     if (cur.isEmpty && rest.isEmpty) (out.result(), None, None)
     else {

@@ -30,7 +30,9 @@ case class SessionBufState(first_us: Long, last_us: Long, n: Long,
   * user_id across executors and RocksDB-backed state keeps memory flat.
   */
 object Sessionize {
-  val GapUs: Long = 30L * 60 * 1000000
+  /** Alias of [[graft.SessionBounds.GapUs]] (kept for call-site
+    * stability; the predicate itself lives in SessionBounds). */
+  val GapUs: Long = graft.SessionBounds.GapUs
 
   def process(flushAtEnd: Boolean)(
       uid: Long, events: Iterator[SessionEvent],
@@ -40,11 +42,11 @@ object Sessionize {
     events.toSeq.sortBy(_.ts_us).foreach { e =>
       cur match {
         // merge-on-touch (r16): an event at exactly last+gap still
-        // extends the session — native session_window's convention
-        // (two touching [ts, ts+gap] intervals merge), found diverging
-        // by the fuzz gap-==-threshold probe. The cut fires only at
-        // gap > GapUs, here and in the shared streaming fold below.
-        case Some(s) if e.ts_us - s.last_us <= GapUs =>
+        // extends the session — native session_window's convention.
+        // The predicate is shared repo-wide: graft.SessionBounds
+        // (strict = false here and in the streaming fold below).
+        case Some(s) if !graft.SessionBounds.cuts(s.last_us, e.ts_us,
+            strict = false) =>
           cur = Some(SessionState(s.first_us, e.ts_us, s.n + 1))
         case Some(s) =>
           out += Session(uid, s.first_us, s.last_us, s.n)
@@ -120,7 +122,8 @@ object Sessionize {
     val out = Seq.newBuilder[Session]
     freeze.foreach { ts =>
       cur match {
-        case Some(s) if ts - s.last_us <= GapUs => // merge-on-touch
+        case Some(s) if !graft.SessionBounds.cuts(s.last_us, ts,
+            strict = false) => // merge-on-touch
           cur = Some(SessionState(s.first_us, ts, s.n + 1))
         case Some(s) =>
           out += Session(uid, s.first_us, s.last_us, s.n)
@@ -135,7 +138,7 @@ object Sessionize {
     // exactly-at-gap joiner admissible) — including the in-data-path
     // stale-horizon case (the r11 clamp), no timeout round trip
     cur.foreach { s =>
-      if (wmUs > s.last_us + GapUs) {
+      if (graft.SessionBounds.cuts(s.last_us, wmUs, strict = false)) {
         out += Session(uid, s.first_us, s.last_us, s.n)
         cur = None
       }

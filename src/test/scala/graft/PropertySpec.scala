@@ -438,6 +438,75 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("session boundary fuzz: every member of each gap-cut family " +
+    "matches the SessionBounds reference segmentation, including " +
+    "exactly-at-gap deltas") {
+    import graft.streaming.{FunnelEvent, FunnelStream, SessionEvent, Sessionize}
+    val Gap = SessionBounds.GapUs
+    // deltas biased onto the boundary: exactly gap, gap±1, and a
+    // spread of clearly-inside / clearly-outside values
+    val delta = Gen.oneOf(
+      Gen.const(Gap), Gen.const(Gap - 1), Gen.const(Gap + 1),
+      Gen.chooseNum(1L, Gap - 2), Gen.chooseNum(Gap + 2, 3 * Gap))
+    val seqs = samples(Gen.nonEmptyListOf(delta), 25)
+      .map(_.scanLeft(1000000L)(_ + _))
+    // the single reference: segment with SessionBounds.cuts
+    def segments(ts: Seq[Long], strict: Boolean): Seq[Seq[Long]] =
+      ts.tail.foldLeft(Vector(Vector(ts.head))) { (acc, t) =>
+        if (SessionBounds.cuts(acc.last.last, t, strict))
+          acc :+ Vector(t)
+        else acc.init :+ (acc.last :+ t)
+      }
+    seqs.foreach { ts =>
+      val touch = segments(ts, strict = false)
+        .map(s => (s.head, s.last, s.size.toLong))
+      val strictSegs = segments(ts, strict = true)
+        .map(s => (s.head, s.size.toLong))
+      // family merge-on-touch, member 1: the fMGWS/TWS fold
+      val fold = Sessionize.sessionsBatch(
+        ts.map(SessionEvent(1L, _)).toDS())
+        .collect().map(s => (s.first_us, s.last_us, s.n))
+        .sortBy(_._1).toSeq
+      assert(fold == touch, s"Sessionize fold diverged on $ts")
+      // family merge-on-touch, member 2: native session_window
+      val native = ts.toDF("ts_us")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(session_window(col("ts"), "30 minutes"))
+        .agg(min("ts_us").as("f"), max("ts_us").as("l"),
+          count(lit(1)).as("n"))
+        .select("f", "l", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(native == touch, s"session_window diverged on $ts")
+      // family strict (cut at >= gap), member 1: the funnel fold
+      val funnel = FunnelStream.funnelBatch(
+        ts.zipWithIndex.map { case (t, i) =>
+          FunnelEvent(1L, t, i.toLong, "view") }.toDS())
+        .collect().map(s => (s.session_start, s.n_events))
+        .sortBy(_._1).toSeq
+      assert(funnel == strictSegs, s"Funnel fold diverged on $ts")
+      // family strict, member 2: the lag-based cutExpr sessionizer
+      // (the e_funnel_sessions plan shape)
+      val w = Window.partitionBy("u").orderBy("ts_us")
+      val lagged = ts.map((1L, _)).toDF("u", "ts_us")
+        .withColumn("new_s", when(SessionBounds.cutExpr(
+          lag("ts_us", 1).over(w), col("ts_us"), strict = true), 1)
+          .otherwise(0))
+        .withColumn("sid", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("sid").agg(min("ts_us").as("f"), count(lit(1)).as("n"))
+        .select("f", "n")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+      assert(lagged == strictSegs, s"cutExpr sessionizer diverged on $ts")
+    }
+    // the divergence itself, pinned: at exactly prev+gap the touch
+    // family merges (1 session), the strict family cuts (2)
+    val two = Seq(1000000L, 1000000L + Gap)
+    assert(segments(two, strict = false).size == 1)
+    assert(segments(two, strict = true).size == 2)
+  }
+
   test("graft_kmv is partitioning-invariant through a real exchange") {
     graft.functions.VectorExprs.register(spark)
     val ids = samples(Gen.chooseNum(0L, 500L), 60)
