@@ -347,15 +347,38 @@ object Aggregations {
     // ranks are integers, the revenues exact 2-decimal sums), so the
     // double division at the end is identical on both engines. One
     // customer-level aggregation + one rank window per segment.
+    // r17 rewrite (VERDICT r16 item 1): the rank window partitions by
+    // the 5-value segment, so the straight form caps parallelism at 5
+    // and sorts a fifth of all customers in one task at 100 TB. Same
+    // distributed-rank cure as e_window_ntile: quantile-bucket the
+    // revenue (bucket ASCENDS with v to match the ASC rank order),
+    // row_number locally per (seg, bucket) — parallelism 5×32 — and
+    // reconstruct the global per-segment rank as broadcast bucket
+    // count-offsets + local rank. The bucket is a function of v, so
+    // ties share a bucket and (b, (v, custkey)) is the total order:
+    // every rank is value-identical (unchanged oracle hash).
     "d_agg_gini" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val rev = Tables.orders(s, d)
+      val rev = graft.Caches.persisted(Tables.orders(s, d)
         .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
-        .agg(Det.dsum(col("o_totalprice")).as("v"))
-      val w = Window.partitionBy("seg").orderBy(asc("v"), asc("c_custkey"))
-      rev.withColumn("i", row_number().over(w))
+        .agg(Det.dsum(col("o_totalprice")).as("v")))
+      val bounds = rev.stat.approxQuantile("v",
+        (1 until 32).map(_.toDouble / 32).toArray, 0.001)
+      val bucketCol =
+        size(filter(lit(bounds), b => b <= col("v").cast(DoubleType)))
+      val wLoc = Window.partitionBy("seg", "b")
+        .orderBy(asc("v"), asc("c_custkey"))
+      val loc = graft.Caches.persisted(rev.withColumn("b", bucketCol)
+        .withColumn("lr", row_number().over(wLoc).cast("bigint")))
+      val wOff = Window.partitionBy("seg").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = loc.groupBy("seg", "b").agg(max("lr").as("c"))
+        .select(col("seg"), col("b"),
+          coalesce(sum("c").over(wOff), lit(0L)).as("off"))
+      loc.join(broadcast(off), Seq("seg", "b"))
+        .withColumn("i", col("off") + col("lr"))
         .groupBy("seg")
         // integer-exact moment sums (r15, ADVICE r14): quantize v to
         // binary micros FIRST (v is micro-exact — it came from dsum),

@@ -262,8 +262,16 @@ object Windows {
     },
 
     // Ordered-event funnel per session (the MATCH_RECOGNIZE niche,
-    // Spark-native): sessions = 30-min-gap cuts per user (same
-    // sessionization as k_window_session); within each session the
+    // Spark-native): sessions = 30-min-gap cuts per user. Boundary
+    // convention deliberately DIFFERS from k_window_session: here an
+    // event at exactly prev+gap starts a NEW session (cut at >= gap),
+    // while k_window_session follows native session_window's
+    // merge-on-touch (an event at exactly prev+gap EXTENDS the
+    // session). Each pair (this query + its oracle below, and
+    // k_window_session + its twin) is internally consistent — do not
+    // "align" one side alone. Shared predicate: SessionBounds.cutExpr
+    // (strict=true here, strict=false for the k_window family).
+    // Within each session the
     // funnel is view → first click AFTER that view → first purchase
     // AFTER that click, computed as three conditional mins OVER the
     // (user_id, sid) window — stage k's min feeds stage k+1's filter
@@ -281,8 +289,8 @@ object Windows {
       Tables.eventsWithNanos(s, d)
         .withColumn("ts_us", expr("ts_ns div 1000"))
         .withColumn("new_s",
-          when(col("ts_us") - lag("ts_us", 1).over(wUser) >= 1800000000L, 1)
-            .otherwise(0))
+          when(graft.SessionBounds.cutExpr(lag("ts_us", 1).over(wUser),
+            col("ts_us"), strict = true), 1).otherwise(0))
         .withColumn("sid", sum("new_s").over(
           wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .withColumn("v_ts",
@@ -437,26 +445,46 @@ object Windows {
     // Pareto concentration (r10): per segment, how many top customers
     // carry 80% of revenue (and their share of the customer base in
     // basis points) — the 80/20 analysis next to d_agg_gini's single
-    // coefficient. Running share via exact decimal window sums over
-    // the revenue-ranked customers; a customer counts while the
-    // cumulative revenue BEFORE them is still under the threshold.
-    // One customer-level aggregation + one ranked window per segment.
+    // coefficient. A customer counts while the cumulative revenue
+    // BEFORE them is still under the threshold. r17 rewrite (VERDICT
+    // r16 item 1): c_mktsegment has FIVE values, so the straight
+    // per-segment running-sum window caps parallelism at 5 — at
+    // 100 TB each segment's window is ONE task sorting a fifth of all
+    // customers. Same cure as e_window_ntile: quantile-bucket the
+    // revenue (bucket index DESCENDS with v to match the DESC order),
+    // run the exact-decimal cumsum LOCALLY per (seg, bucket) —
+    // parallelism 5×32 — and add broadcast per-segment bucket-prefix
+    // revenue offsets (≤160 driver-sized rows). Decimal addition is
+    // associative and exact, so offset + local cumsum IS the global
+    // running sum, and casting THAT to double reproduces the original
+    // comparison bit-for-bit (unchanged oracle hash proves it).
     "e_window_pareto" -> { (s, d) =>
-      val rev = Tables.orders(s, d)
+      val rev = graft.Caches.persisted(Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
-        .agg(Det.dsum(col("o_totalprice")).as("v"))
-      val w = Window.partitionBy("seg").orderBy(desc("v"), asc("c_custkey"))
+        .agg(Det.dsum(col("o_totalprice")).as("v")))
+      val bucketCol = rankBucket(rev, "v", 32, descending = true)
+      val wLoc = Window.partitionBy("seg", "b")
+        .orderBy(desc("v"), asc("c_custkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wSeg = Window.partitionBy("seg")
-      rev
-        .withColumn("cum",
-          sum(col("v").cast(DecimalType(20, 6))).over(w).cast(DoubleType))
-        .withColumn("tot",
-          sum(col("v").cast(DecimalType(20, 6))).over(wSeg)
-            .cast(DoubleType))
+      val loc = graft.Caches.persisted(rev.withColumn("b", bucketCol)
+        .select(col("seg"), col("c_custkey"), col("v"), col("b"),
+          sum(col("v").cast(DecimalType(20, 6))).over(wLoc).as("lcum")))
+      val wOff = Window.partitionBy("seg").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("seg").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val off = loc.groupBy("seg", "b")
+        .agg(sum(col("v").cast(DecimalType(20, 6))).as("c"))
+        .select(col("seg"), col("b"),
+          coalesce(sum("c").over(wOff),
+            lit(0).cast(DecimalType(38, 6))).as("boff"),
+          sum("c").over(wAll).as("tot"))
+      loc.join(broadcast(off), Seq("seg", "b"))
+        .withColumn("cum", (col("boff") + col("lcum")).cast(DoubleType))
+        .withColumn("totd", col("tot").cast(DoubleType))
         .groupBy("seg")
-        .agg(count(when(col("cum") - col("v") < lit(0.8) * col("tot"), 1))
+        .agg(count(when(col("cum") - col("v") < lit(0.8) * col("totd"), 1))
           .as("n_top80"),
           count(lit(1)).as("n_customers"))
         .select(col("seg"), col("n_top80"), col("n_customers"),
@@ -544,8 +572,9 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY user_id""".stripMargin,
-    // same sessionization as k_window_session, then the three-stage
-    // conditional-min funnel chain
+    // sessionization cut at >= gap (NOT k_window_session's
+    // merge-on-touch — see the e_funnel_sessions query comment), then
+    // the three-stage conditional-min funnel chain
     "e_window_ntile" ->
       """WITH q AS (
         |  SELECT o_orderkey, o_orderpriority, o_totalprice,
@@ -560,11 +589,12 @@ object Windows {
         |WINDOW wq AS (PARTITION BY o_orderpriority, quartile)
         |ORDER BY o_orderkey""".stripMargin,
     "e_funnel_sessions" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
         |        (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
-        |      >= 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      ${graft.SessionBounds.sqlCut(strict = true)} THEN 1
+        |      ELSE 0 END AS new_s
         |  FROM events),
         |sess AS (
         |  SELECT user_id, event_id, event_type, ts_us,
