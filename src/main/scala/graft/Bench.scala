@@ -123,7 +123,21 @@ object Bench {
     // instead of the weather-dependent sum.
     val floorPasses = sys.env.getOrElse("SPARK_GRAFT_FLOOR_PASSES", "3").toInt
     val topKeys = suiteResults.toSeq.sortBy(-_._2).take(20).map(_._1)
-    val requiet = (headline ++ topKeys).distinct
+    // r17 (VERDICT r16 item 4): the floors map covers a FIXED
+    // representative set — the 15 headliners plus the 10 historically
+    // slowest entries (stable across r14–r16 runs) — so round-over-
+    // round floor comparison is key-for-key dense instead of sparse
+    // wherever this run's top-20 ranking shifted with box weather.
+    // The current run's top-20 still get the quiet re-measure (their
+    // suite number benefits from the min correction); only the
+    // EMITTED floors key set is pinned.
+    val historicallySlowest = Seq(
+      "j_pipeline_audit_lm", "j_pipeline_audit", "j_sim_tfidf_pairs",
+      "j_graph_pagerank", "j_ann_ivf_pq", "j_ann_ivf_kmeans",
+      "j_dedup_substring", "j_embed_pca_power", "j_dedup_incremental",
+      "j_langid_chargram")
+    val floorKeys = (headline ++ historicallySlowest).distinct
+    val requiet = (floorKeys ++ topKeys).distinct
     val quietFloor = requiet.flatMap { k =>
       SparkEntry.queries.get(k).map(fn => k -> timeQN(fn, floorPasses))
     }.toMap
@@ -148,10 +162,11 @@ object Bench {
     // in the human log lines, which the harness truncates)
     val slow = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
-    // steady-state floors for the top-20 suite entries (quiet min-of-N,
-    // not preceded by arbitrary neighbors) — the box-weather-resistant
-    // per-query anchor (VERDICT r15 item 6)
-    val floorsJson = topKeys.flatMap(k => quietFloor.get(k)
+    // steady-state floors for the FIXED 25-key representative set
+    // (quiet min-of-N, not preceded by arbitrary neighbors) — the
+    // box-weather-resistant per-query anchor, comparable key-for-key
+    // across rounds (VERDICT r15 item 6, pinned r16 item 4)
+    val floorsJson = floorKeys.flatMap(k => quietFloor.get(k)
         .map(v => s"\"$k\":${f3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
