@@ -133,17 +133,30 @@ object RecordingJdbc {
 
   private def prepared(d: Db, cid: Int, sql: String): PreparedStatement = {
     val params = new java.util.TreeMap[Int, AnyRef]()
+    def render(v: AnyRef): String = v match {
+      // byte[] binds render as hex so the recorded row is stable and
+      // value-asserting (String.valueOf would print an identity hash)
+      case b: Array[Byte] => "bytea:" + b.map("%02x".format(_)).mkString
+      case other => String.valueOf(other)
+    }
     def row: String = {
       import scala.jdk.CollectionConverters._
-      params.values.asScala.map(String.valueOf).mkString(",")
+      params.values.asScala.map(render).mkString(",")
     }
     d.log(s"c$cid prepare: $sql")
     proxy(classOf[PreparedStatement]) {
       case ("setString" | "setLong" | "setObject" | "setBoolean" |
-            "setInt" | "setDouble", a) =>
-        params.put(a(0).asInstanceOf[Integer], a(1)); null
+            "setInt" | "setDouble" | "setBytes" | "setArray", a) =>
+        // setObject with an explicit java.sql.Types target (the jsonb
+        // bind) records the type code alongside the value
+        val v =
+          if (a.length == 3)
+            s"typed[${a(2)}]:${String.valueOf(a(1))}": AnyRef
+          else a(1)
+        params.put(a(0).asInstanceOf[Integer], v); null
       case ("setNull", a) =>
-        params.put(a(0).asInstanceOf[Integer], null); null
+        params.put(a(0).asInstanceOf[Integer],
+          s"null[${a(1)}]": AnyRef); null
       case ("addBatch", _) =>
         d.log(s"c$cid bind[$sql] ($row)"); params.clear(); null
       case ("executeBatch", _) =>
@@ -207,6 +220,23 @@ object RecordingJdbc {
         prepared(d, cid, a(0).asInstanceOf[String])
       case ("getMetaData", _) => metadata(d)
       case ("isClosed", _) => java.lang.Boolean.FALSE
+      // the pgjdbc array-bind protocol: the dialect passes the PG
+      // element type NAME + boxed values; the fake answers with a
+      // java.sql.Array whose toString IS the recorded form, so the
+      // bind row carries both for assertion
+      case ("createArrayOf", a) =>
+        val typeName = a(0).asInstanceOf[String]
+        val elems = a(1).asInstanceOf[Array[AnyRef]]
+        val rendered =
+          s"array[$typeName]{${elems.map(String.valueOf).mkString(";")}}"
+        proxy(classOf[java.sql.Array]) {
+          case ("toString", _) => rendered
+          case ("hashCode", _) => java.lang.Integer.valueOf(rendered.hashCode)
+          case ("equals", _) => java.lang.Boolean.FALSE
+          case ("getBaseTypeName", _) => typeName
+          case ("getArray", _) => elems
+          case ("free", _) => null
+        }
     }
   }
 }
