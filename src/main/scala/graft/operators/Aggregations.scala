@@ -125,6 +125,54 @@ private[graft] object Sketches {
 
 object Aggregations {
 
+  /** Exact interpolated percentiles per group from a VALUE HISTOGRAM
+    * (r17, VERDICT r16 item 2): Spark's sort-based
+    * `percentile`/`median` aggregate buffers every group's rows in one
+    * task — with a 3-value group key that is a third of the corpus per
+    * task at 100 TB (the e_window_analytic pathology, aggregate form;
+    * measured warm exponent 0.82 on d_agg_mad_robust). A histogram
+    * decomposes it exactly: ONE partial-aggregable (group, value)
+    * count pass — the exchange carries distinct (g, v) pairs, not rows
+    * — then cumulative counts over the tiny histogram frame locate the
+    * bracketing order statistics and the interpolation
+    * `vlo·(⌈pos⌉−pos) + vhi·(pos−⌊pos⌋)` at `pos = p·(n−1)` reproduces
+    * the Percentile expression's arithmetic bit-for-bit (same double
+    * ops, same order — unchanged oracle hashes prove it). Cost shape:
+    * |distinct values per group| (l_quantity: 50); for genuinely
+    * continuous measures where distinct ≈ rows the declared scale path
+    * remains the d_agg_quantile_sketch_* store (SCALE.md §r17). */
+  private def histPercentiles(hist0: DataFrame, g: String, vCol: String,
+      cCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = Window.partitionBy(g).orderBy(vCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(g)
+    var hist = hist0
+      .withColumn("cum_end", sum(cCol).over(wv))
+      .withColumn("n_tot", sum(cCol).over(wall))
+    ps.indices.foreach { i =>
+      hist = hist.withColumn(s"pos_$i",
+        (col("n_tot") - 1).cast(DoubleType) * lit(ps(i)._1))
+    }
+    val aggs = ps.indices.flatMap { i =>
+      Seq(
+        min(when(col("cum_end") >= floor(col(s"pos_$i")) + 1, col(vCol)))
+          .as(s"vlo_$i"),
+        min(when(col("cum_end") >= ceil(col(s"pos_$i")) + 1, col(vCol)))
+          .as(s"vhi_$i"),
+        max(col(s"pos_$i")).as(s"p_$i"))
+    }
+    val agg = hist.groupBy(g).agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zipWithIndex.map { case ((_, out), i) =>
+      val pos = col(s"p_$i")
+      when(floor(pos) === ceil(pos), col(s"vlo_$i"))
+        .otherwise(col(s"vlo_$i") * (ceil(pos).cast(DoubleType) - pos) +
+          col(s"vhi_$i") * (pos - floor(pos).cast(DoubleType)))
+        .as(out)
+    }
+    agg.select(col(g) +: outs: _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_agg_groupby_q1" -> { (s, d) =>
       val l = Tables.lineitem(s, d)
@@ -266,10 +314,15 @@ object Aggregations {
     "d_agg_mode_median" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, d)
-      val med = li.groupBy("l_returnflag")
-        .agg(r4(median(col("l_quantity"))).as("med_qty"))
-      val counts = li.groupBy("l_returnflag", "l_quantity")
-        .agg(count(lit(1)).as("n"))
+      // one value-count pass feeds BOTH the histogram median (r17 —
+      // no more whole-group buffering in a sort-based agg) and the
+      // argmax mode
+      val counts = graft.Caches.persisted(
+        li.groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("n")))
+      val med = histPercentiles(counts, "l_returnflag", "l_quantity",
+        "n", Seq(0.5 -> "med_raw"))
+        .select(col("l_returnflag"), r4(col("med_raw")).as("med_qty"))
       val w = Window.partitionBy("l_returnflag")
         .orderBy(desc("n"), asc("l_quantity"))
       val mode = counts.withColumn("rn", row_number().over(w))
@@ -281,18 +334,31 @@ object Aggregations {
 
     // Robust statistics (r10): median absolute deviation per return
     // flag — the outlier-resistant dispersion twin of d_agg_stats'
-    // stddev. Two sort-based aggregations (the median, then the
-    // median of absolute residuals) with a broadcast-sized join of
-    // the 3 per-flag medians in between; both engines interpolate the
-    // 0.5-percentile identically and r4 absorbs the last ulp.
+    // stddev. r17 rewrite (measured warm exponent 0.82, the worst in
+    // the registry after pareto/gini): both medians now go through
+    // the histogram decomposition (see [[histPercentiles]]) — one
+    // partial-aggregable value-count pass over lineitem, then the
+    // deviation histogram |v − med| is DERIVED from the same 150-row
+    // frame (deviations are a function of the distinct values, counts
+    // carry over), so the MAD costs no second corpus pass at all.
+    // Both engines interpolate the 0.5-percentile identically and r4
+    // absorbs the last ulp.
     "d_agg_mad_robust" -> { (s, d) =>
       val li = Tables.lineitem(s, d)
-      val med = li.groupBy("l_returnflag")
-        .agg(median(col("l_quantity")).as("m"))
-      li.join(broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(r4(max(col("m"))).as("med_qty"),
-          r4(median(abs(col("l_quantity") - col("m")))).as("mad_qty"))
+      val counts = graft.Caches.persisted(
+        li.groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("c")))
+      val med = histPercentiles(counts, "l_returnflag", "l_quantity",
+        "c", Seq(0.5 -> "m"))
+      val devHist = counts.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"),
+          abs(col("l_quantity") - col("m")).as("dev"), col("c"))
+        .groupBy("l_returnflag", "dev").agg(sum("c").as("c"))
+      val mad = histPercentiles(devHist, "l_returnflag", "dev", "c",
+        Seq(0.5 -> "mad"))
+      med.join(mad, "l_returnflag")
+        .select(col("l_returnflag"), r4(col("m")).as("med_qty"),
+          r4(col("mad")).as("mad_qty"))
         .orderBy("l_returnflag")
     },
 
@@ -419,13 +485,17 @@ object Aggregations {
         .orderBy("bucket")
     },
 
-    // Exact interpolating percentile (sort-based agg on both engines).
+    // Exact interpolating percentile (sort-based agg in DuckDB; r17:
+    // histogram-decomposed on the Spark side — see [[histPercentiles]]
+    // — so no task ever buffers a whole group's rows).
     "d_agg_percentile" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
-          r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"))
+      val counts = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("c"))
+      histPercentiles(counts, "l_returnflag", "l_quantity", "c",
+        Seq(0.5 -> "p50_raw", 0.9 -> "p90_raw"))
+        .select(col("l_returnflag"), r4(col("p50_raw")).as("p50_qty"),
+          r4(col("p90_raw")).as("p90_qty"))
         .orderBy("l_returnflag")
     },
 
