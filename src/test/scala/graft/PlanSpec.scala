@@ -173,7 +173,8 @@ class PlanSpec extends SparkSpec {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (name <- Seq("e_window_analytic", "e_window_ntile")) {
+      for (name <- Seq("e_window_analytic", "e_window_ntile",
+          "e_window_pareto", "d_agg_gini")) {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // populate runtime metrics
         val singles = df.queryExecution.executedPlan.collect {
@@ -198,6 +199,47 @@ class PlanSpec extends SparkSpec {
         Caches.release(spark)
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("the robust-stats family never plans a sort-based percentile " +
+    "aggregate (r17 histogram-order-statistics pin)") {
+    for (name <- Seq("d_agg_mad_robust", "d_agg_mode_median",
+        "d_agg_percentile")) {
+      val p = plan(name).toLowerCase
+      // the whole-group-buffering Percentile/Median expression must
+      // not reappear; the histogram path plans only hash aggregates
+      // and tiny windows
+      assert(!p.contains("percentile") && !p.contains("median("),
+        s"$name regressed to a sort-based percentile aggregate:\n$p")
+    }
+  }
+
+  test("sliding_avg routes: plain single-window plan when no whales; " +
+    "forced whale routing is value-identical (r17)") {
+    val key = "spark.graft.window.whaleRows"
+    // sf0.001 has no whale keys → exactly one Window, no union branch
+    val plainPlan = plan("e_window_sliding_avg")
+    assert("\\(\\d+\\) Window".r.findAllIn(plainPlan).size == 1,
+      s"uniform fixture took the banded branch:\n$plainPlan")
+    assert(!plainPlan.contains("Union"), plainPlan)
+    val base = SparkEntry.queries("e_window_sliding_avg")(spark, sfDir)
+      .collect().toSeq
+    Caches.release(spark)
+    // force EVERY key through the banded branch; outputs must match
+    // bit-for-bit (routing is performance-only)
+    spark.conf.set(key, "0")
+    try {
+      val routed = SparkEntry.queries("e_window_sliding_avg")(spark, sfDir)
+      val rp = routed.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(rp.contains("Union"),
+        s"whaleRows=0 did not force the banded branch:\n$rp")
+      assert(routed.collect().toSeq == base,
+        "banded branch diverged from the plain window")
+    } finally {
+      spark.conf.unset(key)
+      Caches.release(spark)
+    }
   }
 
   test("no accidental cartesian products outside the explicit cross join") {
