@@ -21,7 +21,11 @@ class CachesSpec extends SparkSpec {
     val names = Seq(
       "j_jaccard_shingle_pairs", "j_dedup_cascade", "j_dedup_cascade_lsh",
       "j_dedup_near_minhash", "j_dedup_incremental",
-      "j_dedup_clusters_incremental", "j_tfidf_topterms", "j_pipeline_audit")
+      "j_dedup_clusters_incremental", "j_tfidf_topterms", "j_pipeline_audit",
+      // r17 distributed-rank/histogram rewrites persist their rank or
+      // count frames too — same release contract
+      "e_window_ntile", "e_window_pareto", "d_agg_gini",
+      "d_agg_mad_robust", "d_agg_mode_median")
     spark.catalog.clearCache()
     names.foreach { n =>
       SparkEntry.queries(n)(spark, sfDir).count()
