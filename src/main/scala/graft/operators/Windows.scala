@@ -57,6 +57,25 @@ object Windows {
     if (descending) lit(nB - 1) - asc else asc
   }
 
+  /** Whale-key detection for the per-key window family (r17, SCALE.md
+    * §r17.3): keys with more than `spark.graft.window.whaleRows` rows
+    * (default 10⁵), found on a DETERMINISTIC 2% sample (hash of the
+    * row's unique key, no rand()). Routing is performance-only — the
+    * plain and banded paths are value-identical — so a borderline key
+    * may land on either side harmlessly, while a true whale
+    * (E[sampled] ≥ 2000) clears the half-expectation cutoff with
+    * Chernoff-negligible miss probability. The result is bounded by
+    * rows/threshold, so broadcasting it stays driver-safe at any
+    * scale. */
+  private def whaleKeys(df: DataFrame, key: String, unique: Column)
+      : DataFrame = {
+    val t = df.sparkSession.conf
+      .get("spark.graft.window.whaleRows", "100000").toLong
+    df.filter(pmod(xxhash64(unique), lit(50)) === 0)
+      .groupBy(key).agg(count(lit(1)).as("kn"))
+      .filter(col("kn") > t / 100).select(key)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e_window_rank" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey")
@@ -113,11 +132,49 @@ object Windows {
       val w = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderkey"),
+      // r17 whale routing (SCALE.md §r17.3): a whale key's running sum
+      // would otherwise be ONE task. Prefix sums decompose perfectly —
+      // no edge fix-up needed: bucket rows by order-date quantiles,
+      // local exact-decimal cumsum per (key, bucket), plus broadcast
+      // per-key bucket-prefix offsets (≤ 32 rows per whale). Decimal
+      // addition is associative and exact, so offset + local cumsum IS
+      // the global running sum and casts to the same double.
+      val o = Tables.orders(s, d)
+      val whales = whaleKeys(o, "o_custkey", col("o_orderkey"))
+      val plain = (df: DataFrame) =>
+        df.select(col("o_custkey"), col("o_orderkey"),
           sum(dwsum(col("o_totalprice"))).over(w).cast(DoubleType)
             .as("running_spend"))
-        .orderBy("o_custkey", "o_orderkey")
+      val routed =
+        if (whales.isEmpty) plain(o)
+        else {
+          val big = o
+            .join(broadcast(whales), Seq("o_custkey"), "left_semi")
+            .withColumn("dd", datediff(col("o_orderdate"),
+              to_date(lit("1990-01-01"))).cast(DoubleType))
+          val bucketCol = rankBucket(big, "dd", 32, descending = false)
+          val wLoc = Window.partitionBy("o_custkey", "b")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val loc = graft.Caches.persisted(big.withColumn("b", bucketCol)
+            .select(col("o_custkey"), col("o_orderkey"), col("b"),
+              col("o_totalprice"),
+              sum(dwsum(col("o_totalprice"))).over(wLoc).as("lcum")))
+          val wOff = Window.partitionBy("o_custkey").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val off = loc.groupBy("o_custkey", "b")
+            .agg(sum(dwsum(col("o_totalprice"))).as("c"))
+            .select(col("o_custkey"), col("b"),
+              coalesce(sum("c").over(wOff),
+                lit(0).cast(DecimalType(38, 6))).as("boff"))
+          val banded = loc.join(broadcast(off), Seq("o_custkey", "b"))
+            .select(col("o_custkey"), col("o_orderkey"),
+              (col("boff") + col("lcum")).cast(DoubleType)
+                .as("running_spend"))
+          plain(o.join(broadcast(whales), Seq("o_custkey"), "left_anti"))
+            .unionByName(banded)
+        }
+      routed.orderBy("o_custkey", "o_orderkey")
     },
 
     // Centered 3-row moving average per customer. r17 rewrite (VERDICT
@@ -154,19 +211,7 @@ object Windows {
             count(lit(1)).over(w.rowsBetween(-1, 1))).as("mov_avg3"))
       val plainW = Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
-      val whaleRows =
-        s.conf.get("spark.graft.window.whaleRows", "100000").toLong
-      // whale detection on a DETERMINISTIC 2% sample (hash of the
-      // unique key, no rand()): routing is performance-only — both
-      // paths are exact — so a borderline key may land on either side
-      // harmlessly, while a true whale (> whaleRows rows, E[sampled]
-      // ≥ 2000) clears the half-expectation cutoff with Chernoff-
-      // negligible miss probability. The sampled aggregate's shuffle
-      // carries 2% of the key space instead of every key.
-      val whales = o
-        .filter(pmod(xxhash64(col("o_orderkey")), lit(50)) === 0)
-        .groupBy("o_custkey").agg(count(lit(1)).as("kn"))
-        .filter(col("kn") > whaleRows / 100).select("o_custkey")
+      val whales = whaleKeys(o, "o_custkey", col("o_orderkey"))
       val routed =
         if (whales.isEmpty) out(o, plainW)
         else {

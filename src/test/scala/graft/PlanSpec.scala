@@ -214,31 +214,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("sliding_avg routes: plain single-window plan when no whales; " +
-    "forced whale routing is value-identical (r17)") {
+  test("whale-routed windows: plain single-window plan when no " +
+    "whales; forced whale routing is value-identical (r17)") {
     val key = "spark.graft.window.whaleRows"
-    // sf0.001 has no whale keys → exactly one Window, no union branch
-    val plainPlan = plan("e_window_sliding_avg")
-    assert("\\(\\d+\\) Window".r.findAllIn(plainPlan).size == 1,
-      s"uniform fixture took the banded branch:\n$plainPlan")
-    assert(!plainPlan.contains("Union"), plainPlan)
-    val base = SparkEntry.queries("e_window_sliding_avg")(spark, sfDir)
-      .collect().toSeq
-    Caches.release(spark)
-    // force EVERY key through the banded branch; outputs must match
-    // bit-for-bit (routing is performance-only)
-    spark.conf.set(key, "0")
-    try {
-      val routed = SparkEntry.queries("e_window_sliding_avg")(spark, sfDir)
-      val rp = routed.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      assert(rp.contains("Union"),
-        s"whaleRows=0 did not force the banded branch:\n$rp")
-      assert(routed.collect().toSeq == base,
-        "banded branch diverged from the plain window")
-    } finally {
-      spark.conf.unset(key)
+    for (name <- Seq("e_window_sliding_avg", "e_window_running")) {
+      // sf0.001 has no whale keys → exactly one Window, no union branch
+      val plainPlan = plan(name)
+      assert("\\(\\d+\\) Window".r.findAllIn(plainPlan).size == 1,
+        s"$name: uniform fixture took the banded branch:\n$plainPlan")
+      assert(!plainPlan.contains("Union"), plainPlan)
+      val base = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
       Caches.release(spark)
+      // force EVERY sampled key through the banded branch; outputs
+      // must match bit-for-bit (routing is performance-only)
+      spark.conf.set(key, "0")
+      try {
+        val routed = SparkEntry.queries(name)(spark, sfDir)
+        val rp = routed.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(rp.contains("Union"),
+          s"$name: whaleRows=0 did not force the banded branch:\n$rp")
+        assert(routed.collect().toSeq == base,
+          s"$name: banded branch diverged from the plain window")
+      } finally {
+        spark.conf.unset(key)
+        Caches.release(spark)
+      }
     }
   }
 
