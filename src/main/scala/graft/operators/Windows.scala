@@ -114,18 +114,56 @@ object Windows {
     // values derived deterministically (clicks report no value);
     // last(ignoreNulls) over a running frame IS the fill. One hash
     // exchange on user_id, same as every window in this family.
+    // r17 whale routing (SCALE.md §r17.3): a whale user's fill is
+    // otherwise ONE task. Forward fill decomposes with a per-bucket
+    // CARRY: fill locally per (user, time-quantile bucket); each
+    // bucket's last non-null value (max_by over the in-bucket order,
+    // null-ordered rows ignored) forms a ≤nB-row per-user summary
+    // whose own forward fill is the carry into the next bucket;
+    // filled = coalesce(local fill, carry). Pure value selection — no
+    // arithmetic — so both paths are bit-identical.
     "e_window_gap_fill" -> { (s, d) =>
       val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.eventsWithNanos(s, d)
+      val e = Tables.eventsWithNanos(s, d)
         .withColumn("ts_us", expr("ts_ns div 1000"))
         .withColumn("sparse",
           when(col("event_type") === "click", lit(null).cast(DoubleType))
             .otherwise(col("value")))
-        .select(col("user_id"), col("event_id"), col("ts_us"),
+      val plain = (df: DataFrame) =>
+        df.select(col("user_id"), col("event_id"), col("ts_us"),
           col("sparse"),
           last("sparse", ignoreNulls = true).over(w).as("filled"))
-        .orderBy("user_id", "ts_us", "event_id")
+      val whales = whaleKeys(e, "user_id", col("event_id"))
+      val routed =
+        if (whales.isEmpty) plain(e)
+        else {
+          val big = e.join(broadcast(whales), Seq("user_id"), "left_semi")
+            .withColumn("tsd", col("ts_us").cast(DoubleType))
+          val bucketCol = rankBucket(big, "tsd", 32, descending = false)
+          val wLoc = Window.partitionBy("user_id", "b")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val loc = graft.Caches.persisted(big.withColumn("b", bucketCol)
+            .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("sparse"), col("b"),
+              last("sparse", ignoreNulls = true).over(wLoc).as("lfill")))
+          val wCarry = Window.partitionBy("user_id").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val carry = loc.groupBy("user_id", "b")
+            .agg(max_by(col("sparse"),
+              when(col("sparse").isNotNull,
+                struct(col("ts_us"), col("event_id")))).as("bLast"))
+            .select(col("user_id"), col("b"),
+              last("bLast", ignoreNulls = true).over(wCarry).as("cfill"))
+          val banded = loc.join(broadcast(carry), Seq("user_id", "b"))
+            .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("sparse"),
+              coalesce(col("lfill"), col("cfill")).as("filled"))
+          plain(e.join(broadcast(whales), Seq("user_id"), "left_anti"))
+            .unionByName(banded)
+        }
+      routed.orderBy("user_id", "ts_us", "event_id")
     },
 
     "e_window_running" -> { (s, d) =>

@@ -217,7 +217,8 @@ class PlanSpec extends SparkSpec {
   test("whale-routed windows: plain single-window plan when no " +
     "whales; forced whale routing is value-identical (r17)") {
     val key = "spark.graft.window.whaleRows"
-    for (name <- Seq("e_window_sliding_avg", "e_window_running")) {
+    for (name <- Seq("e_window_sliding_avg", "e_window_running",
+        "e_window_gap_fill")) {
       // sf0.001 has no whale keys → exactly one Window, no union branch
       val plainPlan = plan(name)
       assert("\\(\\d+\\) Window".r.findAllIn(plainPlan).size == 1,
