@@ -68,7 +68,10 @@ object Pin {
         "(expected local | reliable | persist)")
   }
 
-  /** End-of-scope release of a [[pin]] result. After unpinning a
+  /** End-of-scope release of a [[pin]] result — pass the EXACT frame
+    * `pin` returned, not one derived from it (a derived frame is a
+    * silent no-op for checkpoint modes; see GraftPlanBridge.unpin).
+    * After unpinning a
     * checkpointed frame is unreadable (lineage was cut); a persisted
     * frame merely drops back to lazy recompute; a reliable-checkpoint
     * frame also has its checkpoint files deleted (a standing job pins

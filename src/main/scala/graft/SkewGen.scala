@@ -17,6 +17,10 @@ object SkewGen {
   def main(args: Array[String]): Unit = {
     val in = args(0)
     val out = args(1)
+    require(new java.io.File(in).getCanonicalPath !=
+      new java.io.File(out).getCanonicalPath,
+      "SkewGen: in == out would overwrite the input parquet while " +
+        "lazily reading it (ADVICE r17); pick a distinct outDir")
     val hotDenom = args.lift(2).map(_.toInt).getOrElse(5)
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -29,9 +33,13 @@ object SkewGen {
         when(pmod(xxhash64(col("o_orderkey")), lit(hotDenom)) === 0,
           lit(1L)).otherwise(col("o_custkey")))
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    // Count the INJECTED rows (hash-selected), not every o_custkey==1 —
+    // rows whose original key was already 1 would overstate the skew.
     val n = spark.read.parquet(s"$out/orders.parquet")
-      .filter(col("o_custkey") === 1L).count()
-    println(s"skewgen wrote $out: hot-key rows=$n (1/$hotDenom of input)")
+      .filter(pmod(xxhash64(col("o_orderkey")), lit(hotDenom)) === 0)
+      .count()
+    println(s"skewgen wrote $out: injected hot-key rows=$n " +
+      s"(1/$hotDenom of input)")
     spark.stop()
   }
 }

@@ -147,7 +147,11 @@ object Aggregations {
     val wv = Window.partitionBy(g).orderBy(vCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wall = Window.partitionBy(g)
-    var hist = hist0
+    // Spark's percentile/median IGNORE null values; a null histogram row
+    // would sort first and inflate n_tot, silently shifting every
+    // position. Current call sites are non-null, but the helper's
+    // contract must match the expression it replaces (ADVICE r17).
+    var hist = hist0.where(col(vCol).isNotNull)
       .withColumn("cum_end", sum(cCol).over(wv))
       .withColumn("n_tot", sum(cCol).over(wall))
     ps.indices.foreach { i =>

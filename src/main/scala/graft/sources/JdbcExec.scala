@@ -190,9 +190,8 @@ object PgDialect extends UpsertDialect {
     *    infer the SQL type`); the protocol is
     *    `conn.createArrayOf(elementTypeName, boxedValues)` + setArray.
     *    Complex-element arrays (struct/map/nested-array elements) bind
-    *    as `jsonb` elements — note the DDL from [[JdbcUpsertSink
-    *    .pgType]] maps nested arrays to `bigint[][]`-style types
-    *    instead, a disclosed offline residual (PgDialectSpec);
+    *    as `jsonb` elements, and [[JdbcUpsertSink.pgType]] renders the
+    *    matching `jsonb[]` column DDL (r18 — bind and DDL agree);
     *  - `jsonb` (maps/structs) — pgjdbc needs the JSON text bound with
     *    `Types.OTHER` (the `stringtype=unspecified` escape hatch is a
     *    connection-wide setting we don't assume);

@@ -33,7 +33,14 @@ object JdbcUpsertSink {
     case TimestampType => "timestamptz"
     case TimestampNTZType => "timestamp"
     case BinaryType => "bytea"
-    case ArrayType(et, _) => s"${pgType(et)}[]"
+    case ArrayType(et, _) => et match {
+      // Complex-element arrays bind as jsonb elements (JdbcExec.bindPg
+      // renders each element as JSON text against createArrayOf("jsonb")),
+      // so the DDL must agree: jsonb[] — not bigint[][]-style nesting the
+      // bind would then fail against on a live server (ADVICE r17).
+      case _: MapType | _: StructType | _: ArrayType => "jsonb[]"
+      case _ => s"${pgType(et)}[]"
+    }
     case _: MapType | _: StructType => "jsonb"
     case other => throw new IllegalArgumentException(s"unmapped type $other")
   }

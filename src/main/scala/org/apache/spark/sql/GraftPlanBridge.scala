@@ -36,9 +36,16 @@ object GraftPlanBridge {
     * that dir would otherwise grow without bound, so the RDD's
     * checkpoint files are deleted here too. After unpinning, the frame
     * is unreadable (its lineage was cut), so this is strictly an
-    * end-of-scope release. No-op on non-checkpointed frames. */
+    * end-of-scope release. No-op on non-checkpointed frames.
+    *
+    * MUST receive the exact `pin()`/`checkpoint()` RESULT, not a frame
+    * derived from it: storage is released only when the plan ROOT is
+    * the checkpointed LogicalRDD (ADVICE r17 — a recursive walk would
+    * let `unpin(pinned.filter(...))` destroy upstream reliable
+    * checkpoint files other consumers still read). A derived frame is
+    * a silent no-op, same as any other non-checkpointed frame. */
   def unpin(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case l: execution.LogicalRDD =>
         l.rdd.unpersist(blocking = false)
         l.rdd.getCheckpointFile.foreach { dir =>

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.types._
-import graft.sources.{JdbcExec, PgDialect}
+import graft.sources.{JdbcExec, JdbcUpsertSink, PgDialect}
 
 /** The PostgreSQL dialect executed as a statement SEQUENCE (r15,
   * VERDICT r14 ask 6): the same syncOnce orchestration DerbySinkSpec /
@@ -139,6 +139,11 @@ class PgDialectSpec extends SparkSpec {
     assert(ddl.contains("\"scores\" double precision[]"), ddl)
     assert(ddl.contains("\"meta\" jsonb"), ddl)
     assert(ddl.contains("\"obj\" jsonb"), ddl)
+    // complex-element arrays: DDL is jsonb[] to MATCH the jsonb-element
+    // bind below (r18 — the two sides agree; was bigint[][]-style)
+    assert(ddl.contains("\"objs\" jsonb[]"), ddl)
+    assert(JdbcUpsertSink.pgType(ArrayType(ArrayType(LongType)))
+      == "jsonb[]")
     // bind leg: loadBatch through the real PgDialect code path
     import org.apache.spark.sql.Row
     val rows = Seq(
@@ -161,9 +166,8 @@ class PgDialectSpec extends SparkSpec {
     // sorted, struct fields in schema order
     assert(b1.contains("typed[1111]:{\"a\":\"b\",\"k\":\"v\"}"), b1)
     assert(b1.contains("typed[1111]:{\"name\":\"x\",\"n\":2}"), b1)
-    // complex-element array binds as jsonb elements (disclosed DDL
-    // divergence: pgType renders struct-element arrays as jsonb[]...
-    // exercised here at the BIND layer)
+    // complex-element array binds as jsonb elements, matching the
+    // jsonb[] column DDL asserted above
     assert(b1.contains("array[jsonb]{{\"name\":\"y\",\"n\":3}}"), b1)
     // typed nulls: VARBINARY(-3), ARRAY(2003), OTHER(1111) — drivers
     // that type-check null binds reject untyped setObject(null)

@@ -58,6 +58,31 @@ class PinSpec extends SparkSpec {
     }
   }
 
+  test("unpin on a frame DERIVED from a pin is a no-op: upstream " +
+    "reliable checkpoint files survive for other consumers (ADVICE r17)") {
+    import spark.implicits._
+    val src = (1L to 500L).toDF("id").withColumn("v", col("id") % 7)
+    withMode("reliable") {
+      Pin.unpin(Pin.pin(src.limit(1))) // warm the checkpoint dir
+      val dir = spark.sparkContext.getCheckpointDir.get
+      val root = new java.io.File(new java.net.URI(dir).getPath)
+      def rddDirs() = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("rdd-"))
+        .map(_.getName).toSet
+      val before = rddDirs()
+      val pinned = Pin.pin(src)
+      val added = rddDirs() -- before
+      assert(added.nonEmpty)
+      // releasing a DERIVED frame must not destroy the pin's storage
+      Pin.unpin(pinned.filter(col("v") === 3))
+      assert(rddDirs().intersect(added) == added,
+        "unpin(derived) deleted the upstream pin's checkpoint files")
+      assert(pinned.count() == 500L, "pin unreadable after derived unpin")
+      Pin.unpin(pinned) // the exact pin result still releases storage
+      assert(rddDirs().intersect(added).isEmpty)
+    }
+  }
+
   test("unpin dispatches on the frame's own state, not the current " +
     "knob value (flip between pin and unpin must not leak)") {
     import spark.implicits._
