@@ -21,14 +21,24 @@ class CachesSpec extends SparkSpec {
     val names = Seq(
       "j_jaccard_shingle_pairs", "j_dedup_cascade", "j_dedup_cascade_lsh",
       "j_dedup_near_minhash", "j_dedup_incremental",
-      "j_dedup_clusters_incremental", "j_tfidf_topterms", "j_pipeline_audit",
+      "j_dedup_clusters_incremental", "j_tfidf_topterms",
       // r17 distributed-rank/histogram rewrites persist their rank or
       // count frames too — same release contract
       "e_window_ntile", "e_window_pareto", "d_agg_gini",
       "d_agg_mad_robust", "d_agg_mode_median")
     spark.catalog.clearCache()
-    names.foreach { n =>
-      SparkEntry.queries(n)(spark, sfDir).count()
+    // the 5-stage audit COMPUTATION (r18: the registry entry reads the
+    // stored per-session ledger and persists nothing on re-entry, so
+    // the release contract is asserted on the build path directly)
+    val runs: Seq[(String, () => Long)] =
+      names.map(n => n -> (() =>
+        SparkEntry.queries(n)(spark, sfDir).count())) :+
+        ("audit (direct)" -> (() =>
+          graft.operators.CorpusPipeline.audit(spark,
+            Par.spread(Tables.documents(spark, sfDir)), Some("heuristic"))
+            .count()))
+    runs.foreach { case (n, run) =>
+      run()
       assert(Caches.trackedCount(spark) > 0,
         s"$n persisted nothing — this spec lost its subject")
       Caches.release(spark)

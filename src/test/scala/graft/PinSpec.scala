@@ -148,12 +148,16 @@ class PinSpec extends SparkSpec {
   }
 
   test("the pipeline audit is mode-invariant (reliable == default)") {
-    val base = SparkEntry.queries("j_pipeline_audit")(spark, sfDir)
+    // call the COMPUTATION directly (r18: the registry entry reads the
+    // stored per-session ledger table, so a second entry call would no
+    // longer exercise the pins this test is about)
+    import graft.operators.CorpusPipeline
+    def run() = CorpusPipeline.audit(spark,
+      Par.spread(Tables.documents(spark, sfDir)), Some("heuristic"))
       .collect().toSeq
+    val base = run()
     Caches.release(spark)
-    val rel = withMode("reliable") {
-      SparkEntry.queries("j_pipeline_audit")(spark, sfDir).collect().toSeq
-    }
+    val rel = withMode("reliable")(run())
     Caches.release(spark)
     assert(rel == base && base.nonEmpty)
   }
