@@ -525,14 +525,41 @@ object Windows {
     // NOT be: cancellation ≠ frame sum at the last ulp). Same single
     // hash exchange + sort; three O(1) frame evaluators instead of
     // three O(20) ones.
+    // r18 whale routing (SCALE.md §r17.3 addendum 2's written halo
+    // cure, applied): the lag-20 frame was the last per-key ordered
+    // frame outside the whaleKeys family. Cumulative differences
+    // decompose like e_window_running — local exact-decimal cumsums
+    // per (user, ts-quantile bucket) + broadcast per-key bucket
+    // offsets — and the lag(1)/lag(21) pair is in-bucket for every
+    // row at local position ≥ 22. Bucket-boundary rows (local
+    // position ≤ 21) take their lags from the per-key EDGE SET
+    // (first 21 + last 21 rows of every bucket): walking back 21
+    // global rows from a first-21 row crosses each earlier bucket
+    // taking at most its last 21 rows (the remaining need only
+    // decreases; buckets under 42 rows are entirely in the set), so
+    // the contiguous 21-row span is edge-set-complete and the
+    // edge-set lag IS the global lag. Decimal adds/subtracts are
+    // exact, one shared scoring tail — both paths bit-identical.
     "e_anomaly_zscore" -> { (s, d) =>
       val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
         Window.currentRow)
       val z20 = lit(0).cast(DecimalType(30, 6))
       val z24 = lit(0).cast(DecimalType(34, 6))
-      Tables.eventsWithNanos(s, d)
+      val e = Tables.eventsWithNanos(s, d)
         .withColumn("ts_us", expr("ts_ns div 1000"))
+      // shared scoring tail over (event_id, user_id, value, sw, sq, n)
+      // — ONE expression tree, so the routed paths cannot drift
+      val score = (df: DataFrame) => df
+        .withColumn("variance",
+          (col("sq") - col("sw") * col("sw") / col("n")) / (col("n") - 1))
+        .filter(col("n") >= 10 && col("variance") > 0)
+        .withColumn("z",
+          (col("value") - col("sw") / col("n")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > 2)
+        .select(col("event_id"), col("user_id"), col("value"),
+          Det.r4(col("z")).as("z"))
+      val plainStats = (df: DataFrame) => df
         .withColumn("cumv",
           sum(col("value").cast(DecimalType(20, 6))).over(wCum))
         .withColumn("cumq",
@@ -546,15 +573,85 @@ object Windows {
           (coalesce(lag("cumq", 1).over(wOrd), z24) -
             coalesce(lag("cumq", 21).over(wOrd), z24)).cast(DoubleType))
         .withColumn("n", least(col("rn") - 1, lit(20)).cast(LongType))
-        .withColumn("variance",
-          (col("sq") - col("sw") * col("sw") / col("n")) / (col("n") - 1))
-        .filter(col("n") >= 10 && col("variance") > 0)
-        .withColumn("z",
-          (col("value") - col("sw") / col("n")) / sqrt(col("variance")))
-        .filter(abs(col("z")) > 2)
-        .select(col("event_id"), col("user_id"), col("value"),
-          Det.r4(col("z")).as("z"))
-        .orderBy("event_id")
+        .select("event_id", "user_id", "value", "sw", "sq", "n")
+      val whales = whaleKeys(e, "user_id", col("event_id"))
+      val stats =
+        if (whales.isEmpty) plainStats(e)
+        else {
+          val big = e.join(broadcast(whales), Seq("user_id"), "left_semi")
+            .withColumn("tsd", col("ts_us").cast(DoubleType))
+          val bucketCol = rankBucket(big, "tsd", 32, descending = false)
+          val wLoc = Window.partitionBy("user_id", "b")
+            .orderBy("ts_us", "event_id")
+          val wLocCum = wLoc.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)
+          val loc = graft.Caches.persisted(big.withColumn("b", bucketCol)
+            .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("value"), col("b"),
+              sum(col("value").cast(DecimalType(20, 6)))
+                .over(wLocCum).as("lcumv"),
+              sum((col("value") * col("value")).cast(DecimalType(24, 6)))
+                .over(wLocCum).as("lcumq"),
+              lag(sum(col("value").cast(DecimalType(20, 6)))
+                .over(wLocCum), 1).over(wLoc).as("lv1"),
+              lag(sum(col("value").cast(DecimalType(20, 6)))
+                .over(wLocCum), 21).over(wLoc).as("lv21"),
+              lag(sum((col("value") * col("value"))
+                .cast(DecimalType(24, 6))).over(wLocCum), 1)
+                .over(wLoc).as("lq1"),
+              lag(sum((col("value") * col("value"))
+                .cast(DecimalType(24, 6))).over(wLocCum), 21)
+                .over(wLoc).as("lq21"),
+              row_number().over(wLoc).as("lr"),
+              count(lit(1))
+                .over(Window.partitionBy("user_id", "b")).as("cnt")))
+          // per-key bucket offsets: the last local-cum row IS the
+          // bucket total; ≤32 rows per whale — broadcastable anywhere
+          val wOff = Window.partitionBy("user_id").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val off = loc.filter(col("lr") === col("cnt"))
+            .select(col("user_id"), col("b"),
+              col("lcumv").as("bv"), col("lcumq").as("bq"), col("cnt"))
+            .select(col("user_id"), col("b"),
+              coalesce(sum("bv").over(wOff), z20).as("offv"),
+              coalesce(sum("bq").over(wOff), z24).as("offq"),
+              coalesce(sum("cnt").over(wOff), lit(0L)).as("offn"))
+          val locO = loc.join(broadcast(off), Seq("user_id", "b"))
+          // interior rows: both lags live inside the bucket, and the
+          // global row number is offn + lr (n is then always 20, but
+          // the shared formula keeps the expression identical)
+          val inner = locO.filter(col("lr") >= 22)
+            .select(col("event_id"), col("user_id"), col("value"),
+              (col("lv1") - col("lv21")).cast(DoubleType).as("sw"),
+              (col("lq1") - col("lq21")).cast(DoubleType).as("sq"),
+              least(col("offn") + col("lr") - 1, lit(20))
+                .cast(LongType).as("n"))
+          // boundary rows: global cumsums reconstructed exactly from
+          // offset + local, lags taken over the per-key edge set
+          val wEdge = Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+          val zv = lit(0).cast(DecimalType(38, 6))
+          val fixup = locO
+            .filter(col("lr") <= 21 || col("lr") > col("cnt") - 21)
+            .withColumn("gcumv", col("offv") + col("lcumv"))
+            .withColumn("gcumq", col("offq") + col("lcumq"))
+            .withColumn("grn", col("offn") + col("lr"))
+            .withColumn("esw",
+              (coalesce(lag("gcumv", 1).over(wEdge), zv) -
+                coalesce(lag("gcumv", 21).over(wEdge), zv))
+                .cast(DoubleType))
+            .withColumn("esq",
+              (coalesce(lag("gcumq", 1).over(wEdge), zv) -
+                coalesce(lag("gcumq", 21).over(wEdge), zv))
+                .cast(DoubleType))
+            .filter(col("lr") <= 21)
+            .select(col("event_id"), col("user_id"), col("value"),
+              col("esw").as("sw"), col("esq").as("sq"),
+              least(col("grn") - 1, lit(20)).cast(LongType).as("n"))
+          plainStats(e.join(broadcast(whales), Seq("user_id"), "left_anti"))
+            .unionByName(inner).unionByName(fixup)
+        }
+      score(stats).orderBy("event_id")
     },
 
     // Cohort retention (r10): users grouped by first-active epoch-week

@@ -217,11 +217,14 @@ class PlanSpec extends SparkSpec {
   test("whale-routed windows: plain single-window plan when no " +
     "whales; forced whale routing is value-identical (r17)") {
     val key = "spark.graft.window.whaleRows"
-    for (name <- Seq("e_window_sliding_avg", "e_window_running",
-        "e_window_gap_fill")) {
-      // sf0.001 has no whale keys → exactly one Window, no union branch
+    // plain-path Window node counts: the three r17 windows are one
+    // Window each; zscore's plain path is 3 (cumsums / lags / rn)
+    for ((name, nWin) <- Seq("e_window_sliding_avg" -> 1,
+        "e_window_running" -> 1, "e_window_gap_fill" -> 1,
+        "e_anomaly_zscore" -> 3)) {
+      // sf0.001 has no whale keys → plain window plan, no union branch
       val plainPlan = plan(name)
-      assert("\\(\\d+\\) Window".r.findAllIn(plainPlan).size == 1,
+      assert("\\(\\d+\\) Window".r.findAllIn(plainPlan).size == nWin,
         s"$name: uniform fixture took the banded branch:\n$plainPlan")
       assert(!plainPlan.contains("Union"), plainPlan)
       val base = SparkEntry.queries(name)(spark, sfDir).collect().toSeq
