@@ -93,25 +93,37 @@ object Joins {
     },
 
     // As-of join: for each purchase event, the same user's latest click
-    // at-or-before it. Equi-join on user + range filter + top-1 window —
-    // the same plan DuckDB's ASOF JOIN executes.
+    // at-or-before it — the same result DuckDB's ASOF JOIN computes.
+    // r18 UNION-MERGE rewrite (VERDICT r17 item 4): the former
+    // equi-join + range filter + top-1 window materialized every
+    // (purchase × prior click) pair per user before pruning —
+    // quadratic in a user's history, measured DNF (>560 s) at 1 M rows
+    // with a 20%-whale user. The merge form interleaves both event
+    // kinds on ONE per-user timeline and carries the last-seen click
+    // struct: the carry at each purchase row IS the as-of match, O(n)
+    // rows through one window. Ordering (ts, kind, event_id) with
+    // clicks first makes a click at exactly p_ts visible (the ≤ bound)
+    // and the carried struct the max-c_id among latest-ts ties —
+    // value-identical to the join form's (desc c_ts, desc c_id) top-1.
     "c_join_asof" -> { (s, d) =>
       // ts as epoch-micro longs: engine-neutral output (raw ns vs µs
       // timestamp precision differs across engines)
-      val e = Tables.eventsWithNanos(s, d)
+      val u = Tables.eventsWithNanos(s, d)
         .withColumn("ts_us", expr("ts_ns div 1000"))
-      val p = e.filter(col("event_type") === "purchase")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("carry",
+          last(when(col("kind") === 0,
+            struct(col("ts_us").as("c_ts"), col("event_id").as("c_id"))),
+            ignoreNulls = true).over(w))
+        .filter(col("kind") === 1 && col("carry").isNotNull)
         .select(col("event_id").as("p_id"), col("user_id"),
-          col("ts_us").as("p_ts"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          col("ts_us").as("c_ts"))
-      val w = Window.partitionBy("p_id")
-        .orderBy(desc("c_ts"), desc("c_id"))
-      p.join(c, col("user_id") === col("c_user") && col("c_ts") <= col("p_ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("p_id", "user_id", "p_ts", "c_id", "c_ts")
+          col("ts_us").as("p_ts"), col("carry.c_id").as("c_id"),
+          col("carry.c_ts").as("c_ts"))
         .orderBy("p_id")
     },
 
@@ -122,25 +134,35 @@ object Joins {
     // tolerance isn't decoration at scale — it is what bounds each
     // side's retained state when the same join runs under watermarks,
     // and it caps the per-row fan-in of the range filter.
+    // r18 union-merge, reversed traversal (same rewrite as c_join_asof):
+    // descending (ts, kind, event_id) puts the purchase BEFORE same-ts
+    // clicks (the strict > bound) and makes the carried struct the
+    // earliest-after click with min-c_id ties — the join form's
+    // (asc c_ts, asc c_id) top-1. The tolerance check then runs on the
+    // ONE carried candidate: if the earliest-after click is beyond the
+    // band, no candidate is in the band, which is exactly the LEFT
+    // null case.
     "c_join_asof_forward" -> { (s, d) =>
-      val e = Tables.eventsWithNanos(s, d)
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          col("ts_us").as("p_ts"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          col("ts_us").as("c_ts"))
       val tolUs = 7200000000L // 2 hours
-      val w = Window.partitionBy("p_id")
-        .orderBy(asc_nulls_last("c_ts"), asc_nulls_last("c_id"))
-      p.join(c,
-          col("user_id") === col("c_user") &&
-            col("c_ts") > col("p_ts") &&
-            col("c_ts") <= col("p_ts") + tolUs, "left")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("p_id", "user_id", "p_ts", "c_id", "c_ts")
+      val u = Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(desc("ts_us"), desc("kind"), desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("carry",
+          last(when(col("kind") === 0,
+            struct(col("ts_us").as("c_ts"), col("event_id").as("c_id"))),
+            ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .withColumn("ok", col("carry").isNotNull &&
+          col("carry.c_ts") <= col("ts_us") + tolUs)
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_ts"),
+          when(col("ok"), col("carry.c_id")).as("c_id"),
+          when(col("ok"), col("carry.c_ts")).as("c_ts"))
         .orderBy("p_id")
     },
 
@@ -151,26 +173,46 @@ object Joins {
     // purchases surface. Same scale shape as the siblings: the band
     // bounds the fan-in and the watermark state, and the argmin is a
     // per-purchase top-1 window — never a global sort.
+    // r18 union-merge, both directions (same rewrite as the siblings):
+    // two carries over the same per-user timeline — backward with
+    // min-c_id ties at the latest at-or-before ts (event_id DESC under
+    // the ascending traversal: the carry keeps the LAST seen), forward
+    // as in c_join_asof_forward — then the (|Δt|, c_ts, c_id) argmin
+    // reduces to comparing the two carried candidates: any other
+    // backward click has a strictly smaller c_ts (bigger Δt), ditto
+    // forward, and on a Δt tie the backward candidate's c_ts is
+    // necessarily the smaller (b.c_ts ≤ p_ts < f.c_ts), so
+    // backward-wins-ties reproduces the join form's ordering exactly.
     "c_join_asof_nearest" -> { (s, d) =>
-      val e = Tables.eventsWithNanos(s, d)
-        .withColumn("ts_us", expr("ts_ns div 1000"))
-      val p = e.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("p_id"), col("user_id"),
-          col("ts_us").as("p_ts"))
-      val c = e.filter(col("event_type") === "click")
-        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-          col("ts_us").as("c_ts"))
       val tolUs = 7200000000L // 2 hours
-      val w = Window.partitionBy("p_id")
-        .orderBy(asc_nulls_last("adt"), asc_nulls_last("c_ts"),
-          asc_nulls_last("c_id"))
-      p.join(c,
-          col("user_id") === col("c_user") &&
-            abs(col("c_ts") - col("p_ts")) <= tolUs, "left")
-        .withColumn("adt", abs(col("c_ts") - col("p_ts")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("p_id", "user_id", "p_ts", "c_id", "c_ts")
+      val u = Tables.eventsWithNanos(s, d)
+        .withColumn("ts_us", expr("ts_ns div 1000"))
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      val clickStruct = when(col("kind") === 0,
+        struct(col("ts_us").as("c_ts"), col("event_id").as("c_id")))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("kind"), desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(desc("ts_us"), desc("kind"), desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("cb", last(clickStruct, ignoreNulls = true).over(wb))
+        .withColumn("cf", last(clickStruct, ignoreNulls = true).over(wf))
+        .filter(col("kind") === 1)
+        .withColumn("bok", col("cb").isNotNull &&
+          col("ts_us") - col("cb.c_ts") <= tolUs)
+        .withColumn("fok", col("cf").isNotNull &&
+          col("cf.c_ts") - col("ts_us") <= tolUs)
+        .withColumn("pick",
+          when(col("bok") && (!col("fok") ||
+            col("ts_us") - col("cb.c_ts") <= col("cf.c_ts") - col("ts_us")),
+            col("cb"))
+            .when(col("fok"), col("cf")))
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts_us").as("p_ts"),
+          col("pick.c_id").as("c_id"), col("pick.c_ts").as("c_ts"))
         .orderBy("p_id")
     },
 
