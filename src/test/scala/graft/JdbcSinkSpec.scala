@@ -266,6 +266,39 @@ class DerbySinkSpec extends SparkSpec {
       .compareTo(new java.math.BigDecimal("9.00")) == 0)
   }
 
+  test("binary values round-trip EXECUTED through Derby: setBytes on " +
+    "insert and MERGE-update, typed VARBINARY null both ways (r18)") {
+    // The PG dialect's bytea bind is render-asserted (PgDialectSpec);
+    // Derby's VARCHAR FOR BIT DATA executes the SAME setBytes /
+    // setNull(VARBINARY) calls end-to-end, shrinking the live-PG
+    // residual to the array/jsonb binds Derby cannot express.
+    val bschema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("blob", BinaryType)))
+    JdbcExec.withConnection(url) { conn =>
+      JdbcExec.ensureTable(conn, "bin_tgt", bschema, pk = Seq("id"))
+    }
+    val rows = Seq(
+      Row(1L, Array[Byte](1, 2, -1, 0, 127, -128)),
+      Row(2L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), bschema)
+    JdbcExec.writeUpsert(df, url, "bin_tgt", Seq("id"), batchSize = 1)
+    val got = JdbcExec.readTable(spark, url, "bin_tgt").orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Array[Byte]]("blob").toSeq ==
+      Seq[Byte](1, 2, -1, 0, 127, -128))
+    assert(got(1).isNullAt(1))
+    // MERGE-update: non-null -> null and null -> non-null
+    val upd = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, null), Row(2L, Array[Byte](42))), 1), bschema)
+    JdbcExec.writeUpsert(upd, url, "bin_tgt", Seq("id"), batchSize = 5)
+    val after = JdbcExec.readTable(spark, url, "bin_tgt").orderBy("id").collect()
+    assert(after(0).isNullAt(1))
+    assert(after(1).getAs[Array[Byte]]("blob").toSeq == Seq[Byte](42))
+  }
+
   test("Derby DDL + MERGE text: the dialect deltas are explicit") {
     val ddl = DerbySql.createTableSql("t", StructType(schema.take(3)),
       pk = Seq("id"))
