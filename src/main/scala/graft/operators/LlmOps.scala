@@ -69,7 +69,7 @@ object LlmOps {
 
   /** Exploded (doc_id, shingle) postings — the shared input of the
     * jaccard/cascade family. */
-  private def shingleEx(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingleEx(s: SparkSession, d: String): DataFrame =
     dedupDocs(s, d)
       .select(col("doc_id"), shingles.as("sh"))
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
