@@ -61,6 +61,44 @@ object BruteRecall {
       println(f"  j_dedup_embed_cosine recall=${inter.toDouble / ep.size}%.4f " +
         f"precision=${inter.toDouble / rp.size}%.4f " +
         s"(exact=${ep.size} routed=${rp.size})")
+      // r19 routed pairs (VERDICT r18 item 1): the native-Expression
+      // top-10 twin and the kNN majority-label entry.
+      val en = pairs("l_expr_native_cosine", exact = true)
+      val rn = pairs("l_expr_native_cosine", exact = false)
+      println(s"  l_expr_native_cosine top-10 overlap: " +
+        s"${(en intersect rn).size}/${en.size}")
+      // kNN: per-vector (vec_id → maj_label); routed = within-IVF-cell
+      // neighbors, so measure id coverage and label agreement on the
+      // covered ids.
+      def labels(exact: Boolean): Map[Long, Int] = {
+        if (exact) {
+          spark.conf.set(operators.BruteGuard.MaxRowsKey, "1000000000000")
+          spark.conf.unset(operators.BruteGuard.RouteKey)
+        } else {
+          spark.conf.set(operators.BruteGuard.MaxRowsKey, "0")
+          spark.conf.set(operators.BruteGuard.RouteKey, "true")
+        }
+        try {
+          val t0 = System.nanoTime()
+          val r = SparkEntry.queries("j_knn_per_vector")(spark, d)
+            .select("vec_id", "maj_label").collect()
+            .map(r => (r.getLong(0), r.getInt(1))).toMap
+          println(f"  ${if (exact) "exact" else "routed"} j_knn_per_vector " +
+            f"${(System.nanoTime - t0) / 1e9}%.1f s  ids=${r.size}")
+          r
+        } finally {
+          spark.conf.unset(operators.BruteGuard.MaxRowsKey)
+          spark.conf.unset(operators.BruteGuard.RouteKey)
+          Caches.release(spark)
+        }
+      }
+      val el = labels(exact = true)
+      val rl = labels(exact = false)
+      val common = el.keySet intersect rl.keySet
+      val agree = common.count(id => el(id) == rl(id))
+      println(f"  j_knn_per_vector coverage=${rl.size.toDouble / el.size}%.4f " +
+        f"label_agreement=${agree.toDouble / common.size}%.4f " +
+        s"(exact=${el.size} routed=${rl.size} agree=$agree)")
     }
     spark.stop()
   }

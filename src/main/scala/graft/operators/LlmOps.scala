@@ -229,6 +229,21 @@ object LlmOps {
     * passes and shingle explosion is the expensive part; the persist
     * is also shared across the jaccard and cascade queries via
     * CacheManager plan matching. */
+  /** Wide-doc escape hatch for the intersection kernel (r19, ADVICE
+    * r18 item 3): the array-verify rides each doc's FULL shingle array
+    * on every incident candidate pair row, so one pathological doc
+    * (an enormous shingle set × many candidate pairs) inflates join
+    * row width and executor memory. When this conf is set, docs whose
+    * shingle count exceeds it route their incident pairs through the
+    * streaming postings verify ([[exactPairStats]] — the pre-r18
+    * count aggregation, value-identical) while every normal doc keeps
+    * the 2×-faster intersection kernel. UNSET by default: the split
+    * costs an extra docSets pass + two broadcast flags, and on a
+    * corpus with no pathological docs that is pure overhead —
+    * LlmOpsSpec pins the capped plan's value parity so turning it on
+    * is a pure physical choice. */
+  val WideDocShinglesKey = "spark.graft.dedup.wideDocShingles"
+
   private[graft] def blockedPairStats(ex: DataFrame, cutoff: Int): DataFrame = {
     val exP = graft.Caches.persisted(ex)
     val dfreq = exP.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -242,7 +257,7 @@ object LlmOps {
     val docSets = exP.groupBy("doc_id")
       .agg(collect_list(col("shingle")).as("shs"),
         count(lit(1)).cast("int").as("n_sh"))
-    rarePairs
+    def arrayVerify(pairs: DataFrame): DataFrame = pairs
       .join(docSets.select(col("doc_id").as("doc_a"),
         col("shs").as("shs_a"), col("n_sh").as("sh_a")), "doc_a")
       .join(docSets.select(col("doc_id").as("doc_b"),
@@ -253,11 +268,33 @@ object LlmOps {
         (col("sh_a") + col("sh_b") - col("n_common")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         col("sh_a"), col("sh_b"), col("jac"))
-      // pair stats feed BOTH the τ=0.2 report and the τ=0.6 cascade —
-      // identical subplan, so one persisted computation serves both
-      // queries via CacheManager plan matching; released by the
-      // harness's next Caches.release
-      .transform(graft.Caches.persisted)
+    val stats = ex.sparkSession.conf.getOption(WideDocShinglesKey)
+      .map(_.toInt) match {
+      case None => arrayVerify(rarePairs)
+      case Some(cap) =>
+        // wide docs are pathological by definition (a corpus where
+        // they aren't wants a higher cap) — broadcast their id set,
+        // flag incident pairs, and verify those via postings
+        val wa = broadcast(docSets.filter(col("n_sh") > cap)
+          .select(col("doc_id").as("doc_a"), lit(true).as("wa")))
+        val wb = broadcast(docSets.filter(col("n_sh") > cap)
+          .select(col("doc_id").as("doc_b"), lit(true).as("wb")))
+        val flagged = graft.Caches.persisted(rarePairs
+          .join(wa, Seq("doc_a"), "left").join(wb, Seq("doc_b"), "left"))
+        val narrow = flagged.filter(col("wa").isNull && col("wb").isNull)
+          .select("doc_a", "doc_b")
+        val widePairs = flagged
+          .filter(col("wa").isNotNull || col("wb").isNotNull)
+          .select("doc_a", "doc_b")
+        arrayVerify(narrow)
+          .unionByName(exactPairStats(exP, widePairs)
+            .select("doc_a", "doc_b", "n_common", "sh_a", "sh_b", "jac"))
+    }
+    // pair stats feed BOTH the τ=0.2 report and the τ=0.6 cascade —
+    // identical subplan, so one persisted computation serves both
+    // queries via CacheManager plan matching; released by the
+    // harness's next Caches.release
+    stats.transform(graft.Caches.persisted)
   }
 
   /** Deterministic keep/dup decision over verified pairs: a document
@@ -619,8 +656,8 @@ object LlmOps {
 
   private[graft] def storedArtifactPrefix(s: SparkSession, d: String): String =
     storedPrefixes.computeIfAbsent((s, d), { _ =>
-      val prefix = "graft_inc_" + d.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_")
+      val prefix = "graft_inc_" +
+        DedupArtifacts.corpusSlug(s, d, Seq("documents"))
       val base = dedupDocs(s, d)
         .filter(TextOps.splitBucket(col("doc_id")) < 80)
         .select("doc_id", "text")
@@ -1185,13 +1222,26 @@ object LlmOps {
     // plans/CosineKnnPlan.scala): broadcast candidates + per-probe
     // top-k buffer, never materializes n² pair rows. KnnJoinSpec
     // asserts it agrees with the mapPartitions and declarative forms.
+    // r19 (VERDICT r18 item 1): size-ROUTED like the cosine-pair
+    // baselines — CosineKnn's broadcast candidate set is the whole
+    // table (exact n²·dim, the definitional baseline; CandidateGuard
+    // fail-fasts inside the plan), so above the footer-count cap the
+    // entry refuses by default and with spark.graft.brute.route=true
+    // returns the IVF-cell sibling j_knn_ivf instead: identical
+    // (vec_id, maj_label, votes) schema, neighbors restricted to the
+    // probe's inverted list. Label agreement vs exact is quantified by
+    // graft.BruteRecall and floor-pinned in BruteRouteRecallSpec —
+    // opt-in degraded mode, never a silent substitution.
     "j_knn_per_vector" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val u = unitVectors(s, d)
-      val knn = graft.plans.CosineKnn.knn(
-        u.select(col("vec_id"), col("u"), col("label")), 5)
-      graft.plans.KnnJoin.majorityLabel(knn, 5)
-        .orderBy("vec_id")
+      BruteGuard.routePath(s, s"$d/embeddings.parquet",
+        "j_knn_per_vector", "j_knn_ivf") {
+        val u = unitVectors(s, d)
+        val knn = graft.plans.CosineKnn.knn(
+          u.select(col("vec_id"), col("u"), col("label")), 5)
+        graft.plans.KnnJoin.majorityLabel(knn, 5)
+          .orderBy("vec_id")
+      }(AnnOps.queries("j_knn_ivf")(s, d))
     },
 
     // Hard-negative mining (r10): for every vector, the most-similar

@@ -55,20 +55,32 @@ object UdfOps {
     // graft_cosine) — same semantics and oracle as j_sim_cosine_topk.
     "l_expr_native_cosine" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      // fail-fast size gate (r13): declared O(n²) baseline — footer
-      // row count, no Spark job (BruteGuard)
-      graft.operators.BruteGuard.gatePath(s, s"$d/embeddings.parquet",
-        "l_expr_native_cosine", "j_ann_ivf_topk")
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val a = graft.Par.spread(
-        e.select(col("vec_id").as("vec_a"), col("v").as("va")))
-      val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
-        .withColumn("cos", expr("graft_cosine(va, vb)"))
-        .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
+      // size gate (r13) upgraded to size-ROUTED dispatch (r19, VERDICT
+      // r18 item 1): declared O(n²) baseline — above the footer-count
+      // cap the default is still refusal naming the sub-quadratic
+      // sibling, and with spark.graft.brute.route=true the IVF pair
+      // set's global top-10 is returned instead (the exact shape
+      // j_sim_cosine_topk routes to — same (vec_a, vec_b, cos) schema,
+      // recall quantified by graft.BruteRecall and floor-pinned in
+      // BruteRouteRecallSpec). Routing caveat as on the sibling entry:
+      // the IVF set only surfaces pairs with cos ≥ its τ floor inside
+      // probed cells, so the routed top-10 is opt-in degraded mode,
+      // never a silent substitution.
+      graft.operators.BruteGuard.routePath(s, s"$d/embeddings.parquet",
+        "l_expr_native_cosine", "j_ann_ivf_topk / j_dedup_embed_ann") {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val a = graft.Par.spread(
+          e.select(col("vec_id").as("vec_a"), col("v").as("va")))
+        val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+        a.join(broadcast(b), col("vec_a") < col("vec_b"))
+          .withColumn("cos", expr("graft_cosine(va, vb)"))
+          .select(col("vec_a"), col("vec_b"), Det.r4(col("cos")).as("cos"))
+          .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+          .limit(10)
+      }(graft.operators.AnnOps.queries("j_dedup_embed_ann")(s, d)
         .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
-        .limit(10)
+        .limit(10))
     },
 
     // Generator-shaped UDTF: document → one row per ≤5-token chunk
