@@ -119,8 +119,8 @@ object ScaleOps {
     bucketedJoinStores.computeIfAbsent(
       (sessionId(s), d), { _ =>
       new StoreMemo(() => {
-        val slug = d.replaceAll("[^a-zA-Z0-9]+", "_")
-          .stripPrefix("_").stripSuffix("_")
+        val slug = DedupArtifacts.corpusSlug(s, d,
+          Seq("orders", "lineitem"))
         val to = s"graft_bkt_orders_$slug"
         val tl = s"graft_bkt_lineitem_$slug"
         val n = LlmOps.storeBuckets(s)
@@ -188,6 +188,44 @@ object ScaleOps {
         .select(col("a_id"), col("b_id"),
           (col("a_bal") - col("b_bal")).as("bal_diff"))
         .orderBy("a_id", "b_id")
+    },
+
+    // Ratio-band theta join WITHOUT a nested loop (r19, VERDICT r18
+    // item 2) — the c_join_range_bucket trick applied to
+    // c_join_theta_range's price-ratio band: p BETWEEN 0.05·b AND
+    // 0.2·b is, in log space, ln(b) − ln(p) ∈ [ln 5, ln 20] — a
+    // FIXED-width interval (width ln 4) even though the linear-domain
+    // interval [5p, 20p] grows with p. Bucket both sides by
+    // floor(ln(x)/ln 4); for any true pair the bucket offset is
+    // provably in {1, 2, 3} (offset/width ∈ [1.161, 2.161], margins
+    // ≫ double-rounding noise), so exploding the probe side to those
+    // three bands + one hash equi-join on the band key + the EXACT
+    // residual predicate finds every pair — the oracle is the naive
+    // theta SQL, identical to c_join_theta_range's, and the
+    // hash-match proves the decomposition. b ≤ 0 can't match (p > 0
+    // forces b ≥ 5p > 0), so the log is total on the filtered side.
+    // At 100 TB: one shuffle per side on the band key, no
+    // BroadcastNestedLoop anywhere (ScaleOpsSpec pins the plan); band
+    // cardinality tracks the value spread in decades — add a
+    // secondary uniform sub-bucket (the salting discipline) if one
+    // log-band dominates.
+    "c_join_theta_band" -> { (s, d) =>
+      val w = math.log(4.0) // band width = log-ratio width ln(0.2/0.05)
+      val p = Tables.part(s, d)
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey"), col("p_retailprice"))
+        .withColumn("pb", floor(log(col("p_retailprice")) / w))
+        .withColumn("band",
+          explode(array(col("pb") + 1, col("pb") + 2, col("pb") + 3)))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_acctbal"))
+        .filter(col("s_acctbal") > 0)
+        .withColumn("band", floor(log(col("s_acctbal")) / w))
+      p.join(sup, Seq("band"))
+        .filter(col("p_retailprice").between(
+          col("s_acctbal") * 0.05, col("s_acctbal") * 0.2))
+        .select("s_suppkey", "p_partkey", "p_retailprice", "s_acctbal")
+        .orderBy("s_suppkey", "p_partkey")
     },
 
     // Skew-salted fact⋈dim join: replicate the dim nSalts×, spread the
@@ -266,6 +304,15 @@ object ScaleOps {
         |  ON a.s_suppkey < b.s_suppkey
         | AND abs(a.s_acctbal - b.s_acctbal) <= 200.0
         |ORDER BY a_id, b_id""".stripMargin,
+    // the NAIVE theta predicate — identical to c_join_theta_range's
+    // oracle: the log-band decomposition must be invisible in the
+    // result
+    "c_join_theta_band" ->
+      """SELECT s_suppkey, p_partkey, p_retailprice, s_acctbal
+        |FROM part JOIN supplier
+        |  ON p_retailprice BETWEEN s_acctbal * 0.05 AND s_acctbal * 0.2
+        |WHERE p_partkey < 100
+        |ORDER BY s_suppkey, p_partkey""".stripMargin,
     "c_join_skew_salted" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders,
          |  ${Det.dsumSql("o_totalprice")} AS revenue

@@ -344,4 +344,26 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("c_join_theta_band equals the BNLJ theta-range entry row for " +
+    "row and plans as a hash equi-join (r19: no BroadcastNestedLoop)") {
+    val theta = SparkEntry.queries("c_join_theta_range")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val banded = SparkEntry.queries("c_join_theta_band")(spark, sfDir)
+    assert(banded.collect().map(_.toSeq).toSeq == theta,
+      "log-band decomposition changed the theta-join result")
+    assert(theta.nonEmpty, "fixture yields no band pairs — vacuous test")
+    // the whole point: the band key turns the theta predicate into an
+    // equi-join, so no nested-loop operator may appear — even with
+    // broadcast disabled (the at-scale shape)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("c_join_theta_band")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"banded theta join still nested-loops:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
 }
