@@ -256,8 +256,10 @@ object CorpusPipeline {
 
   private[graft] def lmArtifactPrefix(s: SparkSession, d: String): String =
     lmPrefixes.computeIfAbsent((s, d), { _ =>
-      val prefix = "graft_lm_" + d.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_")
+      // corpus-fingerprinted (r19, ADVICE r18 item 2): the sanitized
+      // dir alone collides across corpora and regenerations
+      val prefix = "graft_lm_" + DedupArtifacts.corpusSlug(s, d,
+        Seq("documents"))
       // A LATER SESSION finds the catalog tables and skips the train
       // entirely (the trainedBpeMerges / centroid-classifier contract,
       // r18): the artifact is corpus-snapshot metadata, rebuilt on
@@ -423,8 +425,8 @@ object CorpusPipeline {
   private[graft] def auditLedgerTable(s: SparkSession, d: String,
                                       gate: String): String =
     auditTables.computeIfAbsent((s, d, gate), { _ =>
-      val table = ("graft_audit_" + d.replaceAll("[^a-zA-Z0-9]+", "_")
-        .stripPrefix("_").stripSuffix("_")) + s"_$gate"
+      val table = "graft_audit_" +
+        DedupArtifacts.corpusSlug(s, d, Seq("documents")) + s"_$gate"
       if (!s.catalog.tableExists(table)) {
         val led = audit(s, Par.spread(Tables.documents(s, d)), Some(gate),
           if (gate == "lm") Some(lmArtifactPrefix(s, d)) else None)

@@ -40,6 +40,41 @@ object DedupArtifacts {
   def sizesTable(prefix: String): String = s"${prefix}_sizes"
   def dfTable(prefix: String): String = s"${prefix}_df"
 
+  /** Corpus-keyed artifact slug (r19, ADVICE r18 item 2): the
+    * sanitized dir name ALONE collides — `[^a-zA-Z0-9]+ → _` maps
+    * /data/sf0.1 and /data/sf0_1 to one slug, and an in-place fixture
+    * regeneration keeps the old slug — so a later session could
+    * silently serve another corpus's (or a stale) stored artifact.
+    * Appending a 12-hex fingerprint of the source files' FS metadata
+    * (relative name, length, mtime — driver-side stats only, NO Spark
+    * job, same cost class as the footer row counts) makes the name
+    * track the snapshot: distinct dirs and regenerated fixtures get
+    * distinct artifact names, and the tableExists re-entry contract
+    * (zero jobs, LmArtifactSpec/AuditArtifactSpec) is untouched.
+    * `tables` lists the fixture tables the artifact derives from. */
+  def corpusSlug(s: SparkSession, d: String, tables: Seq[String]): String = {
+    val conf = s.sessionState.newHadoopConf()
+    val parts = tables.sorted.flatMap { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$d/$t.parquet")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq(s"$t:absent")
+      else {
+        val st = fs.getFileStatus(p)
+        val files =
+          if (st.isDirectory)
+            fs.listStatus(p).toIndexedSeq.sortBy(_.getPath.getName)
+          else IndexedSeq(st)
+        files.map(f =>
+          s"$t/${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      }
+    }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    d.replaceAll("[^a-zA-Z0-9]+", "_").stripPrefix("_").stripSuffix("_") +
+      "_" + digest
+  }
+
   /** Create the store from the standing corpus (the one-time full
     * shingle pass). `docs` must expose (doc_id, text). Replaces any
     * existing store under `prefix`, including stale FILES a previous

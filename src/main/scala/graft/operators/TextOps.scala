@@ -239,13 +239,15 @@ object TextOps {
   private val bpeMerges =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
-  private[graft] def bpeTable(d: String): String =
-    "graft_bpe_" + d.replaceAll("[^a-zA-Z0-9]+", "_")
-      .stripPrefix("_").stripSuffix("_")
+  // corpus-fingerprinted name (r19, ADVICE r18): see
+  // DedupArtifacts.corpusSlug — sanitized-dir collisions and in-place
+  // fixture regeneration can no longer serve a stale merge table
+  private[graft] def bpeTable(s: SparkSession, d: String): String =
+    "graft_bpe_" + DedupArtifacts.corpusSlug(s, d, Seq("documents"))
 
   private[graft] def trainedBpeMerges(s: SparkSession, d: String): String =
     bpeMerges.computeIfAbsent((s, d), { _ =>
-      val table = bpeTable(d)
+      val table = bpeTable(s, d)
       if (s.catalog.tableExists(table)) {
         graft.functions.Bpe.encodeMerges(
           s.table(table).orderBy("rank").collect()
@@ -266,6 +268,37 @@ object TextOps {
           .write.format("parquet").saveAsTable(table)
         graft.functions.Bpe.encodeMerges(merges)
       }
+    })
+
+  /** Once-per-(session, corpus) STORED Cavnar–Trenkle rank profile
+    * (r19, VERDICT r18 item 3): the langs×40-row chargram profile is
+    * corpus-snapshot metadata exactly like the bigram LM and the BPE
+    * merge table — SURVEY §R has called it "a stored-artifact
+    * candidate" since the entry landed, and the sf100z decade measured
+    * the per-invocation train (one corpus-proportional trigram
+    * explode + count) dominating the 190 s cold floor. Stored, the
+    * steady-state entry broadcasts a langs×40-row catalog leaf and
+    * only the SCORE split crosses an exchange. Values are the exact
+    * [[chargramProfile]] output over the standing 80% split, so the
+    * oracle hash cannot move; a later session finds the table
+    * (fingerprinted name — [[DedupArtifacts.corpusSlug]]) and runs
+    * ZERO training jobs (ChargramArtifactSpec pins stored==direct and
+    * the zero-job re-entry). */
+  private val chargramTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def chargramProfileTable(s: SparkSession, d: String): String =
+    chargramTables.computeIfAbsent((s, d), { _ =>
+      val table = "graft_chargram_" +
+        DedupArtifacts.corpusSlug(s, d, Seq("documents"))
+      if (!s.catalog.tableExists(table)) {
+        val docs = graft.Par.spread(
+          Tables.documents(s, d).select("doc_id", "lang", "text"))
+        DedupArtifacts.reset(s, table)
+        chargramProfile(docs.filter(splitBucket(col("doc_id")) < 80), 40)
+          .write.format("parquet").saveAsTable(table)
+      }
+      table
     })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -989,12 +1022,17 @@ object TextOps {
     "j_langid_chargram" -> { (s, d) =>
       // spread BEFORE the trigram explode: the fixture is one row
       // group, so without it the corpus-proportional explode+count
-      // runs on one core (r9: 2.8 → 1.4 s steady at sf0.1)
+      // runs on one core (r9: 2.8 → 1.4 s steady at sf0.1). r19: the
+      // profile reads the STORED catalog artifact
+      // ([[chargramProfileTable]] — trained once per session/corpus
+      // from the same 80% split), so steady-state scoring pays a
+      // langs×40-row broadcast, not a corpus re-train; values are
+      // identical so the oracle is unchanged.
       val docs = Par.spread(
         Tables.documents(s, d).select("doc_id", "lang", "text"))
       val isBase = splitBucket(col("doc_id")) < 80
       chargramPredictions(
-        chargramProfile(docs.filter(isBase), 40),
+        s.table(chargramProfileTable(s, d)),
         docs.filter(!isBase), 40)
         .orderBy("doc_id")
     },

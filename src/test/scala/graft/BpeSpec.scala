@@ -94,7 +94,7 @@ class BpeSpec extends SparkSpec {
     "the ranked merges and a re-read reproduces the literal") {
     graft.functions.VectorExprs.register(spark)
     val mstr = operators.TextOps.trainedBpeMerges(spark, sfDir)
-    val table = operators.TextOps.bpeTable(sfDir)
+    val table = operators.TextOps.bpeTable(spark, sfDir)
     assert(spark.catalog.tableExists(table), s"$table not written")
     val stored = spark.table(table).orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
