@@ -46,6 +46,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(rs.length == 1, s"regular graph drifted: ${rs.toSeq}")
   }
 
+  test("r19: a superstep join over the bucketed edge store plans with " +
+    "NO edge-side Exchange — only the rank side and the dst rollup " +
+    "shuffle") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // at spec SF the rank frame would broadcast — force the shuffle
+    // join so the pin exercises the bucket layout (the 100 TB shape)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val edgesDeg = spark.table(GraphOps.edgeStoreTable(spark, sfDir))
+      // a rank frame with NO parquet lineage, so every Exchange in the
+      // plan is attributable: one for this side of the join, one for
+      // the dst rollup — an edge-side shuffle would make three
+      val ranks = spark.range(0, 1000)
+        .select(col("id").as("node"), lit(1000000L).as("r"))
+      val step = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("sc"))
+      val plan = step.queryExecution.executedPlan
+      val str = plan.toString
+      assert(str.contains("Bucketed: true"),
+        s"edge scan lost the bucket spec:\n$str")
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.size == 2,
+        s"expected 2 exchanges (rank side + dst rollup), " +
+          s"got ${shuffles.size}:\n$str")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("degree histogram accounts for every node once") {
     val q = SparkEntry.queries("j_graph_degree")(spark, sfDir)
     val pr = GraphOps.pagerank(spark, sfDir, iterations = 1)
