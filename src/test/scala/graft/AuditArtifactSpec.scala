@@ -40,10 +40,12 @@ class AuditArtifactSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      Thread.sleep(300) // settle build-phase events out of the window
+      // drain build-phase events out of the window (r19, ADVICE r18:
+      // deterministic replacement for the fixed sleep)
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
       jobs.set(0)
       val t = CorpusPipeline.auditLedgerTable(s2, sfDir, "heuristic")
-      Thread.sleep(300)
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
       assert(jobs.get() == 0,
         s"second-session ledger resolution ran ${jobs.get()} jobs")
       assert(s2.table(t).count() == 5)

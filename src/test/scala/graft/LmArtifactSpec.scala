@@ -31,14 +31,13 @@ class LmArtifactSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      // settle listener-bus backlog from the build above so its job
-      // events don't land inside the counted window (AnnOpsSpec's
-      // construction-time pattern: enqueue is synchronous with job
-      // submission, so a short sleep catches any straggler)
-      Thread.sleep(300)
+      // drain the listener-bus backlog from the build above so its job
+      // events can't land inside the counted window (r19, ADVICE r18:
+      // the fixed sleep this replaces was a race on a loaded box)
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
       jobs.set(0)
       val prefix2 = CorpusPipeline.lmArtifactPrefix(s2, sfDir)
-      Thread.sleep(300)
+      org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext)
       assert(prefix2 == prefix)
       assert(jobs.get() == 0,
         s"second-session LM artifact resolution ran ${jobs.get()} jobs " +
