@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Candidate-growth probe for j_sim_tfidf_pairs (r18, VERDICT r17
   * item 7): the entry's cost driver is the blocked candidate set
-  * (rare-3-shingle pairs) and the stats-pruned survivor set that pays
-  * the merge dot. Prints all three counts (candidates, prune
-  * survivors, emitted pairs) per fixture so the growth exponent of
-  * each stage is measurable against doc count. Usage:
+  * (rare-3-shingle pairs). Prints the two endpoint counts (candidates
+  * and emitted pairs) per fixture so the growth exponent of the pair
+  * stage is measurable against doc count; the intermediate
+  * prune-survivor count stays inside the entry (ADVICE r18: this doc
+  * once promised it — the probe never computed it). Usage:
   *   runMain graft.TfidfProbe <sfDir>...
   */
 object TfidfProbe {
