@@ -459,4 +459,27 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("wide-doc cap (r19, ADVICE r18): with the conf set low enough " +
+    "to flag most docs, blockedPairStats routes flagged pairs through " +
+    "the postings verify with IDENTICAL values") {
+    import graft.operators.LlmOps
+    val ex = LlmOps.shingleEx(spark, sfDir)
+    val cutoff = LlmOps.oracledDfCutoff(spark)
+    def collectStats() = LlmOps.blockedPairStats(ex, cutoff)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val plain = collectStats()
+    Caches.release(spark)
+    // cap below the fixture's median shingle count → a large share of
+    // docs take the postings path; values must not move
+    spark.conf.set(LlmOps.WideDocShinglesKey, "20")
+    try {
+      val capped = collectStats()
+      assert(capped == plain,
+        "wide-doc postings fallback diverged from the array kernel")
+    } finally {
+      spark.conf.unset(LlmOps.WideDocShinglesKey)
+      Caches.release(spark)
+    }
+  }
+
 }
