@@ -46,7 +46,7 @@ object CandProbe {
       val dfreq = keyed.groupBy(key).agg(count(lit(1)).as("df"))
       val post = keyed.count()
       val fan = dfreq.filter(col("df") <= cutoff)
-        .agg(sum(col("df") * (col("df") - 1) / 2)).head
+        .agg(sum(expr("df * (df - 1) div 2"))).head
       (post, if (fan.isNullAt(0)) 0L else fan.getLong(0))
     }
 
@@ -61,9 +61,10 @@ object CandProbe {
       Caches.release(spark)
 
       val winEx = operators.LlmOps.dedupDocs(spark, d)
-        .select(col("doc_id"), xxhash64(explode(expr(
-          s"graft_shingles(text, ${operators.LlmOps.substringK(spark)})")))
-          .as("fp"))
+        .select(col("doc_id"), explode(expr(
+          s"graft_shingles(text, ${operators.LlmOps.substringK(spark)})"))
+          .as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("fp"))
       val (subPost, subFan) = blockedFanout(winEx, "fp", cutoff)
       Caches.release(spark)
 

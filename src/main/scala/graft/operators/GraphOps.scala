@@ -99,8 +99,12 @@ object GraphOps {
     // bucketed catalog store (r19): the scan's bucket spec satisfies
     // the join's clustered distribution on src, so no superstep ever
     // exchanges the edge side — the rank frame (node-count-sized, the
-    // small side) is the only thing that moves
-    val edgesDeg = s.table(edgeStoreTable(s, d))
+    // small side) is the only thing that moves. Persisted on top: the
+    // five supersteps reread the same frame, and the in-memory scan
+    // PRESERVES the bucket-derived partitioning, so the pin costs one
+    // materialization and removes four parquet decodes (released by
+    // the harness's Caches.release)
+    val edgesDeg = Caches.persisted(s.table(edgeStoreTable(s, d)))
     val n = edgesDeg.agg(countDistinct(col("src"))).head.getLong(0)
     val base = 150000000000L / n // 0.15 damping share per node
     // node set = distinct src (symmetrized edges: every node appears
