@@ -559,6 +559,40 @@ object TextOps {
         .orderBy("source")
     },
 
+    // Token-budget corpus selection (§2.W, r19): training-data
+    // mixtures are specified in TOKENS, not documents — "x billion
+    // tokens of source A" — and nothing in the sampling family cut on
+    // that axis (mix_weights plans per-DOC rates; pack_sequences
+    // consumes docs already selected). Per source, keep the doc_id-
+    // ordered PREFIX of documents whose running token total stays
+    // within the per-source budget (`spark.graft.sample.tokenBudget`,
+    // default 5000 — the DuckDB twin pins the default, the
+    // j_ann_lsh_topk harness convention). Prefix semantics — a doc
+    // crossing the boundary is dropped and later smaller docs are NOT
+    // back-filled — keep the selection deterministic and
+    // order-independent. Integer token counts and integer cumsums →
+    // hash-exact twin. Scale shape: one per-source ordered cumsum
+    // window — the e_window_running class; a whale source takes that
+    // family's quantile-bucket routing cure, and the narrow
+    // (doc_id, source, n_tok) projection is all that shuffles.
+    "j_sample_token_budget" -> { (s, d) =>
+      val budget = s.conf.getOption("spark.graft.sample.tokenBudget")
+        .map(_.toLong).getOrElse(5000L)
+      if (s.conf.getOption(graft.OracleKit.HarnessKey).contains("true"))
+        require(budget == 5000L,
+          "the j_sample_token_budget oracle twin pins budget=5000; " +
+            "unset spark.graft.sample.tokenBudget under the oracle " +
+            s"harness (got $budget)")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(toks).cast(LongType).as("n_tok"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= budget)
+        .orderBy("doc_id")
+    },
+
     // Repetition scoring (the Gopher-style quality signal): per doc,
     // the fraction of repeated word 2-grams (basis points, exact
     // integer arithmetic) and the highest single-2-gram count.
@@ -1583,6 +1617,14 @@ object TextOps {
         |  (n_min * 10000) // n_docs AS keep_rate_bp,
         |  (CASE WHEN NOT (abs(sqrt(CAST(n_docs AS DOUBLE) / n_total)) < 9.0e11) THEN (sqrt(CAST(n_docs AS DOUBLE) / n_total)) WHEN (sqrt(CAST(n_docs AS DOUBLE) / n_total)) < 0 THEN -(floor(-(sqrt(CAST(n_docs AS DOUBLE) / n_total)) * 10000 + 0.5) / 10000) ELSE floor((sqrt(CAST(n_docs AS DOUBLE) / n_total)) * 10000 + 0.5) / 10000 END + 0) AS mix_weight
         |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+    "j_sample_token_budget" ->
+      """SELECT doc_id, source, n_tok, cum_tok FROM (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id) AS cum_tok
+        |  FROM documents)
+        |WHERE cum_tok <= 5000 ORDER BY doc_id""".stripMargin,
     "j_dedup_embed_cosine" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  (CASE WHEN NOT (abs(list_dot_product(CAST(a.embedding AS DOUBLE[]),

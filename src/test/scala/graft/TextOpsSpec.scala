@@ -479,4 +479,35 @@ class TextOpsSpec extends SparkSpec {
     assert(a.length.toLong == nTest)
   }
 
+  test("j_sample_token_budget (r19): per-source budgets hold, the " +
+    "selection is a doc_id-ordered prefix, and a custom budget is " +
+    "respected") {
+    val out = SparkEntry.queries("j_sample_token_budget")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    // budget holds per source (inclusive prefix cumsum)
+    assert(out.forall(_._4 <= 5000L), "a cum_tok exceeded the budget")
+    // prefix property: for each source, the selected ids are exactly
+    // the lowest ids of that source up to the cut — no back-fill
+    val bySrc = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).view.mapValues(_.map(_._1).sorted).toMap
+    for ((src, sel) <- out.groupBy(_._2)) {
+      val selIds = sel.map(_._1).sorted.toSeq
+      assert(bySrc(src).take(selIds.length).toSeq == selIds,
+        s"$src selection is not a doc_id prefix")
+    }
+    // a custom budget selects a superset and still respects its cap
+    spark.conf.set("spark.graft.sample.tokenBudget", "20000")
+    try {
+      val wide = SparkEntry.queries("j_sample_token_budget")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(3)))
+      assert(wide.forall(_._2 <= 20000L))
+      assert(wide.map(_._1).toSet.size >= out.length,
+        "a larger budget selected fewer docs")
+    } finally spark.conf.unset("spark.graft.sample.tokenBudget")
+  }
+
 }
