@@ -134,6 +134,117 @@ object LlmOps {
     s.conf.getOption("spark.graft.dedup.substringK").map(_.toInt)
       .getOrElse(8)
 
+  /** ONE bounded row per document for the weighted sparse join: the
+    * term-sorted tf-idf vector plus the scalars the prefix-filter
+    * prune needs. This replaced the r11 (pair × terms) join expansion
+    * — 68 M shuffled rows at sf0.1 — with an O(|a|+|b|) merge kernel
+    * per surviving pair (graft_wdot, bit-identical decimal
+    * arithmetic). Shared by the in-flight entry and the r19 stored
+    * index builder, so the stored vectors are the in-flight
+    * derivation by construction. */
+  private[graft] def tfidfDocvecs(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.rowCount(s, d, "documents")
+    val tok = dedupDocs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, "term")
+      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+    w.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("term"), col("w"))))
+        .as("vec"),
+        sqrt(Det.dsum(col("w") * col("w"))).as("nrm"),
+        max(col("w")).as("maxw"),
+        sum(col("w")).as("sumw"),
+        count(lit(1)).as("nt"))
+  }
+
+  /** Prune + merge-verify tail of the weighted sparse join, shared by
+    * `j_sim_tfidf_pairs` (in-flight vectors/candidates) and
+    * `j_sim_tfidf_pairs_stored` (bucketed catalog tables) — one code
+    * path, so the two entries are provably the same pipeline
+    * differing only in where the index comes from.
+    *
+    * docvecs is one ~1 KB row per document (≈ 64 weights), so the
+    * broadcast decision divides the family row limit by that payload
+    * factor; above it, fall back to doc-id-keyed shuffled joins —
+    * where the stats-first prune below also halves the bytes (pruned
+    * pairs never fetch vectors).
+    *
+    * Prefix-filter-family upper bound from per-doc scalars only:
+    * dot(a,b) = Σ w_a(t)·w_b(t) ≤ min(Σw_a·max w_b, Σw_b·max w_a)
+    * (every matched term of a contributes at most w_a(t)·max w_b).
+    * The emitted score is the DECIMAL(·,6) quantized dot, which
+    * exceeds the true dot by at most 5·10⁻⁷ per matched term, and
+    * matched terms ≤ min(|a|,|b|) — so the prune keeps a pair iff
+    * ub + min(nt_a,nt_b)·5e-7 ≥ 0.8·‖a‖‖b‖, an ABSOLUTE slack that
+    * stays sound even for degenerate near-zero-norm documents
+    * (r12 review: the old 0.05·‖a‖‖b‖ relative band vanished exactly
+    * when the quantization slack didn't). Only survivors fetch the
+    * vectors and pay the merge dot. */
+  private[graft] def tfidfPairsFrom(s: SparkSession, nDocs: Long,
+                                    docvecs: DataFrame,
+                                    cand: DataFrame): DataFrame = {
+    val wSide =
+      if (nDocs <=
+        s.conf.get(AnnOps.BroadcastRowLimitKey, "1000000").toLong / 64)
+        (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df
+    val stats = docvecs.select(col("doc_id"), col("nrm"), col("maxw"),
+      col("sumw"), col("nt"))
+    val pruned = cand
+      .join(wSide(stats.toDF("doc_a", "nrm_a", "maxw_a", "sumw_a",
+        "nt_a")), "doc_a")
+      .join(wSide(stats.toDF("doc_b", "nrm_b", "maxw_b", "sumw_b",
+        "nt_b")), "doc_b")
+      .filter(least(col("sumw_a") * col("maxw_b"),
+        col("sumw_b") * col("maxw_a"))
+        + least(col("nt_a"), col("nt_b")) * lit(5e-7)
+        >= lit(0.8) * col("nrm_a") * col("nrm_b"))
+    pruned
+      .join(wSide(docvecs.select(col("doc_id").as("doc_a"),
+        col("vec").as("vec_a"))), "doc_a")
+      .join(wSide(docvecs.select(col("doc_id").as("doc_b"),
+        col("vec").as("vec_b"))), "doc_b")
+      .withColumn("sim",
+        expr("graft_wdot(vec_a, vec_b)") / (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), Det.r4(col("sim")).as("sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Once-per-(session, corpus) tf-idf INDEX store (r19): the doc
+    * vectors (`<prefix>_vec`, bucketed on doc_id) and the blocked
+    * candidate pairs (`<prefix>_cand`, bucketed on doc_a) as catalog
+    * tables under a fingerprinted name — written from the exact
+    * in-flight derivations, found by later sessions via tableExists
+    * (the lmArtifactPrefix contract; StoredTfidfSpec asserts the
+    * zero-build re-entry). The knobs the build bakes in (df cutoff,
+    * normalize flag) are harness-pinned, and a retune means a fresh
+    * index write — the AnnIndex caveat verbatim. */
+  private val tfidfStores =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def tfidfIndexPrefix(s: SparkSession, d: String): String =
+    tfidfStores.computeIfAbsent((s, d), { _ =>
+      val prefix = "graft_tfidf_" +
+        DedupArtifacts.corpusSlug(s, d, Seq("documents"))
+      val have = Seq("_vec", "_cand")
+        .forall(sfx => s.catalog.tableExists(prefix + sfx))
+      if (!have) {
+        val n = storeBuckets(s)
+        DedupArtifacts.reset(s, s"${prefix}_vec")
+        graft.sources.Layout.writeBucketed(tfidfDocvecs(s, d),
+          s"${prefix}_vec", "doc_id", n)
+        DedupArtifacts.reset(s, s"${prefix}_cand")
+        graft.sources.Layout.writeBucketed(
+          rareShingleCandidates(shingleEx(s, d), oracledDfCutoff(s)),
+          s"${prefix}_cand", "doc_a", n)
+      }
+      prefix
+    })
+
   /** Exact-substring pair detection over k-token window postings
     * (VERDICT r7 "What's missing" #1 — the standard complement to
     * MinHash in public dedup pipelines: near-dup jaccard misses a long
@@ -938,69 +1049,32 @@ object LlmOps {
     // is the shingle family's proven ≤ cutoff² per key.
     "j_sim_tfidf_pairs" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
-      val nDocs = Tables.rowCount(s, d, "documents")
-      val tok = dedupDocs(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .filter(col("term") =!= "")
-      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = tf.join(dfreq, "term")
-        .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
-      // ONE bounded row per document: the term-sorted sparse vector
-      // plus the scalars the prune needs. This replaces the r11
-      // (pair × terms) join expansion — 68 M shuffled rows at sf0.1 —
-      // with an O(|a|+|b|) merge kernel per surviving pair
-      // (graft_wdot, bit-identical decimal arithmetic).
-      val docvecs = graft.Caches.persisted(w.groupBy("doc_id")
-        .agg(sort_array(collect_list(struct(col("term"), col("w"))))
-          .as("vec"),
-          sqrt(Det.dsum(col("w") * col("w"))).as("nrm"),
-          max(col("w")).as("maxw"),
-          sum(col("w")).as("sumw"),
-          count(lit(1)).as("nt")))
+      val docvecs = graft.Caches.persisted(tfidfDocvecs(s, d))
       val cand = rareShingleCandidates(shingleEx(s, d), oracledDfCutoff(s))
-      // docvecs is one ~1 KB row per document (≈ 64 weights), so the
-      // broadcast decision divides the family row limit by that
-      // payload factor; above it, fall back to doc-id-keyed shuffled
-      // joins — where the stats-first prune below also halves the
-      // bytes (pruned pairs never fetch vectors).
-      val wSide =
-        if (nDocs <=
-          s.conf.get(AnnOps.BroadcastRowLimitKey, "1000000").toLong / 64)
-          (df: DataFrame) => broadcast(df)
-        else (df: DataFrame) => df
-      // Prefix-filter-family upper bound from per-doc scalars only:
-      // dot(a,b) = Σ w_a(t)·w_b(t) ≤ min(Σw_a·max w_b, Σw_b·max w_a)
-      // (every matched term of a contributes at most w_a(t)·max w_b).
-      // The emitted score is the DECIMAL(·,6) quantized dot, which
-      // exceeds the true dot by at most 5·10⁻⁷ per matched term, and
-      // matched terms ≤ min(|a|,|b|) — so the prune keeps a pair iff
-      // ub + min(nt_a,nt_b)·5e-7 ≥ 0.8·‖a‖‖b‖, an ABSOLUTE slack that
-      // stays sound even for degenerate near-zero-norm documents
-      // (r12 review: the old 0.05·‖a‖‖b‖ relative band vanished
-      // exactly when the quantization slack didn't). Only survivors
-      // fetch the vectors and pay the merge dot.
-      val stats = docvecs.select(col("doc_id"), col("nrm"), col("maxw"),
-        col("sumw"), col("nt"))
-      val pruned = cand
-        .join(wSide(stats.toDF("doc_a", "nrm_a", "maxw_a", "sumw_a",
-          "nt_a")), "doc_a")
-        .join(wSide(stats.toDF("doc_b", "nrm_b", "maxw_b", "sumw_b",
-          "nt_b")), "doc_b")
-        .filter(least(col("sumw_a") * col("maxw_b"),
-          col("sumw_b") * col("maxw_a"))
-          + least(col("nt_a"), col("nt_b")) * lit(5e-7)
-          >= lit(0.8) * col("nrm_a") * col("nrm_b"))
-      pruned
-        .join(wSide(docvecs.select(col("doc_id").as("doc_a"),
-          col("vec").as("vec_a"))), "doc_a")
-        .join(wSide(docvecs.select(col("doc_id").as("doc_b"),
-          col("vec").as("vec_b"))), "doc_b")
-        .withColumn("sim",
-          expr("graft_wdot(vec_a, vec_b)") / (col("nrm_a") * col("nrm_b")))
-        .filter(col("sim") >= 0.8)
-        .select(col("doc_a"), col("doc_b"), Det.r4(col("sim")).as("sim"))
-        .orderBy("doc_a", "doc_b")
+      tfidfPairsFrom(s, Tables.rowCount(s, d, "documents"), docvecs, cand)
+    },
+
+    // The STORED form of the weighted sparse join (r19): the tf-idf
+    // doc-vector index and the blocked candidate pairs are
+    // corpus-snapshot artifacts — a search/dedup pipeline writes its
+    // index ONCE and every batch reads it; the in-flight entry above
+    // re-derives both per run and its ~3.5 s floor is ~all derivation
+    // (ProfileTfidf: w-build 0.9 s + candidates 2.7 s steady vs a
+    // ~100 k-pair verify). Same prune+merge code path
+    // ([[tfidfPairsFrom]] — the j_pipeline_audit shared-stage
+    // discipline), vectors/candidates read from bucketed catalog
+    // tables under a fingerprinted name, so the steady-state plan
+    // NEVER SCANS the corpus (StoredTfidfSpec pins exactly that, plus
+    // stored == in-flight row equality and the zero-build re-entry).
+    // Values are the exact in-flight derivation at build time → the
+    // oracle SQL is identical. Same rebuild-on-index-cadence caveat
+    // as every store: the artifacts bake in the df-cutoff/normalize
+    // knobs at write time (both harness-pinned).
+    "j_sim_tfidf_pairs_stored" -> { (s, d) =>
+      graft.functions.VectorExprs.register(s)
+      val prefix = tfidfIndexPrefix(s, d)
+      tfidfPairsFrom(s, Tables.rowCount(s, d, "documents"),
+        s.table(s"${prefix}_vec"), s.table(s"${prefix}_cand"))
     },
 
     // The full dedup cascade as one operator: rare-shingle blocking →
@@ -1472,7 +1546,7 @@ object LlmOps {
        |      >= 0.6
        |GROUP BY doc ORDER BY doc_id""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private lazy val oracles0: Map[String, String] = Map(
     // twin of minhashCandidates — same portable hash family, same
     // band join; the candidate set itself is the checked output
     "j_dedup_near_minhash" ->
@@ -2021,4 +2095,9 @@ object LlmOps {
         |  CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
+
+  // the stored index IS the in-flight derivation at build time, so the
+  // stored entry shares the in-flight entry's twin verbatim
+  val oracles: Map[String, String] = oracles0 +
+    ("j_sim_tfidf_pairs_stored" -> oracles0("j_sim_tfidf_pairs"))
 }
