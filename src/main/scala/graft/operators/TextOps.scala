@@ -583,14 +583,55 @@ object TextOps {
           "the j_sample_token_budget oracle twin pins budget=5000; " +
             "unset spark.graft.sample.tokenBudget under the oracle " +
             s"harness (got $budget)")
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val base = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
           size(toks).cast(LongType).as("n_tok"))
-        .withColumn("cum_tok", sum(col("n_tok")).over(w))
-        .filter(col("cum_tok") <= budget)
-        .orderBy("doc_id")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // explicit projection, not withColumn: the left_anti USING join
+      // below reorders columns (join key first), and the union/output
+      // contract is positional for downstream collectors
+      val plain = (df: DataFrame) =>
+        df.select(col("doc_id"), col("source"), col("n_tok"),
+          sum(col("n_tok")).over(w).as("cum_tok"))
+      // r19 whale routing (the Windows-family §r17.3 cure, applied at
+      // birth): the per-source cumsum's natural parallelism is the
+      // SOURCE COUNT — at corpus scale every source is a whale by
+      // construction, so the single-window form would put each
+      // source's prefix sum on one task. Prefix sums decompose with
+      // no edge fix-up: bucket rows by doc_id quantiles, local
+      // integer cumsum per (source, bucket), broadcast per-source
+      // bucket-prefix offsets (≤ 32 rows per source); long addition
+      // is associative and exact, so offset + local cumsum IS the
+      // global cum_tok. Fixture sources sit under the whale threshold
+      // → plain single-window plan, oracle untouched; PlanSpec-style
+      // forced routing is pinned value-identical in TextOpsSpec.
+      val whales = Windows.whaleKeys(base, "source", col("doc_id"))
+      val cum =
+        if (whales.isEmpty) plain(base)
+        else {
+          val big = base.join(broadcast(whales), Seq("source"), "left_semi")
+            .withColumn("dd", col("doc_id").cast(DoubleType))
+          val bucketCol = Windows.rankBucket(big, "dd", 32,
+            descending = false)
+          val wLoc = Window.partitionBy("source", "b").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val loc = graft.Caches.persisted(big.withColumn("b", bucketCol)
+            .select(col("doc_id"), col("source"), col("b"), col("n_tok"),
+              sum(col("n_tok")).over(wLoc).as("lcum")))
+          val wOff = Window.partitionBy("source").orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val off = loc.groupBy("source", "b")
+            .agg(sum(col("n_tok")).as("c"))
+            .select(col("source"), col("b"),
+              coalesce(sum("c").over(wOff), lit(0L)).as("boff"))
+          val banded = loc.join(broadcast(off), Seq("source", "b"))
+            .select(col("doc_id"), col("source"), col("n_tok"),
+              (col("boff") + col("lcum")).as("cum_tok"))
+          plain(base.join(broadcast(whales), Seq("source"), "left_anti"))
+            .unionByName(banded)
+        }
+      cum.filter(col("cum_tok") <= budget).orderBy("doc_id")
     },
 
     // Repetition scoring (the Gopher-style quality signal): per doc,

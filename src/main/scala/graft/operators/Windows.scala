@@ -49,8 +49,8 @@ object Windows {
     * buckets are contiguous value ranges), ascending or descending
     * with the target order. One approxQuantile pass → nB-1 driver
     * doubles. */
-  private def rankBucket(df: DataFrame, c: String, nB: Int,
-                         descending: Boolean): Column = {
+  private[graft] def rankBucket(df: DataFrame, c: String, nB: Int,
+                                descending: Boolean): Column = {
     val bounds = df.stat.approxQuantile(c,
       (1 until nB).map(_.toDouble / nB).toArray, 0.001)
     val asc = size(filter(lit(bounds), b => b <= col(c).cast(DoubleType)))
@@ -67,7 +67,7 @@ object Windows {
     * Chernoff-negligible miss probability. The result is bounded by
     * rows/threshold, so broadcasting it stays driver-safe at any
     * scale. */
-  private def whaleKeys(df: DataFrame, key: String, unique: Column)
+  private[graft] def whaleKeys(df: DataFrame, key: String, unique: Column)
       : DataFrame = {
     val t = df.sparkSession.conf
       .get("spark.graft.window.whaleRows", "100000").toLong

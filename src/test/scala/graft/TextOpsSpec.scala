@@ -508,6 +508,25 @@ class TextOpsSpec extends SparkSpec {
       assert(wide.map(_._1).toSet.size >= out.length,
         "a larger budget selected fewer docs")
     } finally spark.conf.unset("spark.graft.sample.tokenBudget")
+    // forced whale routing (the PlanSpec r17 pin, applied here): with
+    // the threshold at 0 every sampled source takes the banded
+    // bucket-cumsum branch; output must match the plain window
+    // bit-for-bit (routing is performance-only)
+    spark.conf.set("spark.graft.window.whaleRows", "0")
+    try {
+      val routed = SparkEntry.queries("j_sample_token_budget")(spark, sfDir)
+      val rp = routed.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(rp.contains("Union"),
+        s"whaleRows=0 did not force the banded branch:\n$rp")
+      val got = routed.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(got.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq,
+        "banded token cumsum diverged from the plain window")
+    } finally {
+      spark.conf.unset("spark.graft.window.whaleRows")
+      Caches.release(spark)
+    }
   }
 
 }
