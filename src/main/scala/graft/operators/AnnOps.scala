@@ -366,7 +366,8 @@ object AnnOps {
     })
 
   /** Top principal component of the embedding corpus: ONE distributed
-    * pass builds the centered 64×64 Gram/covariance matrix (per-row
+    * pass ([[gramCells]], stored once per corpus via [[gramTable]])
+    * builds the centered 64×64 Gram/covariance matrix (per-row
     * outer products, decimal-summed per cell so the reduction is exact
     * and order-independent — a double accumulation would drift at the
     * last ulp under partition-order changes), then the eigensolve runs
@@ -386,9 +387,8 @@ object AnnOps {
     * no-oracle (SURVEY §0.2 rule 4: iterative linear algebra has no
     * step-identical SQL twin); AnnOpsSpec gates it against an exact
     * driver-side eigensolve of the same corpus. */
-  private[graft] def pcaPower(s: SparkSession, d: String,
-                              iters: Int = 300)
-      : (Array[Double], Double, Long) = {
+  private[graft] def gramCells(s: SparkSession, d: String)
+      : (Long, Array[Double]) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val x = Par.spread(Tables.embeddings(s, d))
       .select(col("embedding").cast(ArrayType(DoubleType)).as("v"))
@@ -417,6 +417,44 @@ object AnnOps {
       .agg(sum(col("p").cast(DecimalType(28, 12))).cast(DoubleType)
         .as("s"))
       .orderBy("k").collect().map(_.getDouble(1))
+    (n, cells)
+  }
+
+  /** Catalog-stored Gram artifact (r19, the chargramProfileTable /
+    * lmArtifactPrefix discipline): the centered upper-triangle cell
+    * sums and row count are corpus-snapshot metadata — pure functions
+    * of embeddings.parquet — so they store once per corpus under a
+    * fingerprinted name ([[DedupArtifacts.corpusSlug]]) as ONE row
+    * (n, 2080 doubles ≈ 16 KB). The stored values are the exact
+    * post-decimal-cast doubles [[gramCells]] collects, so every
+    * downstream driver float op — and therefore the oracle hash — is
+    * bit-identical; a later session resolves the table with zero
+    * corpus jobs and pays one 1-row read instead of the two
+    * corpus-wide passes (GramArtifactSpec pins both properties). */
+  private val gramTables =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  private[graft] def gramTable(s: SparkSession, d: String): String =
+    gramTables.computeIfAbsent((s, d), { _ =>
+      val table = "graft_gram_" +
+        DedupArtifacts.corpusSlug(s, d, Seq("embeddings"))
+      if (!s.catalog.tableExists(table)) {
+        val (n, cells) = gramCells(s, d)
+        DedupArtifacts.reset(s, table)
+        import s.implicits._
+        Seq((n, cells.toSeq)).toDF("n", "cells")
+          .write.format("parquet").saveAsTable(table)
+      }
+      table
+    })
+
+  private[graft] def pcaPower(s: SparkSession, d: String,
+                              iters: Int = 300)
+      : (Array[Double], Double, Long) = {
+    val row = s.table(gramTable(s, d)).head()
+    val n = row.getLong(0)
+    val cells = row.getSeq[Double](1)
+    val dims = 64
     val c = Array.ofDim[Double](dims, dims)
     var k = 0
     for (i <- 0 until dims; j <- i until dims) {
