@@ -388,7 +388,7 @@ object AnnOps {
     * step-identical SQL twin); AnnOpsSpec gates it against an exact
     * driver-side eigensolve of the same corpus. */
   private[graft] def gramCells(s: SparkSession, d: String)
-      : (Long, Array[Double]) = {
+      : (Long, Array[Double], Array[Double]) = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     val x = Par.spread(Tables.embeddings(s, d))
       .select(col("embedding").cast(ArrayType(DoubleType)).as("v"))
@@ -417,16 +417,18 @@ object AnnOps {
       .agg(sum(col("p").cast(DecimalType(28, 12))).cast(DoubleType)
         .as("s"))
       .orderBy("k").collect().map(_.getDouble(1))
-    (n, cells)
+    (n, mu, cells)
   }
 
   /** Catalog-stored Gram artifact (r19, the chargramProfileTable /
-    * lmArtifactPrefix discipline): the centered upper-triangle cell
-    * sums and row count are corpus-snapshot metadata — pure functions
-    * of embeddings.parquet — so they store once per corpus under a
-    * fingerprinted name ([[DedupArtifacts.corpusSlug]]) as ONE row
-    * (n, 2080 doubles ≈ 16 KB). The stored values are the exact
-    * post-decimal-cast doubles [[gramCells]] collects, so every
+    * lmArtifactPrefix discipline): the per-dimension means, centered
+    * upper-triangle cell sums and row count are corpus-snapshot
+    * metadata — pure functions of embeddings.parquet — so they store
+    * once per corpus under a fingerprinted name
+    * ([[DedupArtifacts.corpusSlug]]) as ONE row (n, 64 + 2080 doubles
+    * ≈ 17 KB; the `v2` prefix versions the schema against stores
+    * written before mu joined the row). The stored values are the
+    * exact post-decimal-cast doubles [[gramCells]] collects, so every
     * downstream driver float op — and therefore the oracle hash — is
     * bit-identical; a later session resolves the table with zero
     * corpus jobs and pays one 1-row read instead of the two
@@ -436,24 +438,28 @@ object AnnOps {
 
   private[graft] def gramTable(s: SparkSession, d: String): String =
     gramTables.computeIfAbsent((s, d), { _ =>
-      val table = "graft_gram_" +
+      val table = "graft_gramv2_" +
         DedupArtifacts.corpusSlug(s, d, Seq("embeddings"))
       if (!s.catalog.tableExists(table)) {
-        val (n, cells) = gramCells(s, d)
+        val (n, mu, cells) = gramCells(s, d)
         DedupArtifacts.reset(s, table)
         import s.implicits._
-        Seq((n, cells.toSeq)).toDF("n", "cells")
+        Seq((n, mu.toSeq, cells.toSeq)).toDF("n", "mu", "cells")
           .write.format("parquet").saveAsTable(table)
       }
       table
     })
 
-  private[graft] def pcaPower(s: SparkSession, d: String,
-                              iters: Int = 300)
-      : (Array[Double], Double, Long) = {
+  /** Top-PC decomposition pieces off the stored Gram artifact: the
+    * sign-pivoted unit eigenvector, its Rayleigh eigenvalue, the
+    * per-dimension means (for centering projections), and n. */
+  private[graft] def pcaComponents(s: SparkSession, d: String,
+                                   iters: Int = 300)
+      : (Array[Double], Double, Array[Double], Long) = {
     val row = s.table(gramTable(s, d)).head()
     val n = row.getLong(0)
-    val cells = row.getSeq[Double](1)
+    val mu = row.getSeq[Double](1).toArray
+    val cells = row.getSeq[Double](2)
     val dims = 64
     val c = Array.ofDim[Double](dims, dims)
     var k = 0
@@ -475,7 +481,14 @@ object AnnOps {
     // fix the sign: largest-|loading| coordinate positive
     val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
     val vOut = if (v(pivot) < 0) v.map(-_) else v
-    (vOut, rayleigh, n)
+    (vOut, rayleigh, mu, n)
+  }
+
+  private[graft] def pcaPower(s: SparkSession, d: String,
+                              iters: Int = 300)
+      : (Array[Double], Double, Long) = {
+    val (v, lambda, _, n) = pcaComponents(s, d, iters)
+    (v, lambda, n)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -498,6 +511,35 @@ object AnnOps {
         .select(col("dim"), Det.r4(col("loading_raw")).as("loading"),
           Det.r4(col("eigenvalue_raw")).as("eigenvalue"), col("n"))
         .orderBy("dim")
+    },
+
+    // Per-vector projection onto the corpus's top principal component
+    // (the scoring half of [[pcaPower]]'s decomposition): pc1 =
+    // (v − μ)·w with the sign-pivoted unit eigenvector w and the
+    // decimal-exact means μ, both resolved from the stored Gram
+    // artifact — the leading-PC score behind embedding outlier
+    // pruning, whitening, and drift triage. The distributed side is
+    // map-only (scan → 64-element fold per row; w and μ ride in as
+    // 16 KB of literals — no shuffle, no broadcast join), so at
+    // 100 TB it scales with the scan. The per-row fold is a LEFT
+    // fold in array order ((0+p₁)+p₂+…), matching the oracle's
+    // list_reduce chain float-op for float-op; the driver pieces are
+    // bit-identical to the oracle's recursive-CTE replay (same
+    // argument as j_embed_pca_power), so the r4-rounded scores
+    // hash-match. AnnOpsSpec gates the fold against an independent
+    // driver-side projection of the same corpus.
+    "j_embed_pca_project" -> { (s, d) =>
+      val (w, _, mu, _) = pcaComponents(s, d)
+      def litArr(a: Array[Double]) = array(a.map(lit): _*)
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val prods = zip_with(
+        zip_with(col("v"), litArr(mu), (a, b) => a - b),
+        litArr(w), (a, b) => a * b)
+      e.select(col("vec_id"),
+          Det.r4(aggregate(prods, lit(0.0), (acc, x) => acc + x))
+            .as("pc1"))
+        .orderBy("vec_id")
     },
 
     // Incremental ANN — delta vs standing index (VERDICT r5 ask #3):
@@ -1126,6 +1168,59 @@ object AnnOps {
       |      list_reduce(list_transform(range(64),
       |        j -> c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b))""".stripMargin
 
+  /** Shared CTE chain of the PCA oracle pair (power + project):
+    * decimal-exact centered Gram, the fixed-300-iteration power loop,
+    * Rayleigh quotient and sign pivot. `ec` carries vec_id so the
+    * projection twin can emit per-vector scores; the power twin
+    * ignores it. */
+  private val pcaCteSql =
+    s"""WITH RECURSIVE ec AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM ec),
+       |idx AS (SELECT unnest(range(64)) AS i),
+       |mus AS (
+       |  SELECT i.i AS dim,
+       |    CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,12))) AS DOUBLE)
+       |      / nn.n AS m
+       |  FROM ec e, idx i, nn GROUP BY i.i, nn.n),
+       |mul AS (SELECT list(m ORDER BY dim) AS mu FROM mus),
+       |xc AS (
+       |  SELECT list_transform(e.v, (x, k) -> x - mu[k]) AS vc
+       |  FROM ec e, mul),
+       |prs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b
+       |        WHERE b.i >= a.i),
+       |cls AS (
+       |  SELECT p.i, p.j,
+       |    CAST(SUM(CAST(x.vc[p.i + 1] * x.vc[p.j + 1]
+       |      AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |  FROM xc x, prs p GROUP BY p.i, p.j),
+       |fc AS (SELECT i, j, s FROM cls
+       |       UNION ALL SELECT j AS i, i AS j, s FROM cls WHERE i <> j),
+       |cm AS (
+       |  SELECT list(row ORDER BY i) AS c FROM (
+       |    SELECT f.i AS i, list(f.s / nn.n ORDER BY f.j) AS row
+       |    FROM fc f, nn GROUP BY f.i, nn.n)),
+       |pow AS (
+       |  SELECT 0 AS it,
+       |    list_transform(range(64), x -> CAST(0.125 AS DOUBLE)) AS v
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    (list_transform([$pcaMatvecSql], w ->
+       |      list_transform(w, x -> x / sqrt(list_reduce(
+       |        list_transform(w, y -> y * y), (a, b) -> a + b)))))[1]
+       |  FROM pow, cm WHERE it < 300),
+       |fin AS (SELECT v FROM pow WHERE it = 300),
+       |ray AS (
+       |  SELECT v,
+       |    (list_transform([$pcaMatvecSql], w ->
+       |      list_reduce(list_transform(range(64),
+       |        i -> v[i + 1] * w[i + 1]), (a, b) -> a + b)))[1] AS lambda
+       |  FROM fin, cm),
+       |vi AS (SELECT t.i AS i, r.v[t.i + 1] AS lv, r.lambda AS lambda
+       |       FROM ray r, idx t),
+       |pv AS (SELECT lv < 0 AS neg FROM vi
+       |       ORDER BY abs(lv) DESC, i ASC LIMIT 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // DuckDB twin of pcaPower (r11): the same decimal-exact centered
     // Gram (upper-triangle cells, DECIMAL(28,12) per-term casts,
@@ -1136,57 +1231,33 @@ object AnnOps {
     // Sign pivot (max |loading|, lowest dim) and Rayleigh quotient
     // replicated; rounding is the standard r4 pair.
     "j_embed_pca_power" ->
-      s"""WITH RECURSIVE ec AS (
-         |  SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |nn AS (SELECT count(*) AS n FROM ec),
-         |idx AS (SELECT unnest(range(64)) AS i),
-         |mus AS (
-         |  SELECT i.i AS dim,
-         |    CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,12))) AS DOUBLE)
-         |      / nn.n AS m
-         |  FROM ec e, idx i, nn GROUP BY i.i, nn.n),
-         |mul AS (SELECT list(m ORDER BY dim) AS mu FROM mus),
-         |xc AS (
-         |  SELECT list_transform(e.v, (x, k) -> x - mu[k]) AS vc
-         |  FROM ec e, mul),
-         |prs AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b
-         |        WHERE b.i >= a.i),
-         |cls AS (
-         |  SELECT p.i, p.j,
-         |    CAST(SUM(CAST(x.vc[p.i + 1] * x.vc[p.j + 1]
-         |      AS DECIMAL(28,12))) AS DOUBLE) AS s
-         |  FROM xc x, prs p GROUP BY p.i, p.j),
-         |fc AS (SELECT i, j, s FROM cls
-         |       UNION ALL SELECT j AS i, i AS j, s FROM cls WHERE i <> j),
-         |cm AS (
-         |  SELECT list(row ORDER BY i) AS c FROM (
-         |    SELECT f.i AS i, list(f.s / nn.n ORDER BY f.j) AS row
-         |    FROM fc f, nn GROUP BY f.i, nn.n)),
-         |pow AS (
-         |  SELECT 0 AS it,
-         |    list_transform(range(64), x -> CAST(0.125 AS DOUBLE)) AS v
-         |  UNION ALL
-         |  SELECT it + 1,
-         |    (list_transform([$pcaMatvecSql], w ->
-         |      list_transform(w, x -> x / sqrt(list_reduce(
-         |        list_transform(w, y -> y * y), (a, b) -> a + b)))))[1]
-         |  FROM pow, cm WHERE it < 300),
-         |fin AS (SELECT v FROM pow WHERE it = 300),
-         |ray AS (
-         |  SELECT v,
-         |    (list_transform([$pcaMatvecSql], w ->
-         |      list_reduce(list_transform(range(64),
-         |        i -> v[i + 1] * w[i + 1]), (a, b) -> a + b)))[1] AS lambda
-         |  FROM fin, cm),
-         |vi AS (SELECT t.i AS i, r.v[t.i + 1] AS lv, r.lambda AS lambda
-         |       FROM ray r, idx t),
-         |pv AS (SELECT lv < 0 AS neg FROM vi
-         |       ORDER BY abs(lv) DESC, i ASC LIMIT 1)
+      s"""$pcaCteSql
          |SELECT CAST(vi.i AS INT) AS dim,
          |  (CASE WHEN NOT (abs(CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) < 9.0e11) THEN (CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) WHEN (CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) < 0 THEN -(floor(-(CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) * 10000 + 0.5) / 10000) ELSE floor((CASE WHEN pv.neg THEN -vi.lv ELSE vi.lv END) * 10000 + 0.5) / 10000 END + 0) + 0
          |    AS loading,
          |  (CASE WHEN NOT (abs(vi.lambda) < 9.0e11) THEN (vi.lambda) WHEN (vi.lambda) < 0 THEN -(floor(-(vi.lambda) * 10000 + 0.5) / 10000) ELSE floor((vi.lambda) * 10000 + 0.5) / 10000 END + 0) + 0 AS eigenvalue, nn.n AS n
          |FROM vi, pv, nn ORDER BY dim""".stripMargin,
+
+    // Projection twin: the same CTE chain up through the sign pivot,
+    // then one scan of `ec` dotting each centered vector against the
+    // pivoted eigenvector — list_reduce's fold order matches the
+    // Spark side's left fold, and every input double is bit-identical
+    // by the power twin's argument, so the r4-rounded scores agree.
+    "j_embed_pca_project" -> {
+      val dot = "list_reduce(list_transform(range(64), " +
+        "i -> (e.v[i + 1] - mul.mu[i + 1]) * pw.w[i + 1]), " +
+        "(a, b) -> a + b)"
+      s"""$pcaCteSql,
+         |pw AS (SELECT CASE WHEN pv.neg
+         |         THEN list_transform(f.v, x -> -x)
+         |         ELSE f.v END AS w
+         |       FROM fin f, pv)
+         |SELECT e.vec_id AS vec_id,
+         |  ${Det.r4Sql(dot)} + 0 AS pc1
+         |FROM ec e, mul, pw
+         |ORDER BY vec_id""".stripMargin
+    },
+
     // Same arithmetic as the Spark side, step for step: cast to double,
     // unit-normalize elementwise, then plain dots (list_cosine_similarity
     // on FLOAT[] computes in float32 and diverges in the 8th digit).

@@ -377,6 +377,43 @@ class AnnOpsSpec extends SparkSpec {
     Caches.release(spark)
   }
 
+  test("j_embed_pca_project: distributed fold equals an independent " +
+    "driver-side projection; scores center at 0 with variance lambda") {
+    val (w, lambda, mu, n) =
+      graft.operators.AnnOps.pcaComponents(spark, sfDir)
+    val got = SparkEntry.queries("j_embed_pca_project")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == n)
+    // independent reference: same left-fold per row on the driver,
+    // then the same binary half-away-from-zero 4-decimal round
+    def r4(x: Double): Double =
+      (if (x < 0) -(math.floor(-x * 10000 + 0.5) / 10000)
+       else math.floor(x * 10000 + 0.5) / 10000) + 0.0
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val raw = rows.map { case (id, v) =>
+      var acc = 0.0
+      var i = 0
+      while (i < 64) { acc += (v(i) - mu(i)) * w(i); i += 1 }
+      id -> acc
+    }
+    raw.foreach { case (id, score) =>
+      assert(got(id) == r4(score),
+        s"vec $id: entry ${got(id)} vs driver ${r4(score)}")
+    }
+    // moment sanity on the unrounded scores: centered projections of
+    // the top PC average to ~0 and their mean square is the Rayleigh
+    // eigenvalue of the same component
+    val mean = raw.map(_._2).sum / raw.length
+    val msq = raw.map(s => s._2 * s._2).sum / raw.length
+    assert(math.abs(mean) < 1e-6 * math.sqrt(lambda) + 1e-9,
+      s"score mean $mean")
+    assert(math.abs(msq - lambda) / lambda < 0.01,
+      s"score mean-square $msq vs lambda $lambda")
+    Caches.release(spark)
+  }
+
   test("exact-dup collapse (r13): on a dup-dense corpus both IVF " +
     "entries equal an independent all-individuals reference pipeline " +
     "bit-for-bit") {

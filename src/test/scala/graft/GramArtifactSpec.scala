@@ -19,12 +19,16 @@ class GramArtifactSpec extends SparkSpec {
     "entry still emits the 64 loadings") {
     val table = AnnOps.gramTable(spark, sfDir)
     val row = spark.table(table).head()
-    val (storedN, storedCells) = (row.getLong(0), row.getSeq[Double](1))
+    val (storedN, storedMu, storedCells) =
+      (row.getLong(0), row.getSeq[Double](1), row.getSeq[Double](2))
     // direct: the exact pre-store in-flight derivation
-    val (directN, directCells) = AnnOps.gramCells(spark, sfDir)
+    val (directN, directMu, directCells) = AnnOps.gramCells(spark, sfDir)
     assert(storedN == directN)
+    assert(storedMu.size == 64 && directMu.length == 64)
     assert(storedCells.size == 2080 &&
       directCells.length == 2080)
+    assert(storedMu == directMu.toSeq,
+      "stored gram means diverged from the direct pass")
     assert(storedCells == directCells.toSeq,
       "stored gram cells diverged from the direct pass")
     assert(SparkEntry.queries("j_embed_pca_power")(spark, sfDir)
