@@ -453,9 +453,35 @@ object AnnOps {
   /** Top-PC decomposition pieces off the stored Gram artifact: the
     * sign-pivoted unit eigenvector, its Rayleigh eigenvalue, the
     * per-dimension means (for centering projections), and n. */
-  private[graft] def pcaComponents(s: SparkSession, d: String,
-                                   iters: Int = 300)
-      : (Array[Double], Double, Array[Double], Long) = {
+  /** Driver-side fixed-iteration power loop over a dims×dims matrix:
+    * returns the UNPIVOTED final iterate and its Rayleigh quotient.
+    * Every float op (matvec fold order, normalization, 1/√dims start)
+    * mirrors the oracle's recursive-CTE step, so the iterate is
+    * bit-identical to the SQL replay. */
+  private def powerLoop(c: Array[Array[Double]], iters: Int)
+      : (Array[Double], Double) = {
+    val dims = c.length
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(e => e * e).sum)
+      v = w.map(_ / nrm)
+    }
+    val rayleigh = (0 until dims).map(i =>
+      v(i) * (0 until dims).map(j => c(i)(j) * v(j)).sum).sum
+    (v, rayleigh)
+  }
+
+  /** Sign pivot (largest-|loading| coordinate positive, ties to the
+    * lowest dim) — the oracle's pv CTE. */
+  private def signPivot(v: Array[Double]): Array[Double] = {
+    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    if (v(pivot) < 0) v.map(-_) else v
+  }
+
+  private def gramMatrix(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Double], Long) = {
     val row = s.table(gramTable(s, d)).head()
     val n = row.getLong(0)
     val mu = row.getSeq[Double](1).toArray
@@ -468,20 +494,37 @@ object AnnOps {
       c(j)(i) = c(i)(j)
       k += 1
     }
+    (c, mu, n)
+  }
+
+  private[graft] def pcaComponents(s: SparkSession, d: String,
+                                   iters: Int = 300)
+      : (Array[Double], Double, Array[Double], Long) = {
+    val (c, mu, n) = gramMatrix(s, d)
     // driver-side power iteration to convergence (4 KB matrix)
-    var v = Array.fill(dims)(1.0 / math.sqrt(dims))
-    for (_ <- 1 to iters) {
-      val w = Array.tabulate(dims)(i =>
-        (0 until dims).map(j => c(i)(j) * v(j)).sum)
-      val nrm = math.sqrt(w.map(e => e * e).sum)
-      v = w.map(_ / nrm)
-    }
-    val rayleigh = (0 until dims).map(i =>
-      v(i) * (0 until dims).map(j => c(i)(j) * v(j)).sum).sum
-    // fix the sign: largest-|loading| coordinate positive
-    val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
-    val vOut = if (v(pivot) < 0) v.map(-_) else v
-    (vOut, rayleigh, mu, n)
+    val (v, rayleigh) = powerLoop(c, iters)
+    (signPivot(v), rayleigh, mu, n)
+  }
+
+  /** Top TWO components via one deflation step: power on C, then
+    * power on C₂ = C − λ₁v₁v₁ᵀ (the unpivoted iterate — v·vᵀ is
+    * sign-invariant, so the deflated matrix is the same either way).
+    * Returns (w1, λ1, w2, λ2, μ, n) with both eigenvectors
+    * sign-pivoted. Convergence on the fixture spectrum: λ2/λ1 ≈ 0.93
+    * and λ3/λ2 ≈ 0.96, so 300 iterations leave a mixing residual
+    * ≤ 0.96³⁰⁰ ≈ 4·10⁻⁶ — converged; AnnOpsSpec measures alignment
+    * and orthogonality against an exact driver eigensolve. */
+  private[graft] def pcaComponents2(s: SparkSession, d: String,
+                                    iters: Int = 300)
+      : (Array[Double], Double, Array[Double], Double,
+         Array[Double], Long) = {
+    val (c, mu, n) = gramMatrix(s, d)
+    val (v1, l1) = powerLoop(c, iters)
+    val dims = c.length
+    val c2 = Array.tabulate(dims, dims)((i, j) =>
+      c(i)(j) - l1 * v1(i) * v1(j))
+    val (v2, l2) = powerLoop(c2, iters)
+    (signPivot(v1), l1, signPivot(v2), l2, mu, n)
   }
 
   private[graft] def pcaPower(s: SparkSession, d: String,
@@ -539,6 +582,30 @@ object AnnOps {
       e.select(col("vec_id"),
           Det.r4(aggregate(prods, lit(0.0), (acc, x) => acc + x))
             .as("pc1"))
+        .orderBy("vec_id")
+    },
+
+    // Two-component whitening scores (see [[pcaComponents2]]): zₖ =
+    // (v − μ)·wₖ / √λₖ for the top two PCs — the decorrelated,
+    // unit-variance coordinates behind embedding-space outlier
+    // ellipses and drift dashboards. Same map-only shape as
+    // j_embed_pca_project (two folds per row, components as
+    // literals, no shuffle); the deflation second power loop twins
+    // in the oracle as a second recursive CTE over C − λ₁v₁v₁ᵀ with
+    // every float op matched, so the r4-rounded scores hash-match.
+    // AnnOpsSpec gates alignment/orthogonality vs an exact driver
+    // eigensolve and the unit-variance moment.
+    "j_embed_whiten" -> { (s, d) =>
+      val (w1, l1, w2, l2, mu, _) = pcaComponents2(s, d)
+      def litArr(a: Array[Double]) = array(a.map(lit): _*)
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val vc = zip_with(col("v"), litArr(mu), (a, b) => a - b)
+      def score(w: Array[Double], l: Double) =
+        Det.r4(aggregate(zip_with(vc, litArr(w), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x) / lit(math.sqrt(l)))
+      e.select(col("vec_id"), score(w1, l1).as("z1"),
+          score(w2, l2).as("z2"))
         .orderBy("vec_id")
     },
 
@@ -1168,11 +1235,18 @@ object AnnOps {
       |      list_reduce(list_transform(range(64),
       |        j -> c[i + 1][j + 1] * v[j + 1]), (a, b) -> a + b))""".stripMargin
 
-  /** Shared CTE chain of the PCA oracle pair (power + project):
-    * decimal-exact centered Gram, the fixed-300-iteration power loop,
-    * Rayleigh quotient and sign pivot. `ec` carries vec_id so the
-    * projection twin can emit per-vector scores; the power twin
-    * ignores it. */
+  /** Shared CTE chain of the PCA oracle family (power + project +
+    * whiten): decimal-exact centered Gram, the fixed-300-iteration
+    * power loop, Rayleigh quotient and sign pivot. `ec` carries
+    * vec_id so the per-vector twins can emit scores; the power twin
+    * ignores it. The Gram/eigen CTEs are AS MATERIALIZED: DuckDB
+    * (1.0) re-evaluates an inlined CTE on EVERY reference — including
+    * once per iteration of a recursive CTE that joins it — so the
+    * un-hinted power loop recomputed the full Gram 300 times (~25 s
+    * at 500 vectors; the whiten twin's second loop would have
+    * re-run the whole first chain per iteration, ~2 h). Materialized:
+    * 0.3–0.7 s, bit-identical results (same computation, evaluated
+    * once). */
   private val pcaCteSql =
     s"""WITH RECURSIVE ec AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1183,7 +1257,7 @@ object AnnOps {
        |    CAST(SUM(CAST(e.v[i.i + 1] AS DECIMAL(28,12))) AS DOUBLE)
        |      / nn.n AS m
        |  FROM ec e, idx i, nn GROUP BY i.i, nn.n),
-       |mul AS (SELECT list(m ORDER BY dim) AS mu FROM mus),
+       |mul AS MATERIALIZED (SELECT list(m ORDER BY dim) AS mu FROM mus),
        |xc AS (
        |  SELECT list_transform(e.v, (x, k) -> x - mu[k]) AS vc
        |  FROM ec e, mul),
@@ -1196,7 +1270,7 @@ object AnnOps {
        |  FROM xc x, prs p GROUP BY p.i, p.j),
        |fc AS (SELECT i, j, s FROM cls
        |       UNION ALL SELECT j AS i, i AS j, s FROM cls WHERE i <> j),
-       |cm AS (
+       |cm AS MATERIALIZED (
        |  SELECT list(row ORDER BY i) AS c FROM (
        |    SELECT f.i AS i, list(f.s / nn.n ORDER BY f.j) AS row
        |    FROM fc f, nn GROUP BY f.i, nn.n)),
@@ -1209,8 +1283,8 @@ object AnnOps {
        |      list_transform(w, x -> x / sqrt(list_reduce(
        |        list_transform(w, y -> y * y), (a, b) -> a + b)))))[1]
        |  FROM pow, cm WHERE it < 300),
-       |fin AS (SELECT v FROM pow WHERE it = 300),
-       |ray AS (
+       |fin AS MATERIALIZED (SELECT v FROM pow WHERE it = 300),
+       |ray AS MATERIALIZED (
        |  SELECT v,
        |    (list_transform([$pcaMatvecSql], w ->
        |      list_reduce(list_transform(range(64),
@@ -1255,6 +1329,60 @@ object AnnOps {
          |SELECT e.vec_id AS vec_id,
          |  ${Det.r4Sql(dot)} + 0 AS pc1
          |FROM ec e, mul, pw
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // Whitening twin: the shared chain, then ONE deflation (cm2 =
+    // C − λ₁v₁v₁ᵀ on the unpivoted iterate — sign-invariant), the
+    // second 300-iteration loop as another recursive CTE (the
+    // matvec fragment reuses cm2's column name `c`), its own
+    // Rayleigh/pivot, and a scan emitting both centered dots over
+    // √λ. Every driver float op is replayed in order, as in the
+    // power/project pair.
+    "j_embed_whiten" -> {
+      def dotOver(pwa: String, raya: String) =
+        "list_reduce(list_transform(range(64), " +
+          s"i -> (e.v[i + 1] - mul.mu[i + 1]) * $pwa.w[i + 1]), " +
+          s"(a, b) -> a + b) / sqrt($raya.lambda)"
+      s"""$pcaCteSql,
+         |pw AS (SELECT CASE WHEN pv.neg
+         |         THEN list_transform(f.v, x -> -x)
+         |         ELSE f.v END AS w
+         |       FROM fin f, pv),
+         |cm2 AS MATERIALIZED (
+         |  SELECT list_transform(range(64), i ->
+         |    list_transform(range(64), j ->
+         |      cm.c[i + 1][j + 1]
+         |        - r.lambda * r.v[i + 1] * r.v[j + 1])) AS c
+         |  FROM cm, ray r),
+         |pow2 AS (
+         |  SELECT 0 AS it,
+         |    list_transform(range(64), x -> CAST(0.125 AS DOUBLE)) AS v
+         |  UNION ALL
+         |  SELECT it + 1,
+         |    (list_transform([$pcaMatvecSql], w ->
+         |      list_transform(w, x -> x / sqrt(list_reduce(
+         |        list_transform(w, y -> y * y), (a, b) -> a + b)))))[1]
+         |  FROM pow2, cm2 WHERE it < 300),
+         |fin2 AS MATERIALIZED (SELECT v FROM pow2 WHERE it = 300),
+         |ray2 AS MATERIALIZED (
+         |  SELECT v,
+         |    (list_transform([$pcaMatvecSql], w ->
+         |      list_reduce(list_transform(range(64),
+         |        i -> v[i + 1] * w[i + 1]), (a, b) -> a + b)))[1] AS lambda
+         |  FROM fin2, cm2),
+         |vi2 AS (SELECT t.i AS i, r.v[t.i + 1] AS lv
+         |        FROM ray2 r, idx t),
+         |pv2 AS (SELECT lv < 0 AS neg FROM vi2
+         |        ORDER BY abs(lv) DESC, i ASC LIMIT 1),
+         |pw2 AS (SELECT CASE WHEN pv2.neg
+         |          THEN list_transform(f.v, x -> -x)
+         |          ELSE f.v END AS w
+         |        FROM fin2 f, pv2)
+         |SELECT e.vec_id AS vec_id,
+         |  ${Det.r4Sql(dotOver("pw", "ray"))} + 0 AS z1,
+         |  ${Det.r4Sql(dotOver("pw2", "ray2"))} + 0 AS z2
+         |FROM ec e, mul, pw, pw2, ray, ray2
          |ORDER BY vec_id""".stripMargin
     },
 

@@ -414,6 +414,88 @@ class AnnOpsSpec extends SparkSpec {
     Caches.release(spark)
   }
 
+  test("j_embed_whiten: deflation second component matches an exact " +
+    "driver eigensolve, components orthogonal, scores unit-variance") {
+    val (w1, l1, w2, l2, mu, n) =
+      graft.operators.AnnOps.pcaComponents2(spark, sfDir)
+    assert(l1 > l2 && l2 > 0, s"eigenvalue order $l1 / $l2")
+    val ortho = math.abs(w1.zip(w2).map { case (a, b) => a * b }.sum)
+    assert(ortho < 1e-3, s"components not orthogonal: $ortho")
+
+    // exact reference: raw-data covariance on the driver, power to
+    // the top component, deflate, power again
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val dims = rows.head.length
+    val muE = Array.tabulate(dims)(j => rows.map(_(j)).sum / rows.length)
+    val xc = rows.map(r => r.indices.map(j => r(j) - muE(j)).toArray)
+    def matvec(u: Array[Double], defl: Option[(Array[Double], Double)])
+        : Array[Double] = {
+      val out = Array.fill(dims)(0.0)
+      xc.foreach { x =>
+        val d = x.indices.map(j => x(j) * u(j)).sum
+        for (j <- 0 until dims) out(j) += x(j) * d
+      }
+      val base = out.map(_ / rows.length)
+      defl match {
+        case Some((u1, lam1)) =>
+          val proj = u1.zip(u).map { case (a, b) => a * b }.sum
+          base.indices.map(j => base(j) - lam1 * proj * u1(j)).toArray
+        case None => base
+      }
+    }
+    def power(defl: Option[(Array[Double], Double)])
+        : (Array[Double], Double) = {
+      var u = Array.fill(dims)(1.0 / math.sqrt(dims))
+      for (_ <- 1 to 300) {
+        val w = matvec(u, defl)
+        val wn = math.sqrt(w.map(e => e * e).sum)
+        u = w.map(_ / wn)
+      }
+      val lam = matvec(u, defl).zip(u).map { case (a, b) => a * b }.sum
+      (u, lam)
+    }
+    val (u1, lam1) = power(None)
+    val (u2, lam2) = power(Some((u1, lam1)))
+    val align2 = math.abs(w2.zip(u2).map { case (a, b) => a * b }.sum)
+    assert(align2 > 0.99, s"PC2 misaligned with exact eigensolve: $align2")
+    assert(math.abs(l2 - lam2) / lam2 < 0.01,
+      s"second eigenvalue $l2 vs exact $lam2")
+
+    // entry parity with a driver-side replay, plus the unit-variance
+    // moment the whitening transform promises
+    def r4(x: Double): Double =
+      (if (x < 0) -(math.floor(-x * 10000 + 0.5) / 10000)
+       else math.floor(x * 10000 + 0.5) / 10000) + 0.0
+    val got = SparkEntry.queries("j_embed_whiten")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(got.size == n)
+    val ids = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val s1 = math.sqrt(l1); val s2 = math.sqrt(l2)
+    val rawZ = ids.map { case (id, v) =>
+      var a1 = 0.0; var a2 = 0.0
+      var i = 0
+      while (i < 64) {
+        val c = v(i) - mu(i)
+        a1 += c * w1(i); a2 += c * w2(i); i += 1
+      }
+      id -> (a1 / s1, a2 / s2)
+    }
+    rawZ.foreach { case (id, (z1, z2)) =>
+      assert(got(id) == ((r4(z1), r4(z2))),
+        s"vec $id: entry ${got(id)} vs driver ${(r4(z1), r4(z2))}")
+    }
+    val m1 = rawZ.map(_._2._1).map(z => z * z).sum / rawZ.length
+    val m2 = rawZ.map(_._2._2).map(z => z * z).sum / rawZ.length
+    assert(math.abs(m1 - 1.0) < 0.01, s"z1 mean-square $m1")
+    assert(math.abs(m2 - 1.0) < 0.02, s"z2 mean-square $m2")
+    Caches.release(spark)
+  }
+
   test("exact-dup collapse (r13): on a dup-dense corpus both IVF " +
     "entries equal an independent all-individuals reference pipeline " +
     "bit-for-bit") {
