@@ -561,10 +561,13 @@ object AnnOps {
     // (v − μ)·w with the sign-pivoted unit eigenvector w and the
     // decimal-exact means μ, both resolved from the stored Gram
     // artifact — the leading-PC score behind embedding outlier
-    // pruning, whitening, and drift triage. The distributed side is
-    // map-only (scan → 64-element fold per row; w and μ ride in as
-    // 16 KB of literals — no shuffle, no broadcast join), so at
-    // 100 TB it scales with the scan. The per-row fold is a LEFT
+    // pruning, whitening, and drift triage. The distributed COMPUTE
+    // is map-only (scan → 64-element fold per row; w and μ ride in
+    // as 16 KB of literals — no join, nothing wide crosses a wire);
+    // the single Exchange in the plan is the suite's deterministic-
+    // output sort over the narrow (vec_id, pc1) result, which
+    // production scoring drops — at 100 TB the cost is the scan.
+    // The per-row fold is a LEFT
     // fold in array order ((0+p₁)+p₂+…), matching the oracle's
     // list_reduce chain float-op for float-op; the driver pieces are
     // bit-identical to the oracle's recursive-CTE replay (same
@@ -590,7 +593,9 @@ object AnnOps {
     // unit-variance coordinates behind embedding-space outlier
     // ellipses and drift dashboards. Same map-only shape as
     // j_embed_pca_project (two folds per row, components as
-    // literals, no shuffle); the deflation second power loop twins
+    // literals; the single Exchange in the plan is the suite's
+    // deterministic-output sort, which production scoring drops);
+    // the deflation second power loop twins
     // in the oracle as a second recursive CTE over C − λ₁v₁v₁ᵀ with
     // every float op matched, so the r4-rounded scores hash-match.
     // AnnOpsSpec gates alignment/orthogonality vs an exact driver
