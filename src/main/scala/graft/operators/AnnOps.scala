@@ -737,7 +737,11 @@ object AnnOps {
       // untouched: a member's top-3 lies within its rep's top-4
       // expanded candidates (+1 covers the self-exclusion).
       val (repU, mem) = dupGroups(u.select(col("vec_id"), col("u")))
-      val ranked = ivfRank(repU, cents)
+      // ranked feeds BOTH the probe and home-cell splits: persist it
+      // (the j_ann_incremental / j_dedup_embed_ann discipline — the
+      // plan showed the scan→normalize→dup-collapse→rank chain
+      // doubled otherwise; released by Caches.release)
+      val ranked = graft.Caches.persisted(ivfRank(repU, cents))
       val probes = ranked.filter(col("rn") <= 8)
         .select(col("vec_id"), col("cell_id").as("cell"), col("u"))
       val cands = ranked.filter(col("rn") === 1)
@@ -852,8 +856,12 @@ object AnnOps {
       // survivor set — and hence the oracle hash — is EXACTLY the
       // all-individuals pipeline's.
       val (repU, mem) = dupGroups(u.select(col("vec_id"), col("u")))
-      val ranked = ivfRank(repU, cents)
-      val q = quantized(repU).select(col("vec_id"), col("q"))
+      // ranked and the int8 codes each feed BOTH the probe and
+      // candidate splits: persist them (the j_ann_incremental_pq
+      // discipline; released by Caches.release)
+      val ranked = graft.Caches.persisted(ivfRank(repU, cents))
+      val q = graft.Caches.persisted(
+        quantized(repU).select(col("vec_id"), col("q")))
       val probes = ranked.filter(col("rn") <= 8)
         .select(col("vec_id"), col("cell_id").as("cell"))
         .join(q, "vec_id")
