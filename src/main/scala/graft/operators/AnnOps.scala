@@ -706,7 +706,10 @@ object AnnOps {
     "j_ann_ivf_topk" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val u = unit(s, d)
-      val asg = ivfAssign(u, seedCentroids(u)).drop("label")
+      // asg is BOTH sides of the in-cell self-join: persist it (the
+      // j_ann_incremental discipline; released by Caches.release)
+      val asg = graft.Caches.persisted(
+        ivfAssign(u, seedCentroids(u)).drop("label"))
       // size-driven physical choice (pairWithinBucket): broadcast the
       // per-cell candidate lists while they fit, co-partition both
       // sides on cell once they don't
@@ -904,7 +907,9 @@ object AnnOps {
     "j_knn_ivf" -> { (s, d) =>
       graft.functions.VectorExprs.register(s)
       val u = unit(s, d)
-      val asg = ivfAssign(u, seedCentroids(u))
+      // asg is BOTH sides of the in-cell self-join: persist it (the
+      // j_ann_incremental discipline; released by Caches.release)
+      val asg = graft.Caches.persisted(ivfAssign(u, seedCentroids(u)))
       val pairs = pairWithinBucket(asg, "cell",
         Tables.rowCount(s, d, "embeddings"), candExtra = Seq("label"))
       val wTop = Window.partitionBy("vec_id")
