@@ -482,4 +482,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("boundedPairExplode equals the key self-join on postings with " +
+    "repeated (doc, key) rows and emits no self-pairs") {
+    // the r19 in-cell pair generation replaced the postings self-join;
+    // the edge it must preserve: a key occurring TWICE in one document
+    // (substring windows can repeat) must not fabricate a (d, d) pair,
+    // and duplicated postings must not change the distinct pair set
+    import spark.implicits._
+    val rare = Seq(
+      (1L, "k1"), (2L, "k1"), (3L, "k1"),
+      (4L, "k2"), (4L, "k2"), (5L, "k2"),   // doc 4 repeats k2
+      (6L, "k3"), (6L, "k3"),               // doc 6 alone repeats k3
+      (7L, "k4")                            // singleton key
+    ).toDF("doc_id", "shingle")
+    val got = operators.LlmOps.boundedPairExplode(rare, "shingle")
+      .as[(Long, Long)].collect().toSet
+    val ref = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    assert(got == ref, s"pair sets differ: $got vs $ref")
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
+
 }
