@@ -82,6 +82,21 @@ object GraphOps {
       table
     })
 
+  /** Node count of the stored edge graph, memoized per
+    * (session, corpus) next to the edge store itself (r19 opt round —
+    * the Tables.rowCount convention: a metadata-sized scalar of a
+    * write-once session artifact; re-counting it launched one extra
+    * driver job on every invocation). The store is immutable for the
+    * session, so the memo can never go stale. */
+  private val nodeCounts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+
+  private def nodeCount(s: SparkSession, d: String,
+                        edgesDeg: DataFrame): Long =
+    nodeCounts.computeIfAbsent((s, d), { _ =>
+      edgesDeg.agg(countDistinct(col("src"))).head.getLong(0)
+    })
+
   /** Five exact fixed-point PageRank iterations (damping 0.85) over
     * the symmetric edge set; all-integer arithmetic, see scaladoc.
     *
@@ -105,7 +120,7 @@ object GraphOps {
     // materialization and removes four parquet decodes (released by
     // the harness's Caches.release)
     val edgesDeg = Caches.persisted(s.table(edgeStoreTable(s, d)))
-    val n = edgesDeg.agg(countDistinct(col("src"))).head.getLong(0)
+    val n = nodeCount(s, d, edgesDeg)
     val base = 150000000000L / n // 0.15 damping share per node
     // node set = distinct src (symmetrized edges: every node appears
     // as a src) — a bucket-local distinct over the store

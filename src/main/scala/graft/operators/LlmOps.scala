@@ -564,9 +564,36 @@ object LlmOps {
     * blocking candidates from ANY cheap stage — MinHash-LSH bands,
     * SimHash bands — verified by exact jaccard on candidates only,
     * then the deterministic keep/dup decision. */
+  /** Exact verification via per-doc shingle ARRAYS for an external
+    * candidate set (r19 opt round — the r18 intersection kernel
+    * generalized out of blockedPairStats): one partial-aggregable
+    * docSets pass + one `size(array_intersect)` per candidate pair,
+    * where [[exactPairStats]] pays three postings-wide joins and a
+    * separate sizes pass. Values identical — postings are per-doc
+    * DISTINCT by construction (graft_shingles / the stored layout), so
+    * the intersection size IS the matched-postings count. Callers
+    * whose postings can repeat per doc must stay on exactPairStats. */
+  private[graft] def arrayPairStats(ex: DataFrame,
+                                    cand: DataFrame): DataFrame = {
+    val docSets = ex.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("shs"),
+        count(lit(1)).cast("int").as("n_sh"))
+    cand
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n_sh").as("sh_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n_sh").as("sh_b")), "doc_b")
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast(LongType))
+      .withColumn("jac", col("n_common").cast(DoubleType) /
+        (col("sh_a") + col("sh_b") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        col("sh_a"), col("sh_b"), col("jac"))
+  }
+
   def dedupCascade(ex: DataFrame, candidates: DataFrame,
                    tau: Double): DataFrame =
-    dupDecision(exactPairStats(ex, candidates), tau)
+    dupDecision(arrayPairStats(ex, candidates), tau)
 
   /** The cascade with the built-in rare-shingle blocker (single-pass
     * blocked stats — see [[blockedPairStats]]). */
