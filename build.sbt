@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r20 (VERDICT r19 item 2): the driver could not parse the bench's
+// one-line JSON in r18 OR r19 because sbt's logger prefixes forked
+// program output with "[info] ". StdoutOutput passes the forked JVM's
+// stdout/stderr straight through unprefixed, so the bare {"metric":...}
+// line reaches the driver's stdout tail intact.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -128,10 +128,11 @@ def main():
         # even if values match. Replicate that sort here so this script
         # fails exactly where the driver fails (h_*_typed shipped green
         # locally in r9 and red in CORRECTNESS_r09 because this step
-        # was missing).
+        # was missing). r20: the sort result was previously DISCARDED
+        # (VERDICT r19 §What's-wrong 3) — now actually applied.
         try:
             sdf = tbl.to_pandas()
-            sdf.sort_values(by=list(sdf.columns))
+            sdf = sdf.sort_values(by=list(sdf.columns))
         except Exception as e:
             print(f"FAIL  {name}: driver-sort replication crashed "
                   f"(nested column?): {type(e).__name__}: {e}")
@@ -145,6 +146,36 @@ def main():
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        # Driver-fidelity dtype check (r20, the j_sample_token_budget
+        # postmortem): the driver reads the DUCK result through pandas
+        # (duckdb .df()), where HUGEINT — e.g. an un-cast SUM(BIGINT)
+        # — becomes float64 ("4998.0") while Spark's parquet column is
+        # int64 ("4998"): value-identical under fetchall(), hash-
+        # mismatched under the driver. fetchall() above keeps the
+        # exact-value compare; this classifies each shared column's
+        # pandas dtype and fails on an int-vs-float split, the proven
+        # driver-failure class (date/decimal object-vs-native splits
+        # are observed to pass the driver and stay allowed).
+        def dclass(dt):
+            k = getattr(dt, "kind", None)
+            return {"i": "int", "u": "int", "f": "float"}.get(k, "other")
+        try:
+            ddf = con.execute(oracle[name]).df()
+            for c in sdf.columns:
+                if c in ddf.columns and {dclass(sdf[c].dtype),
+                                         dclass(ddf[c].dtype)} == {"int", "float"}:
+                    raise AssertionError(
+                        f"column '{c}': spark pandas dtype {sdf[c].dtype} vs "
+                        f"duck pandas dtype {ddf[c].dtype} — the driver "
+                        f"hashes these differently (cast the oracle "
+                        f"expression to the Spark column's type)")
+        except AssertionError as e:
+            print(f"FAIL  {name}: driver dtype-fidelity: {e}")
+            n_fail += 1
+            continue
+        except Exception as e:
+            print(f"WARN  {name}: dtype-fidelity pass skipped: "
+                  f"{type(e).__name__}: {e}")
         scols, dcols = sorted(scols_raw), sorted(dcols_raw)
         if scols != dcols:
             print(f"FAIL  {name}: columns differ spark={scols} duck={dcols}")

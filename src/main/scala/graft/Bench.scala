@@ -172,7 +172,20 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val unc = if (cache) uncachedTotal else total
     println(s"bench_detail uncached_total ${f3(unc)}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"floor_passes":$floorPasses,"uncached":${f3(unc)},"queries":$qs,"slowest":$slow,"floors":$floorsJson,"sf":"$sfDir"}""")
+    val jsonLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"floor_passes":$floorPasses,"uncached":${f3(unc)},"queries":$qs,"slowest":$slow,"floors":$floorsJson,"sf":"$sfDir"}"""
+    println(jsonLine)
+    // r20 (VERDICT r19 item 2): the driver failed to parse this line in
+    // r18 AND r19 — it sat behind sbt's "[info] " prefix at the edge of
+    // the 2000-char stdout tail. Belt and braces: the same line also
+    // goes to a FILE in the working directory and, unprefixed, to
+    // stderr. The stdout line (now unprefixed too — build.sbt
+    // run/outputStrategy) is unchanged, so the contract only gains
+    // redundant channels; the timing protocol itself is untouched.
+    try {
+      val w = new java.io.PrintWriter("bench_result.json", "UTF-8")
+      try w.println(jsonLine) finally w.close()
+    } catch { case _: Throwable => () }
+    System.err.println(jsonLine)
     spark.stop()
   }
 }

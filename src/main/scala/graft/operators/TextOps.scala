@@ -1658,8 +1658,16 @@ object TextOps {
         |  (n_min * 10000) // n_docs AS keep_rate_bp,
         |  (CASE WHEN NOT (abs(sqrt(CAST(n_docs AS DOUBLE) / n_total)) < 9.0e11) THEN (sqrt(CAST(n_docs AS DOUBLE) / n_total)) WHEN (sqrt(CAST(n_docs AS DOUBLE) / n_total)) < 0 THEN -(floor(-(sqrt(CAST(n_docs AS DOUBLE) / n_total)) * 10000 + 0.5) / 10000) ELSE floor((sqrt(CAST(n_docs AS DOUBLE) / n_total)) * 10000 + 0.5) / 10000 END + 0) AS mix_weight
         |FROM b CROSS JOIN t ORDER BY source""".stripMargin,
+    // r20: the emitted running sum MUST be cast back to BIGINT —
+    // DuckDB's SUM(BIGINT) returns HUGEINT, whose pandas conversion is
+    // float64 ("4998.0"), so the driver's lexsort-then-hash protocol
+    // saw a value-level mismatch against Spark's int64 column even
+    // though fetchall()-level values were identical (the one r19
+    // correctness failure). Every other twin that emits a window/group
+    // sum already carries this cast (e.g. j_pack_sequences).
     "j_sample_token_budget" ->
-      """SELECT doc_id, source, n_tok, cum_tok FROM (
+      """SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM (
         |  SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
         |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
