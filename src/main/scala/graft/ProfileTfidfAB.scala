@@ -54,7 +54,7 @@ object ProfileTfidfAB {
         .join(wv(docvecs.select(col("doc_id").as("doc_b"),
           col("vec").as("vec_b"))), "doc_b")
         .withColumn("sim",
-          expr("graft_wdot(vec_a, vec_b)") / (col("nrm_a") * col("nrm_b")))
+          expr("graft_wdot_h(vec_a, vec_b)") / (col("nrm_a") * col("nrm_b")))
         .filter(col("sim") >= 0.8)
         .select(col("doc_a"), col("doc_b"), Det.r4(col("sim")).as("sim"))
         .orderBy("doc_a", "doc_b")

@@ -329,7 +329,10 @@ object VectorExprs {
         .toAggregateExpression()),
     (FunctionIdentifier("graft_wdot"),
       new ExpressionInfo(classOf[WeightedDotSorted].getName, "graft_wdot"),
-      (args: Seq[Expression]) => WeightedDotSorted(args(0), args(1))))
+      (args: Seq[Expression]) => WeightedDotSorted(args(0), args(1))),
+    (FunctionIdentifier("graft_wdot_h"),
+      new ExpressionInfo(classOf[WeightedDotHashed].getName, "graft_wdot_h"),
+      (args: Seq[Expression]) => WeightedDotHashed(args(0), args(1))))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't
@@ -503,6 +506,70 @@ case class WeightedDotSorted(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WeightedDotSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hashed-term variant of [[WeightedDotSorted]] (r20 opt round —
+  * VERDICT r19 "Next round" item 3): the inputs are
+  * `array<struct<h:bigint, w:double>>` sorted by `h = xxhash64(term)`,
+  * so the merge compares 8-byte longs instead of UTF8String bytes —
+  * the compare is the hot instruction of the merge-verify pass (terms
+  * match on only a small fraction of the |a|+|b| merge steps, so
+  * nearly every iteration is one compare + one advance). Everything
+  * else — the per-match DECIMAL(·,6) quantization and exact
+  * accumulation — is byte-for-byte the string kernel's, so the sum is
+  * bit-identical as long as no two DISTINCT terms of a candidate
+  * pair's vocabulary share an xxhash64 value. That collision would
+  * need ~2⁶⁴ draws to be likely (the same convention the substring
+  * fingerprint and minhash families document); the oracle gate at
+  * sf0.01/sf0.1/sf1z re-proves absence on every fixture corpus.
+  * Term-hash order is NOT term order, but BigDecimal addition is
+  * exact and therefore order-independent — reordering the matched
+  * products cannot move the result.
+  */
+case class WeightedDotHashed(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  import org.apache.spark.sql.types.StructType
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(st: StructType, _) =>
+      st.length == 2 && st(0).dataType == LongType &&
+        st(1).dataType == DoubleType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<struct<h:bigint,w:double>>, " +
+        s"got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_wdot_h"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xa = a.asInstanceOf[ArrayData]
+    val xb = b.asInstanceOf[ArrayData]
+    val na = xa.numElements(); val nb = xb.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0; var j = 0
+    while (i < na && j < nb) {
+      val ra = xa.getStruct(i, 2); val rb = xb.getStruct(j, 2)
+      val ha = ra.getLong(0); val hb = rb.getLong(0)
+      if (ha < hb) i += 1
+      else if (ha > hb) j += 1
+      else {
+        val p = ra.getDouble(1) * rb.getDouble(1)
+        acc = acc.add(java.math.BigDecimal.valueOf(p)
+          .setScale(6, java.math.RoundingMode.HALF_UP))
+        i += 1; j += 1
+      }
+    }
+    acc.doubleValue()
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WeightedDotHashed =
     copy(left = newLeft, right = newRight)
 }
 

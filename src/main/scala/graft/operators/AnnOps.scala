@@ -878,18 +878,28 @@ object AnnOps {
       val candInd = repPairs
         .join(mem.select(col("rep").as("nn_id"), col("ind")), "nn_id")
         .select(col("vec_id"), col("ind").as("nn_ind"), col("approx"))
-      val w33 = Window.partitionBy("vec_id")
-        .orderBy(desc("approx"), asc("nn_ind"))
-      val repSurv = candInd.withColumn("rk", row_number().over(w33))
-        .filter(col("rk") <= 33)
-      val survivors = repSurv
+      // r20 (VERDICT r19 item 4): the former two row_number windows —
+      // top-33 per rep, then top-32 per member after self-exclusion —
+      // each cost an Exchange + full sort of the candidate rows. The
+      // per-rep top-33 is a bounded-buffer aggregate (graft_topk's
+      // ordering IS (approx DESC, nn_ind ASC), TopKAgg's contract), so
+      // one partial-aggregable ObjectHashAggregate replaces window 1,
+      // and window 2 collapses into map-side array ops: a member's
+      // top-32 is its rep's ordered top-33 minus self, positions 1..32
+      // (the "+1 covers self-exclusion" invariant already documented
+      // above). The int approx is exact under the double cast
+      // (|dot8| ≤ 64·127² ≪ 2⁵³). At scale the shuffle drops from
+      // every candidate row to ≤33-row buffers per (map, rep).
+      val repTop = candInd.groupBy("vec_id")
+        .agg(expr("graft_topk(CAST(approx AS DOUBLE), nn_ind, 33)")
+          .as("top"))
+      val survivors = repTop
         .join(mem.select(col("rep").as("vec_id"), col("ind").as("p_ind")),
           "vec_id")
-        .filter(col("p_ind") =!= col("nn_ind"))
-        .withColumn("ck", row_number().over(Window.partitionBy("p_ind")
-          .orderBy(desc("approx"), asc("nn_ind"))))
-        .filter(col("ck") <= 32)
-        .select(col("p_ind").as("vec_id"), col("nn_ind").as("nn_id"))
+        .select(col("p_ind"),
+          explode(expr("slice(filter(top, x -> x.id != p_ind), 1, 32)"))
+            .as("t"))
+        .select(col("p_ind").as("vec_id"), col("t.id").as("nn_id"))
       val exact = survivors
         .join(u.select(col("vec_id"), col("u").as("ua")), "vec_id")
         .join(u.select(col("vec_id").as("nn_id"), col("u").as("ub")),

@@ -135,13 +135,25 @@ object LlmOps {
       .getOrElse(8)
 
   /** ONE bounded row per document for the weighted sparse join: the
-    * term-sorted tf-idf vector plus the scalars the prefix-filter
-    * prune needs. This replaced the r11 (pair × terms) join expansion
-    * — 68 M shuffled rows at sf0.1 — with an O(|a|+|b|) merge kernel
-    * per surviving pair (graft_wdot, bit-identical decimal
-    * arithmetic). Shared by the in-flight entry and the r19 stored
-    * index builder, so the stored vectors are the in-flight
-    * derivation by construction. */
+    * tf-idf vector plus the scalars the prefix-filter prune needs.
+    * This replaced the r11 (pair × terms) join expansion — 68 M
+    * shuffled rows at sf0.1 — with an O(|a|+|b|) merge kernel per
+    * surviving pair (bit-identical decimal arithmetic). Shared by the
+    * in-flight entry and the r19 stored index builder, so the stored
+    * vectors are the in-flight derivation by construction.
+    *
+    * r20 (VERDICT r19 item 3): the vector carries `h = xxhash64(term)`
+    * longs sorted by hash instead of sorted term strings — the merge
+    * kernel (graft_wdot_h) compares 8-byte longs where it compared
+    * UTF8String bytes, and the vector rows crossing the
+    * broadcast/exchange shed the string payload. Values are unchanged:
+    * hash equality ⟺ term equality absent an xxhash64 collision
+    * inside one candidate pair's vocabulary (~n²/2⁶⁵ — the substring-
+    * fingerprint convention), and the exact decimal accumulation is
+    * order-independent, so hash order vs term order cannot move the
+    * sum. The oracle gate re-proves value equality on every fixture.
+    * Term df/tf stay keyed on the STRING term — only the packed
+    * vector representation changes. */
   private[graft] def tfidfDocvecs(s: SparkSession, d: String): DataFrame = {
     val nDocs = Tables.rowCount(s, d, "documents")
     val tok = dedupDocs(s, d)
@@ -152,7 +164,8 @@ object LlmOps {
     val w = tf.join(dfreq, "term")
       .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
     w.groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("term"), col("w"))))
+      .agg(sort_array(collect_list(struct(xxhash64(col("term")).as("h"),
+          col("w"))))
         .as("vec"),
         sqrt(Det.dsum(col("w") * col("w"))).as("nrm"),
         max(col("w")).as("maxw"),
@@ -208,7 +221,7 @@ object LlmOps {
       .join(wSide(docvecs.select(col("doc_id").as("doc_b"),
         col("vec").as("vec_b"))), "doc_b")
       .withColumn("sim",
-        expr("graft_wdot(vec_a, vec_b)") / (col("nrm_a") * col("nrm_b")))
+        expr("graft_wdot_h(vec_a, vec_b)") / (col("nrm_a") * col("nrm_b")))
       .filter(col("sim") >= 0.8)
       .select(col("doc_a"), col("doc_b"), Det.r4(col("sim")).as("sim"))
     // r19 opt round (guide §1.4/§2.4): the final global sort's range-

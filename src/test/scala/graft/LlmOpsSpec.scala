@@ -459,6 +459,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("graft_wdot_h over hash-sorted vectors equals graft_wdot over " +
+    "term-sorted vectors on every fixture doc pair tested (r20 kernel)") {
+    graft.functions.VectorExprs.register(spark)
+    // both packings from the SAME (doc_id, term, w) derivation the
+    // entry uses, so this pins exactly the representation swap
+    val nDocs = Tables.rowCount(spark, sfDir, "documents")
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfreq, "term")
+      .withColumn("w", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .filter(col("doc_id") < 40)
+    val packed = w.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("term"), col("w")))).as("vs"),
+      sort_array(collect_list(struct(xxhash64(col("term")).as("h"),
+        col("w")))).as("vh"))
+    val pairs = packed.select(col("doc_id").as("ia"), col("vs").as("sa"),
+        col("vh").as("ha"))
+      .crossJoin(packed.select(col("doc_id").as("ib"), col("vs").as("sb"),
+        col("vh").as("hb")))
+      .filter(col("ia") < col("ib"))
+      .select(expr("graft_wdot(sa, sb)").as("ds"),
+        expr("graft_wdot_h(ha, hb)").as("dh"))
+      .collect()
+    assert(pairs.length > 100, s"vacuous: ${pairs.length} pairs")
+    pairs.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"hashed merge diverged: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("wide-doc cap (r19, ADVICE r18): with the conf set low enough " +
     "to flag most docs, blockedPairStats routes flagged pairs through " +
     "the postings verify with IDENTICAL values") {
