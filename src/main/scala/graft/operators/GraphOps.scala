@@ -68,6 +68,29 @@ object GraphOps {
   private val edgeStores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** Edge-store bucket count (r20, VERDICT r19 item 5): DATA-derived,
+    * not core-derived. The graph family's bucket-local consumers are
+    * joins/aggregations over 24-byte (key, long) rows — cheap per row,
+    * so task count should follow bytes (guide §6 bucket sizing,
+    * ≈ bytes/128 MB with an 8-bucket floor), unlike the dedup postings
+    * store whose per-row shingle compute justifies LlmOps.storeBuckets'
+    * core floor (the r7 IncScale lesson — a DIFFERENT cost model).
+    * On local[32] the core-derived 32 buckets made every superstep
+    * stage 32 tiny tasks over a KB graph: 5 supersteps of pure task
+    * scheduling, measured floors 2.17 s (32 buckets) vs 1.57 s
+    * (8 buckets) at c32 — the whole driver-observed c32 regression.
+    * Size estimate: 2·rows·48 B upper-bounds the symmetrized
+    * (src, dst, outdeg) store before the distinct; at 100 TB
+    * (~6·10¹¹ lineitem rows) that derives ~200k, clamped to Spark's
+    * bucket ceiling regime at 65536 (~1 GB/bucket). Conf override
+    * `spark.graft.store.buckets` is honored as before. */
+  private def edgeBuckets(s: SparkSession, d: String): Int =
+    s.conf.getOption("spark.graft.store.buckets").map(_.toInt)
+      .getOrElse {
+        val bytes = 2L * Tables.rowCount(s, d, "lineitem") * 48L
+        math.max(8, math.min(65536, (bytes / (128L << 20)).toInt))
+      }
+
   private[graft] def edgeStoreTable(s: SparkSession, d: String): String =
     edgeStores.computeIfAbsent((s, d), { _ =>
       val table = "graft_edges_" +
@@ -77,7 +100,7 @@ object GraphOps {
         val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
         DedupArtifacts.reset(s, table)
         graft.sources.Layout.writeBucketed(e.join(deg, "src"), table,
-          "src", LlmOps.storeBuckets(s))
+          "src", edgeBuckets(s, d))
       }
       table
     })
