@@ -387,11 +387,28 @@ object LlmOps {
 
   /** Candidate pairs sharing at least one shingle with document
     * frequency ≤ cutoff. The blocking fan-out is bounded by
-    * construction — the skew-safe blocking stage of the cascade. */
+    * construction — the skew-safe blocking stage of the cascade.
+    *
+    * r20 (guide §2.4, the substringPairs treatment): ONE exchange of
+    * the shingle postings — the shingle-partitioned frame is persisted
+    * and the df count, the rare join, and boundedPairExplode's group
+    * all ride its co-partitioning. The r19 shape exchanged the
+    * postings twice (partially-aggregated dfreq pass + the full join
+    * shuffle); most shingles are df≈1, so partial aggregation reduced
+    * ~nothing. Skew-unchanged: hot keys cost a linear partition scan
+    * and are dropped by the df filter BEFORE any list is collected.
+    * Measured steady 0.86–1.27 → ~0.73 s, cold 6.1 → 2.7 s, identical
+    * 1,130,536 sf0.1 candidates. (A hashed-key variant — xxhash64
+    * narrowing the exchange rows 60 B → 16 B — measured only ~0.07 s
+    * better locally and was withheld: it would move 13 oracled twins
+    * onto the collision-convention blocking derivation for a win that
+    * only matters once exchange bytes dominate; revisit with the
+    * stored-index schema if a scale fixture shows it.) */
   private[graft] def rareShingleCandidates(ex: DataFrame,
                                            cutoff: Int): DataFrame = {
-    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val rare = ex.join(dfreq.filter(col("df") <= cutoff), "shingle")
+    val exR = graft.Caches.persisted(ex.repartition(col("shingle")))
+    val dfreq = exR.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rare = exR.join(dfreq.filter(col("df") <= cutoff), "shingle")
       .select("doc_id", "shingle")
     boundedPairExplode(rare, "shingle")
   }
@@ -449,8 +466,13 @@ object LlmOps {
 
   private[graft] def blockedPairStats(ex: DataFrame, cutoff: Int): DataFrame = {
     val exP = graft.Caches.persisted(ex)
-    val dfreq = exP.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val rare = exP.join(dfreq.filter(col("df") <= cutoff), "shingle")
+    // r20: one exchange of the postings for the whole blocking stage
+    // (dfreq + rare join + in-cell pair group ride the co-partition) —
+    // the rareShingleCandidates treatment; docSets below keeps its own
+    // doc_id-keyed pass off the unpartitioned persist.
+    val exR = graft.Caches.persisted(exP.repartition(col("shingle")))
+    val dfreq = exR.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rare = exR.join(dfreq.filter(col("df") <= cutoff), "shingle")
       .select("doc_id", "shingle")
     val rarePairs = boundedPairExplode(rare, "shingle")
     val docSets = exP.groupBy("doc_id")
