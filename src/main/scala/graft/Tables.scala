@@ -212,11 +212,23 @@ object Tables {
   * one core of local[32]. On a production layout (thousands of files /
   * row groups per table) the scan parallelizes by itself — this helper
   * re-establishes that property where the stage after the scan is
-  * compute-bound, at the cost of one tiny shuffle of the input rows.
+  * compute-bound.
+  *
+  * r20 (guide §2.4/§8): the repartition is now CONDITIONAL — when the
+  * scan already yields at least `defaultParallelism` partitions (every
+  * production layout), spread is the identity. The unconditional form
+  * was a full shuffle of the scanned rows — "tiny" on the KB fixtures
+  * but a corpus-payload exchange at 100 TB, bolted onto 21 query
+  * paths purely to fix the local single-file layout. Values are
+  * unaffected either way (round-robin repartition is values-neutral
+  * and every downstream op pins its own determinism); on the local
+  * fixtures the scan is 1 partition, so the bench plans are unchanged.
   */
 object Par {
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
 }
 
 /** Cross-engine determinism helpers (SURVEY §0.2).

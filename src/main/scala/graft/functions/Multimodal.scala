@@ -210,24 +210,22 @@ object Multimodal {
   def audioEnergy(media: DataFrame, window: Int = 256,
                   batchSize: Int = 64): Dataset[AudioWindow] = {
     import media.sparkSession.implicits._
+    // r20 (guide §4): the windowed energy is one expression kernel
+    // (graft_audio_windows) + explode instead of a typed mapPartitions
+    // closure — the Deserialize/Serialize boundary (every payload
+    // copied out to JVM objects and every window row re-encoded) was
+    // the only non-expression link in the chain, and with it gone the
+    // op is a pure scan projection. Identical integer arithmetic,
+    // window for window; `batchSize` is retained for signature
+    // stability but no longer meaningful (memory is bounded per ROW by
+    // the payload's own window array, not per batch).
+    VectorExprs.register(media.sparkSession)
     media.filter(col("kind") === "audio")
-      .select("media_id", "content").as[(Long, Array[Byte])]
-      .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          batch.iterator.flatMap { case (id, content) =>
-            content.grouped(window).zipWithIndex.map { case (chunk, wi) =>
-              var e = 0L
-              var i = 0
-              while (i < chunk.length) {
-                val v = chunk(i) & 0xff
-                e += v.toLong * v
-                i += 1
-              }
-              AudioWindow(id, wi, chunk.length, e)
-            }
-          }
-        }
-      }
+      .select(col("media_id"),
+        explode(expr(s"graft_audio_windows(content, $window)")).as("wrow"))
+      .select(col("media_id"), col("wrow.win_idx").as("win_idx"),
+        col("wrow.n_samples").as("n_samples"), col("wrow.energy").as("energy"))
+      .as[AudioWindow]
   }
 
   /** Frame sampling for video rows: every k-th frame as its own binary

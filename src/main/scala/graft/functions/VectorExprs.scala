@@ -332,7 +332,11 @@ object VectorExprs {
       (args: Seq[Expression]) => WeightedDotSorted(args(0), args(1))),
     (FunctionIdentifier("graft_wdot_h"),
       new ExpressionInfo(classOf[WeightedDotHashed].getName, "graft_wdot_h"),
-      (args: Seq[Expression]) => WeightedDotHashed(args(0), args(1))))
+      (args: Seq[Expression]) => WeightedDotHashed(args(0), args(1))),
+    (FunctionIdentifier("graft_audio_windows"),
+      new ExpressionInfo(classOf[AudioWindowsExpr].getName,
+        "graft_audio_windows"),
+      (args: Seq[Expression]) => AudioWindowsExpr(args(0), args(1))))
 
   /** Idempotent registration against an existing session (the driver
     * builds the SparkSession before our code runs, so extensions can't
@@ -570,6 +574,57 @@ case class WeightedDotHashed(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): WeightedDotHashed =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fixed-window audio energy over a binary payload (r20): the bytes as
+  * 8-bit PCM samples, `window`-sample windows, per-window sum of
+  * squared samples — one array row per payload, exploded by the
+  * caller. Replaces the typed `mapPartitions` closure in
+  * `Multimodal.audioEnergy`, whose Deserialize/Serialize boundary was
+  * the only non-expression link in the op's chain (guide §4: prefer
+  * expressions over closures); values are the same exact integer
+  * arithmetic, window-for-window. */
+case class AudioWindowsExpr(left: Expression, right: Expression)
+    extends BinaryExpression with codegen.CodegenFallback {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{BinaryType, IntegerType, StructField, StructType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == IntegerType &&
+        right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (binary, literal int), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("win_idx", IntegerType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("energy", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_audio_windows"
+
+  override def nullSafeEval(payload: Any, winAny: Any): Any = {
+    val bytes = payload.asInstanceOf[Array[Byte]]
+    val window = winAny.asInstanceOf[Int]
+    val n = (bytes.length + window - 1) / window
+    val out = new Array[Any](n)
+    var wi = 0
+    while (wi < n) {
+      val start = wi * window
+      val end = math.min(start + window, bytes.length)
+      var e = 0L
+      var i = start
+      while (i < end) { val v = bytes(i) & 0xff; e += v.toLong * v; i += 1 }
+      out(wi) = org.apache.spark.sql.catalyst.InternalRow(wi, end - start, e)
+      wi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AudioWindowsExpr =
     copy(left = newLeft, right = newRight)
 }
 
