@@ -136,8 +136,32 @@ object TextOps {
     * token at all have no prediction. The profile side is tiny
     * (5 langs × 20 tokens) → broadcast; cost is one explode + one
     * broadcast join + two bounded windows at any corpus size. */
-  private[operators] def langPredictions(docs: DataFrame): DataFrame =
-    votesAgainst(langProfile(docs), docs)
+  private[operators] def langPredictions(docs: DataFrame): DataFrame = {
+    // r20 (guide §5): ONE persisted token explode feeds both the
+    // profile derivation and the voting pass — the composed
+    // votesAgainst(langProfile(docs), docs) re-tokenized the corpus
+    // twice (the two explodes are the op's dominant cost; profiles and
+    // votes are KB-sized). Values identical: both passes see exactly
+    // the rows their standalone derivations produced. The standalone
+    // helpers stay for the stored-profile pipeline (profile built from
+    // the base corpus once, deltas scored via votesAgainst).
+    val tok = graft.Caches.persisted(
+      docs.select(col("doc_id"), col("lang"), explode(toks).as("token")))
+    val profile = tok
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(desc("cnt"), asc("token"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang").as("p_lang"), col("token"))
+    tok.join(broadcast(profile), "token")
+      .groupBy("doc_id", "lang", "p_lang")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(desc("votes"), asc("p_lang"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+        col("votes"))
+  }
 
   /** The per-language top-20 token profile of a corpus — tiny
     * (langs × 20 rows), broadcastable, and STORABLE: the incremental
@@ -345,9 +369,15 @@ object TextOps {
         .filter(col("token") =!= "")
         .withColumn("h", expr("graft_polyhash(token)"))
       // native SimHash64Agg: one 64-int aggregation buffer instead of
-      // 64 separate sum aggregates through the shuffle
-      val sigs = tok.groupBy("doc_id")
-        .agg(expr("graft_simhash(h)").as("sig"))
+      // 64 separate sum aggregates through the shuffle.
+      // r20 (guide §5): persist the signatures — the band self-join
+      // consumed the aggregate subtree TWICE (the r19 plan shows two
+      // full scan→explode→polyhash→simhash chains, no ReusedExchange),
+      // so the whole derivation ran once per join side. One 16-byte-row
+      // materialization now feeds both sides; released by the
+      // harness's Caches.release like every operator persist.
+      val sigs = graft.Caches.persisted(tok.groupBy("doc_id")
+        .agg(expr("graft_simhash(h)").as("sig")))
       val bands = sigs.select(col("doc_id"), col("sig"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("band"),
