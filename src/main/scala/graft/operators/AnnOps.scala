@@ -294,17 +294,22 @@ object AnnOps {
       sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_cands"))
   }
 
-  /** Top-3 neighbors per vector from a (vec_id, nn_id, cos) pair set. */
-  private def top3(pairs: DataFrame): DataFrame = {
-    val wTop = Window.partitionBy("vec_id")
-      .orderBy(desc("cos"), asc("nn_id"))
-    pairs
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 3)
-      .select(col("vec_id"), col("rk"), col("nn_id"),
-        Det.r4(col("cos")).as("cos"))
+  /** Top-3 neighbors per vector from a (vec_id, nn_id, cos) pair set.
+    * r20: a bounded graft_topk aggregate instead of the row_number
+    * window (guide §2.3, the d_agg_topk_partial shape): the exchange
+    * carries ≤3-pair buffers per map-side group instead of every
+    * candidate row, and the per-group sort disappears. graft_topk's
+    * ordering (v DESC, id ASC with Spark's double total order) IS the
+    * window's; every caller's pair set is per-(vec_id, nn_id) unique
+    * (a candidate meets a probe in exactly one home cell), so
+    * row_number and the bounded buffer agree even under cos ties. */
+  private def top3(pairs: DataFrame): DataFrame =
+    pairs.groupBy("vec_id")
+      .agg(expr("graft_topk(cos, nn_id, 3)").as("top"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).cast(IntegerType).as("rk"),
+        col("col.id").as("nn_id"), Det.r4(col("col.v")).as("cos"))
       .orderBy("vec_id", "rk")
-  }
 
   /** Semantic-decontamination pair scan (§2.R — VERDICT r7 "What's
     * missing" #4): every (corpus vector, benchmark vector) pair within
@@ -686,10 +691,15 @@ object AnnOps {
         .unionByName(pqPairs(probes,
           deltaHome.select(col("vec_id").as("nn_id"), col("cell"),
             col("q").as("qb")), "cell", nRows))
-        .withColumn("ck", row_number().over(Window.partitionBy("vec_id")
-          .orderBy(desc("approx"), asc("nn_id"))))
-        .filter(col("ck") <= 32)
-        .select("vec_id", "nn_id")
+        // r20: bounded graft_topk aggregate instead of the row_number
+        // window (the j_ann_ivf_pq fold; candidates are per-
+        // (vec_id, nn_id) unique across the two disjoint joins, and
+        // the int approx is exact under the double cast)
+        .groupBy("vec_id")
+        .agg(expr("graft_topk(CAST(approx AS DOUBLE), nn_id, 32)")
+          .as("top"))
+        .select(col("vec_id"),
+          explode(expr("transform(top, x -> x.id)")).as("nn_id"))
       val ua = deltaHome.select(col("vec_id"), col("u").as("ua"))
       val ub = cells.select(col("vec_id").as("nn_id"), col("u").as("ub"))
         .unionByName(deltaHome.select(col("vec_id").as("nn_id"),
@@ -754,10 +764,13 @@ object AnnOps {
       val candInd = repPairs
         .join(mem.select(col("rep").as("nn_id"), col("ind")), "nn_id")
         .select(col("vec_id"), col("ind").as("nn_ind"), col("cos"))
-      val w4 = Window.partitionBy("vec_id")
-        .orderBy(desc("cos"), asc("nn_ind"))
-      val top4 = candInd.withColumn("r4", row_number().over(w4))
-        .filter(col("r4") <= 4)
+      // r20: bounded graft_topk aggregate instead of the row_number
+      // window (the j_ann_ivf_pq fold; nn_ind is unique per rep group)
+      val top4 = candInd.groupBy("vec_id")
+        .agg(expr("graft_topk(cos, nn_ind, 4)").as("top"))
+        .select(col("vec_id"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("t.id").as("nn_ind"),
+          col("t.v").as("cos"))
       val expanded = top4
         .join(mem.select(col("rep").as("vec_id"), col("ind").as("p_ind")),
           "vec_id")
@@ -1023,10 +1036,13 @@ object AnnOps {
       val candInd = kept
         .join(mem.select(col("rep").as("nn_id"), col("ind")), "nn_id")
         .select(col("vec_id"), col("ind").as("nn_ind"), col("cos"))
-      val w4 = Window.partitionBy("vec_id")
-        .orderBy(desc("cos"), asc("nn_ind"))
-      val top4 = candInd.withColumn("r4", row_number().over(w4))
-        .filter(col("r4") <= 4)
+      // r20: bounded graft_topk aggregate instead of the row_number
+      // window (the j_ann_ivf_pq fold; nn_ind is unique per rep group)
+      val top4 = candInd.groupBy("vec_id")
+        .agg(expr("graft_topk(cos, nn_ind, 4)").as("top"))
+        .select(col("vec_id"), explode(col("top")).as("t"))
+        .select(col("vec_id"), col("t.id").as("nn_ind"),
+          col("t.v").as("cos"))
       val expanded = top4
         .join(mem.select(col("rep").as("vec_id"), col("ind").as("p_ind")),
           "vec_id")
