@@ -1232,16 +1232,24 @@ object TextOps {
       val nSeg = ((size(tk) - lit(1)) / lit(5)).cast(IntegerType)
       val segArr = transform(sequence(lit(0), nSeg),
         i => array_join(slice(tk, i * 5 + 1, lit(5)), " "))
-      val banned = Tables.documents(s, d)
-        .select(explode(segArr).as("seg"))
+      // r20 (guide §5): ONE persisted (doc_id, segments) projection
+      // feeds both the banned-set derivation and the apply pass — the
+      // r19 shape scanned the corpus and rebuilt the segment arrays
+      // (tokenize + per-segment array_join) twice. Values unchanged:
+      // both consumers see exactly the rows their standalone
+      // derivations produced; released by the harness's Caches.release.
+      val segs = graft.Caches.persisted(Tables.documents(s, d)
+        .select(col("doc_id"), segArr.as("segs")))
+      val banned = segs
+        .select(explode(col("segs")).as("seg"))
         .groupBy(md5(col("seg")).as("fp"))
         .agg(count(lit(1)).as("c"))
         .filter(col("c") >= 3)
         .agg(collect_list(col("fp")).as("banned"))
-      Tables.documents(s, d)
+      segs
         .crossJoin(broadcast(banned))
         .select(col("doc_id"),
-          filter(segArr, sEl =>
+          filter(col("segs"), sEl =>
             !array_contains(col("banned"), md5(sEl))).as("kept"))
         .select(col("doc_id"),
           size(col("kept")).as("n_kept"),
