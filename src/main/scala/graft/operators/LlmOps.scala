@@ -1297,9 +1297,18 @@ object LlmOps {
       // domain — byte and character distance coincide, and on
       // multibyte scripts the byte distance upper-bounds it.
       def bytesOf(c: Column): Column = decode(encode(c, "UTF-8"), "ISO-8859-1")
-      val c = Tables.customer(s, d)
+      // r20 (guide §2.4): persist the block-partitioned projection so
+      // the self-join reads ONE materialization co-partitioned on blk
+      // (zero join exchanges) instead of scanning + exchanging the
+      // name projection once per side. The in-cell collect rewrite
+      // stays withheld (r19: prefix blocks are not df-bounded, so the
+      // collected list would be skew-unsafe) — this keeps the
+      // streaming self-join shape and only removes the duplicated
+      // derivation.
+      val c = graft.Caches.persisted(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"),
           substring(col("c_name"), 1, 17).as("blk"))
+        .repartition(col("blk")))
       c.as("a").join(c.as("b"),
           col("a.blk") === col("b.blk") &&
             col("a.c_custkey") < col("b.c_custkey"))
