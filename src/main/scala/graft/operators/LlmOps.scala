@@ -1047,8 +1047,13 @@ object LlmOps {
         (((lit(MinhashA(i)) * col("x1")) % M
           + (lit(MinhashB(i)) * col("x2")) % M + lit(i.toLong)) % M)
           .as(s"h$i")): _*)
-    val sig = hashed.groupBy("doc_id")
-      .agg(array((0 until k).map(i => min(col(s"h$i"))): _*).as("minhash"))
+    // r20 (guide §5, the j_dedup_simhash treatment): persist the
+    // signatures — the band self-join otherwise consumes the whole
+    // shingle-explode + 12-hash + minhash-agg subtree once per side
+    // (no exchange reuse in the executed plan). One (doc_id, 12-long)
+    // materialization feeds both sides; released by Caches.release.
+    val sig = graft.Caches.persisted(hashed.groupBy("doc_id")
+      .agg(array((0 until k).map(i => min(col(s"h$i"))): _*).as("minhash")))
     // 62-bit portable band signature from the band's 3 minhash values
     def bsig(m0: Column, m1: Column, m2: Column): Column =
       shiftleft(((m0 * 48271L) % M + (m1 * 16807L) % M + m2) % M, 31)
