@@ -353,10 +353,10 @@ object AnnOps {
     * retuning mid-session requires a fresh [[AnnIndex.write]] under a
     * new prefix, exactly as the dedup store's caveat says. */
   private val indexPrefixes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private[graft] def storedIndexPrefix(s: SparkSession, d: String): String =
-    indexPrefixes.computeIfAbsent((s, d), { _ =>
+    indexPrefixes.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val prefix = "graft_ivf_" +
         DedupArtifacts.corpusSlug(s, d, Seq("embeddings"))
       val base = unit(s, d).drop("label")
@@ -439,10 +439,10 @@ object AnnOps {
     * corpus jobs and pays one 1-row read instead of the two
     * corpus-wide passes (GramArtifactSpec pins both properties). */
   private val gramTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private[graft] def gramTable(s: SparkSession, d: String): String =
-    gramTables.computeIfAbsent((s, d), { _ =>
+    gramTables.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val table = "graft_gramv2_" +
         DedupArtifacts.corpusSlug(s, d, Seq("embeddings"))
       if (!s.catalog.tableExists(table)) {

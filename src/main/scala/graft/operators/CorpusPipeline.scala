@@ -252,10 +252,10 @@ object CorpusPipeline {
     * Deliberately DECOUPLED from [[incrementalPrefix]] — reading the
     * LM must not trigger the (much heavier) dedup-store build. */
   private val lmPrefixes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private[graft] def lmArtifactPrefix(s: SparkSession, d: String): String =
-    lmPrefixes.computeIfAbsent((s, d), { _ =>
+    lmPrefixes.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       // corpus-fingerprinted (r19, ADVICE r18 item 2): the sanitized
       // dir alone collides across corpora and regenerations
       val prefix = "graft_lm_" + DedupArtifacts.corpusSlug(s, d,
@@ -287,10 +287,10 @@ object CorpusPipeline {
     })
 
   private val incPrefixes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private[graft] def incrementalPrefix(s: SparkSession, d: String): String =
-    incPrefixes.computeIfAbsent((s, d), { _ =>
+    incPrefixes.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val prefix = LlmOps.storedArtifactPrefix(s, d)
       val docs = LlmOps.dedupDocs(s, d)
       val base = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
@@ -420,11 +420,11 @@ object CorpusPipeline {
     * asserts zero jobs on re-entry); values are the exact [[audit]]
     * output, so the oracle hash cannot move. */
   private val auditTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), String]()
 
   private[graft] def auditLedgerTable(s: SparkSession, d: String,
                                       gate: String): String =
-    auditTables.computeIfAbsent((s, d, gate), { _ =>
+    auditTables.computeIfAbsent((ScaleOps.sessionId(s), d, gate), { _ =>
       val table = "graft_audit_" +
         DedupArtifacts.corpusSlug(s, d, Seq("documents")) + s"_$gate"
       if (!s.catalog.tableExists(table)) {

@@ -58,15 +58,21 @@ object GraphOps {
     * `src`, the layout lives in the CATALOG, so every superstep's
     * build side rides the bucket spec with ZERO edge-side Exchange
     * STRUCTURALLY (GraphOpsSpec pins the plan), every degree
-    * aggregation collapses onto the bucket key, and a later session
-    * pays a metadata probe instead of the distinct+join+shuffle
-    * (tableExists re-entry, the lmArtifactPrefix contract). Values are
-    * the exact in-flight (src, dst, outdeg) rows, so the oracle
-    * hashes cannot move. At 100 TB this is the standing edge table a
-    * graph pipeline maintains anyway — write-once shuffle, amortized
-    * over every superstep of every query. */
+    * aggregation collapses onto the bucket key, and a later SESSION
+    * IN THE SAME JVM pays a metadata probe instead of the
+    * distinct+join+shuffle (tableExists re-entry; r20 doc fix per the
+    * r19 audit — the catalog is in-memory and session-scoped, so a
+    * fresh JVM rebuilds the store; cross-RUN amortization needs an
+    * external metastore). Values are the exact in-flight
+    * (src, dst, outdeg) rows, so the oracle hashes cannot move. At
+    * 100 TB this is the standing edge table a graph pipeline
+    * maintains anyway — write-once shuffle, amortized over every
+    * superstep of every query.
+    * r20 (ADVICE r19 item 4): keyed by (weak session id, corpus) —
+    * the ScaleOps.sessionId convention — so the memo never strongly
+    * retains a SparkSession for the JVM lifetime. */
   private val edgeStores =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** Edge-store bucket count (r20, VERDICT r19 item 5): DATA-derived,
     * not core-derived. The graph family's bucket-local consumers are
@@ -92,7 +98,7 @@ object GraphOps {
       }
 
   private[graft] def edgeStoreTable(s: SparkSession, d: String): String =
-    edgeStores.computeIfAbsent((s, d), { _ =>
+    edgeStores.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val table = "graft_edges_" +
         DedupArtifacts.corpusSlug(s, d, Seq("lineitem"))
       if (!s.catalog.tableExists(table)) {
@@ -112,11 +118,11 @@ object GraphOps {
     * driver job on every invocation). The store is immutable for the
     * session, so the memo can never go stale. */
   private val nodeCounts =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
 
   private def nodeCount(s: SparkSession, d: String,
                         edgesDeg: DataFrame): Long =
-    nodeCounts.computeIfAbsent((s, d), { _ =>
+    nodeCounts.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       edgesDeg.agg(countDistinct(col("src"))).head.getLong(0)
     })
 

@@ -244,10 +244,10 @@ object LlmOps {
     * normalize flag) are harness-pinned, and a retune means a fresh
     * index write — the AnnIndex caveat verbatim. */
   private val tfidfStores =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private[graft] def tfidfIndexPrefix(s: SparkSession, d: String): String =
-    tfidfStores.computeIfAbsent((s, d), { _ =>
+    tfidfStores.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val prefix = "graft_tfidf_" +
         DedupArtifacts.corpusSlug(s, d, Seq("documents"))
       val have = Seq("_vec", "_cand")
@@ -279,10 +279,10 @@ object LlmOps {
     * (`spark.graft.dedup.substringK`, harness-pinned default 8) — a
     * retune means a fresh index write, the AnnIndex caveat verbatim. */
   private val substrStores =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private[graft] def substringIndexPrefix(s: SparkSession, d: String): String =
-    substrStores.computeIfAbsent((s, d), { _ =>
+    substrStores.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val prefix = "graft_substr_" +
         DedupArtifacts.corpusSlug(s, d, Seq("documents"))
       if (!s.catalog.tableExists(s"${prefix}_win")) {
@@ -368,7 +368,15 @@ object LlmOps {
     * partitioning, so the only new exchange is the final distinct).
     * SAFETY: callers must pass postings already filtered to keys with
     * ≤ cutoff rows — the collected lists are bounded by construction,
-    * exactly the bound the old self-join relied on for fan-out. The
+    * exactly the bound the old self-join relied on for fan-out.
+    * Practical cutoff ceiling (r20, ADVICE r19 item 3): one key group
+    * materializes all C(n,2) pair structs as a single array value
+    * before the explode, so a caller-supplied cutoff c costs
+    * ~16·c²/2 bytes of single-row memory (c=50 → 20 KB; c=10⁴ →
+    * ~800 MB — do NOT go there). Tunable-API callers
+    * (dedupCascadeBlocked / blockedPairStats / incrementalPairs)
+    * should keep cutoffs ≲ 2000 or route oversized keys through a
+    * key-partitioned self-join form. The
     * doc_a < doc_b filter (not just i < j) also drops self-pairs when a
     * key repeats within one document (substring windows can). Measured
     * 2.8 → 1.5 s on the sf0.1 shingle candidate stage, identical
@@ -679,6 +687,25 @@ object LlmOps {
         col("sh_a"), col("sh_b"), col("jac"))
   }
 
+  /** Dedup decision over an EXTERNAL candidate set (LSH / SimHash
+    * bands / any cheap stage): exact set-intersection verify on the
+    * candidates only, then the deterministic min-partner decision.
+    *
+    * PRECONDITION (r20, ADVICE r19 item 1): `ex`'s postings must be
+    * per-doc DISTINCT — the verify routes through [[arrayPairStats]],
+    * whose `size(array_intersect)` equals the matched-postings count
+    * only then. `graft_shingles` and the stored-postings layout both
+    * guarantee it; a caller with repeating postings must stay on
+    * [[exactPairStats]] (multiset match count) or dedupe first.
+    *
+    * Memory shape (ADVICE r19 item 2): each doc's full shingle array
+    * rides every incident candidate pair row. For the band families
+    * that feed this entry the fan-out is bounded by band width (a doc
+    * collides only with its band-bucket peers), and the oracled
+    * fixture corpora stay KB-wide; a corpus with pathological wide
+    * docs × hot bands should route through [[blockedPairStats]]'s
+    * `spark.graft.dedup.wideDocShingles` escape hatch, which falls
+    * back to the streaming postings verify per flagged doc. */
   def dedupCascade(ex: DataFrame, candidates: DataFrame,
                    tau: Double): DataFrame =
     dupDecision(arrayPairStats(ex, candidates), tau)
@@ -886,7 +913,7 @@ object LlmOps {
     * toggle them). A production loop that retunes bucket count rewrites
     * the store via [[DedupArtifacts.write]] under a new prefix. */
   private val storedPrefixes =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** Bucket count for the stored artifact/index tables — a write-time
     * LAYOUT decision (`spark.graft.store.buckets`): bucket-local stages
@@ -918,7 +945,7 @@ object LlmOps {
         (estBytes / (128L << 20)).toInt)))
 
   private[graft] def storedArtifactPrefix(s: SparkSession, d: String): String =
-    storedPrefixes.computeIfAbsent((s, d), { _ =>
+    storedPrefixes.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val prefix = "graft_inc_" +
         DedupArtifacts.corpusSlug(s, d, Seq("documents"))
       val base = dedupDocs(s, d)
@@ -937,7 +964,7 @@ object LlmOps {
     * only over the contracted delta edges. Same memoization caveats as
     * [[storedArtifactPrefix]]. */
   private val clusterTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   def clusterTable(prefix: String): String = s"${prefix}_clusters"
 
@@ -964,7 +991,7 @@ object LlmOps {
   }
 
   private[graft] def storedClusterTable(s: SparkSession, d: String): String =
-    clusterTables.computeIfAbsent((s, d), { _ =>
+    clusterTables.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val prefix = storedArtifactPrefix(s, d)
       buildStoredLabels(s, prefix, oracledDfCutoff(s), oracledTau(s))
     })
@@ -983,12 +1010,12 @@ object LlmOps {
     * [[storedArtifactPrefix]]; the pair set is delta-sized, so the
     * table is KBs at any corpus scale. */
   private val pairTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   def pairsTable(prefix: String): String = s"${prefix}_dpairs"
 
   private[graft] def storedDeltaPairs(s: SparkSession, d: String): String =
-    pairTables.computeIfAbsent((s, d), { _ =>
+    pairTables.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val prefix = storedArtifactPrefix(s, d)
       val t = pairsTable(prefix)
       val (bp, bs, bd) = DedupArtifacts.read(s, prefix)

@@ -261,7 +261,7 @@ object TextOps {
     * later session finds the table and skips the train entirely.
     * In-process memoization sits on top for repeat calls. */
   private val bpeMerges =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   // corpus-fingerprinted name (r19, ADVICE r18): see
   // DedupArtifacts.corpusSlug — sanitized-dir collisions and in-place
@@ -270,7 +270,7 @@ object TextOps {
     "graft_bpe_" + DedupArtifacts.corpusSlug(s, d, Seq("documents"))
 
   private[graft] def trainedBpeMerges(s: SparkSession, d: String): String =
-    bpeMerges.computeIfAbsent((s, d), { _ =>
+    bpeMerges.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val table = bpeTable(s, d)
       if (s.catalog.tableExists(table)) {
         graft.functions.Bpe.encodeMerges(
@@ -309,10 +309,10 @@ object TextOps {
     * ZERO training jobs (ChargramArtifactSpec pins stored==direct and
     * the zero-job re-entry). */
   private val chargramTables =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   private[graft] def chargramProfileTable(s: SparkSession, d: String): String =
-    chargramTables.computeIfAbsent((s, d), { _ =>
+    chargramTables.computeIfAbsent((ScaleOps.sessionId(s), d), { _ =>
       val table = "graft_chargram_" +
         DedupArtifacts.corpusSlug(s, d, Seq("documents"))
       if (!s.catalog.tableExists(table)) {
