@@ -227,6 +227,13 @@ object Tables {
 object Par {
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // Partition probe via .rdd: free for the scan-shaped frames that
+    // dominate the call sites (no exchange → no stage runs). For the
+    // two join-shaped callers (CorpusPipeline keep-joins) AQE may
+    // materialize the join's stages eagerly here — those run inside
+    // once-per-session store builds, and the subsequent action reuses
+    // the materialized stages, so the net cost is ~zero (bench-checked
+    // before/after; r20).
     if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
   }
 }
